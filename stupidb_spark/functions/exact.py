@@ -1,0 +1,218 @@
+"""Deterministic cross-engine aggregates: exact unscaled-integer moments.
+
+Problem: floating-point SUM/AVG/VAR/COV results depend on accumulation order
+and algorithm (Spark merges per-partition states; DuckDB uses its own
+segment-tree / sequential paths), so two engines produce doubles differing in
+the last ULPs — and *any* decimal rounding of near-boundary values can then
+flip, breaking hash comparison (BASELINE.md's float-drift warning, and the
+reason reference tests compare via CPython on both sides,
+`stupidb/tests/test_stupidb.py:677-709`).
+
+A first attempt summed DECIMAL(30,s) — exact, but the final decimal→double
+cast itself diverges between engines once the unscaled value exceeds 2^53
+(Spark's BigDecimal.doubleValue is correctly rounded; DuckDB's int128/10^s
+path double-rounds), observed as 1-ULP drift on Σx² sums.
+
+Solution — every step is an identical, individually-deterministic operation
+on both engines:
+
+1. per-row unscale: ``round(x * 10^s)`` — the input doubles are identical
+   (same parquet), ``*`` is one IEEE op, and ``round`` is half-away-from-zero
+   on both engines ⇒ identical integers per row;
+2. ``CAST(... AS BIGINT)`` — the double is an exact integer, cast is exact;
+3. ``sum(BIGINT)`` — exact and order-independent under any partitioning,
+   shuffle plan, or frame-evaluation strategy;
+4. one ``BIGINT → DOUBLE`` cast — a single correctly-rounded hardware
+   conversion on both engines;
+5. ``/ 10^s`` — 10^s is exactly representable for s ≤ 22, division is one
+   correctly-rounded IEEE op;
+6. derived statistics (mean/var/cov/std) combine these moments with the same
+   double expression on both sides ⇒ bit-identical results.
+
+This also holds at 100 TB: exactness is independent of partition count, AQE
+re-planning, or merge order — which is what makes results reproducible
+run-to-run on a real cluster. Long sums also stay in Spark's fastest
+whole-stage-codegen hash-agg path (no decimal slow path). Overflow envelope:
+int64 carries Σ of unscaled values up to 9.2e18 — for Σx² of 6-digit prices
+at scale 4 that is ~10^5 × the sf0.1 fixture; beyond that, raise to a
+DECIMAL(38,0) sum of the same unscaled integers (still exact, still
+deterministic until the final cast exceeds 2^63).
+
+Each helper has a Spark (Column) and a SQL (string) form so query and oracle
+are generated from the same definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from stupidb_spark.verbs import ColumnLike, _col
+
+
+def _p10(scale: int) -> float:
+    # exactly representable for scale <= 22
+    return float(10**scale)
+
+
+def _sql_p10(scale: int) -> str:
+    return f"{_p10(scale):.1f}"
+
+
+# --------------------------------------------------------------------------
+# Spark side
+# --------------------------------------------------------------------------
+
+
+def _unscaled(c: ColumnLike, scale: int) -> Column:
+    """Per-row exact fixed-point integer: round(x * 10^s) as long."""
+    return F.round(_col(c) * F.lit(_p10(scale))).cast("long")
+
+
+def usum(c: ColumnLike, scale: int) -> Column:
+    """Exact order-independent integer sum of unscaled values."""
+    return F.sum(_unscaled(c, scale))
+
+
+def dsum(c: ColumnLike, scale: int = 2) -> Column:
+    """Exact sum of a fixed-point double column, returned as double."""
+    return usum(c, scale).cast("double") / F.lit(_p10(scale))
+
+
+def dsum_over(c: ColumnLike, w, scale: int = 2) -> Column:
+    """Windowed exact sum (same construction over a window frame)."""
+    return F.sum(_unscaled(c, scale)).over(w).cast("double") / F.lit(_p10(scale))
+
+
+def dtotal(c: ColumnLike, scale: int = 2) -> Column:
+    """Exact TOTAL (empty ⇒ 0.0) — stupidb's SQLite-style total,
+    stupidb/functions/associative/__init__.py:127-133."""
+    return F.coalesce(dsum(c, scale), F.lit(0.0))
+
+
+def davg(c: ColumnLike, scale: int = 2) -> Column:
+    """Exact-moment mean: exact sum / non-null count, divided in double."""
+    return dsum(c, scale) / F.count(_col(c))
+
+
+def _s2(c: ColumnLike, scale: int) -> Column:
+    x = _col(c)
+    return F.sum(_unscaled(x * x, scale * 2)).cast("double") / F.lit(_p10(scale * 2))
+
+
+def dvar_samp(c: ColumnLike, scale: int = 2) -> Column:
+    """Sample variance from exact moments: (Σx² − (Σx)²/n) / (n−1)."""
+    n = F.count(_col(c)).cast("double")
+    s1 = dsum(c, scale)
+    return (_s2(c, scale) - s1 * s1 / n) / (n - 1)
+
+
+def dvar_pop(c: ColumnLike, scale: int = 2) -> Column:
+    n = F.count(_col(c)).cast("double")
+    s1 = dsum(c, scale)
+    return (_s2(c, scale) - s1 * s1 / n) / n
+
+
+def dstddev_samp(c: ColumnLike, scale: int = 2) -> Column:
+    return F.sqrt(dvar_samp(c, scale))
+
+
+def dstddev_pop(c: ColumnLike, scale: int = 2) -> Column:
+    return F.sqrt(dvar_pop(c, scale))
+
+
+def _cov_parts(x: ColumnLike, y: ColumnLike, scale: int):
+    cx, cy = _col(x), _col(y)
+    n = F.count(F.when(cx.isNotNull() & cy.isNotNull(), 1)).cast("double")
+    sx = (
+        F.sum(_unscaled(F.when(cy.isNotNull(), cx), scale)).cast("double")
+        / F.lit(_p10(scale))
+    )
+    sy = (
+        F.sum(_unscaled(F.when(cx.isNotNull(), cy), scale)).cast("double")
+        / F.lit(_p10(scale))
+    )
+    sxy = F.sum(_unscaled(cx * cy, scale * 2)).cast("double") / F.lit(_p10(scale * 2))
+    return n, sx, sy, sxy
+
+
+def dcovar_samp(x: ColumnLike, y: ColumnLike, scale: int = 2) -> Column:
+    """Sample covariance from exact moments: (Σxy − ΣxΣy/n) / (n−1)."""
+    n, sx, sy, sxy = _cov_parts(x, y, scale)
+    return (sxy - sx * sy / n) / (n - 1)
+
+
+def dcovar_pop(x: ColumnLike, y: ColumnLike, scale: int = 2) -> Column:
+    n, sx, sy, sxy = _cov_parts(x, y, scale)
+    return (sxy - sx * sy / n) / n
+
+
+# --------------------------------------------------------------------------
+# SQL (DuckDB oracle) side — the same construction, textually
+# --------------------------------------------------------------------------
+
+
+def _sql_unscaled(expr: str, scale: int) -> str:
+    return f"CAST(round(({expr}) * {_sql_p10(scale)}) AS BIGINT)"
+
+
+def sql_usum(expr: str, scale: int) -> str:
+    # DuckDB sum(BIGINT) returns HUGEINT; narrow back to BIGINT (exact in our
+    # envelope) so the int→double cast is the same single hardware conversion
+    # Spark performs.
+    return f"CAST(sum({_sql_unscaled(expr, scale)}) AS BIGINT)"
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    return f"(CAST({sql_usum(expr, scale)} AS DOUBLE) / {_sql_p10(scale)})"
+
+
+def sql_dsum_over(expr: str, over: str, scale: int = 2) -> str:
+    return (
+        f"(CAST(sum({_sql_unscaled(expr, scale)}) OVER {over} AS DOUBLE)"
+        f" / {_sql_p10(scale)})"
+    )
+
+
+def sql_dtotal(expr: str, scale: int = 2) -> str:
+    return f"coalesce({sql_dsum(expr, scale)}, 0.0)"
+
+
+def sql_davg(expr: str, scale: int = 2) -> str:
+    return f"({sql_dsum(expr, scale)} / count({expr}))"
+
+
+def _sql_s2(expr: str, scale: int) -> str:
+    return sql_dsum(f"({expr}) * ({expr})", scale * 2)
+
+
+def sql_dvar_samp(expr: str, scale: int = 2) -> str:
+    s1, s2 = sql_dsum(expr, scale), _sql_s2(expr, scale)
+    n = f"CAST(count({expr}) AS DOUBLE)"
+    return f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
+
+
+def sql_dvar_pop(expr: str, scale: int = 2) -> str:
+    s1, s2 = sql_dsum(expr, scale), _sql_s2(expr, scale)
+    n = f"CAST(count({expr}) AS DOUBLE)"
+    return f"(({s2} - {s1} * {s1} / {n}) / {n})"
+
+
+def sql_dstddev_samp(expr: str, scale: int = 2) -> str:
+    return f"sqrt({sql_dvar_samp(expr, scale)})"
+
+
+def sql_dstddev_pop(expr: str, scale: int = 2) -> str:
+    return f"sqrt({sql_dvar_pop(expr, scale)})"
+
+
+def sql_dcovar(x: str, y: str, scale: int = 2, *, samp: bool = True) -> str:
+    n = (
+        f"CAST(count(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS NOT NULL "
+        f"THEN 1 END) AS DOUBLE)"
+    )
+    sx = sql_dsum(f"CASE WHEN ({y}) IS NOT NULL THEN ({x}) END", scale)
+    sy = sql_dsum(f"CASE WHEN ({x}) IS NOT NULL THEN ({y}) END", scale)
+    sxy = sql_dsum(f"({x}) * ({y})", scale * 2)
+    denom = f"({n} - 1)" if samp else n
+    return f"(({sxy} - {sx} * {sy} / {n}) / {denom})"

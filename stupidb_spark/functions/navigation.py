@@ -1,0 +1,117 @@
+"""Navigation window functions: lead / lag / nth / first / last.
+
+Reference: `stupidb/functions/navigation/__init__.py`. Two reference quirks
+matter (SURVEY.md §2.9):
+
+- Q1: ``first``/``last`` always skip nulls → we use ``ignorenulls=True``
+  (exposed from ``stupidb_spark.functions.aggregates``).
+- Q7: the reference allows *per-row callable* offsets/defaults for
+  lead/lag/nth (`stupidb/api.py:841-888,805-820`). Spark's native lead/lag
+  require literal offsets — the fast path. Dynamic (Column) offsets take the
+  documented slow path: ``element_at(collect_list(x) over partition, idx)``.
+
+Scale note: the dynamic path materializes the whole partition per row in the
+worst case — it is deliberately segregated so the constant-offset path stays
+a native, codegen'd WindowExec. Partitions must be bounded (they are for any
+sane partition_by) for the dynamic path to be safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stupidb_spark.verbs import ColumnLike, _col
+
+
+def lead(
+    c: ColumnLike,
+    n: int | Column = 1,
+    default: Column | None = None,
+    w: WindowSpec | None = None,
+) -> Column:
+    """Shift forward within the partition (frame ignored, as in the reference
+    `stupidb/functions/navigation/__init__.py:40-46`).
+
+    Constant ``n`` → native ``F.lead`` (fast path). Column ``n`` → dynamic
+    per-row offset (reference quirk Q7) via collect_list indexing.
+    """
+    if isinstance(n, int):
+        col = F.lead(_col(c), n, None)
+        col = col.over(w) if w is not None else col
+        return F.coalesce(col, default) if default is not None else col
+    return _dynamic_shift(c, n, default, w, forward=True)
+
+
+def lag(
+    c: ColumnLike,
+    n: int | Column = 1,
+    default: Column | None = None,
+    w: WindowSpec | None = None,
+) -> Column:
+    """Shift backward within the partition; see :func:`lead`."""
+    if isinstance(n, int):
+        col = F.lag(_col(c), n, None)
+        col = col.over(w) if w is not None else col
+        return F.coalesce(col, default) if default is not None else col
+    return _dynamic_shift(c, n, default, w, forward=False)
+
+
+def _dynamic_shift(
+    c: ColumnLike,
+    n: Column,
+    default: Column | None,
+    w: WindowSpec,
+    *,
+    forward: bool,
+) -> Column:
+    """Per-row offset lead/lag (quirk Q7): index into the whole partition.
+
+    ``collect_list`` over an unbounded frame + 1-based ``element_at`` with a
+    guard for out-of-partition → default (reference returns the default
+    there, `stupidb/functions/navigation/__init__.py:56-70`).
+    """
+    if w is None:
+        raise ValueError("dynamic lead/lag requires a window spec")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    values = F.collect_list(F.struct(_col(c).alias("v"))).over(whole)
+    # row position among *all* partition rows (collect_list keeps nulls inside
+    # the struct wrapper, so positions align with row_number)
+    pos = F.row_number().over(w)
+    idx = (pos + n) if forward else (pos - n)
+    in_bounds = (idx >= 1) & (idx <= F.size(values))
+    out = F.when(in_bounds, F.element_at(values, idx.cast("int"))["v"])
+    return out.otherwise(default) if default is not None else out
+
+
+def nth(
+    c: ColumnLike,
+    i: int | Column,
+    w: WindowSpec | None = None,
+    *,
+    zero_based: bool = True,
+) -> Column:
+    """i-th value of the frame; reference semantics (`stupidb/functions/
+    navigation/__init__.py:113-159`): 0-based, negative Python-style indices
+    allowed, out-of-bounds ⇒ NULL, and ``i`` may be per-row (quirk Q7).
+
+    Constant non-negative ``i`` → native ``F.nth_value`` (fast path);
+    negative or Column ``i`` → collect_list indexing over the frame.
+    """
+    if isinstance(i, int) and i >= 0:
+        one_based = i + 1 if zero_based else i
+        col = F.nth_value(_col(c), one_based)
+        return col.over(w) if w is not None else col
+    if w is None:
+        raise ValueError("dynamic/negative nth requires a window spec")
+    values = F.collect_list(F.struct(_col(c).alias("v"))).over(w)
+    i_col = F.lit(i) if isinstance(i, int) else i
+    if zero_based:
+        # python indexing: 0 → first, -1 → last; element_at is 1-based and
+        # supports negative-from-end natively
+        idx = F.when(i_col >= 0, i_col + 1).otherwise(i_col)
+    else:
+        idx = i_col
+    in_bounds = (F.abs(idx) >= 1) & (F.abs(idx) <= F.size(values))
+    return F.when(in_bounds, F.element_at(values, idx.cast("int"))["v"])

@@ -1,0 +1,114 @@
+"""Text-analysis functions for training-data pipelines: tokenization,
+language ID, quality scoring, fingerprinting.
+
+All pure Column expressions (JVM-side, inside whole-stage codegen) — no
+Python UDFs in any hot path. The reference has no text functions at all
+(scalar logic is opaque Python lambdas, `stupidb/typehints.py:28-31`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from stupidb_spark.verbs import ColumnLike, _col
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small and public-knowledge; the heuristic's value
+# is its *shape* (vectorized token-set scoring), not linguistic accuracy.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "it", "you", "that", "was"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "les", "des", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "es": ("el", "los", "y", "que", "en", "se", "no", "por", "con", "para"),
+}
+
+# Punctuation class shared verbatim with the DuckDB oracle regexes.
+PUNCT_CLASS = r"""[.,;:!?'"()\[\]-]"""
+
+
+def words(c: ColumnLike) -> Column:
+    """Lowercased alphabetic tokens (split on non-letters, empties dropped)."""
+    toks = F.split(F.lower(_col(c)), "[^a-z]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(c: ColumnLike) -> Column:
+    """Whitespace token count — the BPE-ish proxy used for budget math."""
+    toks = F.split(F.trim(_col(c)), r"\s+")
+    return F.size(F.filter(toks, lambda t: t != ""))
+
+
+def punct_count(c: ColumnLike) -> Column:
+    return F.length(_col(c)) - F.length(F.regexp_replace(_col(c), PUNCT_CLASS, ""))
+
+
+def stopword_count(c: ColumnLike, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    stop = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(words(c), lambda t: F.array_contains(stop, t)))
+
+
+def lang_scores(c: ColumnLike) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    w = words(c)
+    out: dict[str, Column] = {}
+    for lang, stops in STOPWORDS.items():
+        stop = F.array(*[F.lit(s) for s in stops])
+        out[lang] = F.size(F.filter(w, lambda t: F.array_contains(stop, t)))
+    return out
+
+
+def lang_id(c: ColumnLike) -> Column:
+    """Pick the language with the highest stopword score, fixed priority
+    en > fr > de > es on ties, 'und' (undetermined) when all scores are 0."""
+    s = lang_scores(c)
+    return (
+        F.when(
+            (s["en"] + s["fr"] + s["de"] + s["es"]) == 0, F.lit("und")
+        )
+        .when((s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]), "en")
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]), "fr")
+        .when(s["de"] >= s["es"], "de")
+        .otherwise("es")
+    )
+
+
+def normalized(c: ColumnLike) -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+
+
+def fingerprint_md5(c: ColumnLike) -> Column:
+    """Content fingerprint: md5 hex of the normalized text. Stable across
+    engines (DuckDB md5 produces the identical hex)."""
+    return F.md5(F.encode(normalized(c), "UTF-8"))
+
+
+# 2^31 - 1; keeps acc*31 + char < 2^36 so 64-bit arithmetic never wraps and
+# the Python cross-check in tests can reproduce values exactly.
+_ROLLING_MOD = 2147483647
+
+
+def fingerprint_rolling(c: ColumnLike) -> Column:
+    """Polynomial rolling hash over the normalized character stream —
+    a document fingerprint computed as a pure Catalyst fold (F.aggregate),
+    no UDF."""
+    chars = F.filter(F.split(normalized(c), ""), lambda t: t != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 31 + F.coalesce(F.ascii(ch), F.lit(0)), F.lit(_ROLLING_MOD)),
+    )
+
+
+def rolling_hash_py(text: str) -> int:
+    """Pure-Python reference for :func:`fingerprint_rolling` (test oracle)."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    acc = 0
+    for ch in norm:
+        acc = (acc * 31 + ord(ch)) % _ROLLING_MOD
+    return acc

@@ -1,0 +1,693 @@
+"""Core relational queries: scan/filter/project, joins, group-by aggregation,
+sort/limit — SURVEY.md §2.2, §2.3, §2.4, §2.6.
+
+Every query is written with the verb layer so the user API is what's being
+verified.
+
+Float discipline (see stupidb_spark/functions/exact.py): **no round() in any
+output**. Aggregates over fixed-point columns use exact decimal-moment
+arithmetic, per-row derivations are identical IEEE double expressions on both
+engines — results are bit-identical by construction, which is the only thing
+that survives a hash comparison (round()'s halfway rules differ between
+engines, so rounding *adds* risk rather than removing it).
+
+Scale notes are attached per query: the fixture dims (region/nation/supplier,
+and customer at low SF) are broadcast; fact-fact joins shuffle on their keys
+and rely on AQE for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupidb_spark.queryset import q
+from stupidb_spark.sources import load_table
+from stupidb_spark.functions import aggregates as agg
+from stupidb_spark.functions import exact as X
+from stupidb_spark.verbs import (
+    Nulls,
+    aggregate,
+    anti_join,
+    cross_join,
+    distinct,
+    full_join,
+    group_by,
+    inner_join,
+    left_join,
+    limit,
+    mutate,
+    order_by,
+    right_join,
+    select,
+    semi_join,
+    sift,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# flagship: TPC-H Q1 shape (scan → filter → hash agg → sort)
+# Exercises §2.2 filter, §2.4 group-by agg, §2.6 sort in one query.
+# Scale: filter + projection push to the parquet scan; partial agg means the
+# shuffle carries 6 state rows per flag/status per partition; decimal sums
+# keep the result independent of partitioning (exact.py).
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE_SQL = "l_extendedprice * (1 - l_discount)"
+_CHARGE_SQL = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+@q(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                          AS sum_qty,
+           {X.sql_dsum('l_extendedprice', 2)}       AS sum_base_price,
+           {X.sql_dsum(_DISC_PRICE_SQL, 4)}         AS sum_disc_price,
+           {X.sql_dsum(_CHARGE_SQL, 6)}             AS sum_charge,
+           {X.sql_davg('l_quantity', 2)}            AS avg_qty,
+           {X.sql_davg('l_extendedprice', 2)}       AS avg_price,
+           {X.sql_davg('l_discount', 2)}            AS avg_disc,
+           count(*)                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        >> sift(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        >> group_by("l_returnflag", "l_linestatus")
+        >> aggregate(
+            # quantities are integer-valued: a double sum is already exact
+            sum_qty=agg.sum("l_quantity"),
+            sum_base_price=X.dsum("l_extendedprice", 2),
+            sum_disc_price=X.dsum(disc_price, 4),
+            sum_charge=X.dsum(charge, 6),
+            avg_qty=X.davg("l_quantity", 2),
+            avg_price=X.davg("l_extendedprice", 2),
+            avg_disc=X.davg("l_discount", 2),
+            count_order=F.count(F.lit(1)),
+        )
+        >> order_by("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# projection / scalar functions (§2.2) — the reference has no scalar library
+# (arbitrary lambdas, stupidb/typehints.py:28-31); ours are Column built-ins.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "project_scalar",
+    """
+    SELECT p_partkey,
+           lower(p_name)                                   AS name_lower,
+           upper(p_brand)                                  AS brand_upper,
+           length(p_name)                                  AS name_len,
+           substring(p_type, 1, 5)                         AS type_prefix,
+           p_name || ':' || p_brand                        AS name_brand,
+           p_size + 10                                     AS size_plus,
+           p_retailprice * 1.1                             AS price_bumped,
+           abs(p_size - 25)                                AS size_dist,
+           CASE WHEN p_size > 25 THEN 'large'
+                WHEN p_size > 10 THEN 'medium'
+                ELSE 'small' END                           AS size_class
+    FROM part
+    """,
+)
+def project_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part") >> select(
+        "p_partkey",
+        name_lower=F.lower("p_name"),
+        brand_upper=F.upper("p_brand"),
+        name_len=F.length("p_name"),
+        type_prefix=F.substring("p_type", 1, 5),
+        name_brand=F.concat_ws(":", "p_name", "p_brand"),
+        size_plus=F.col("p_size") + 10,
+        price_bumped=F.col("p_retailprice") * 1.1,
+        size_dist=F.abs(F.col("p_size") - 25),
+        size_class=F.when(F.col("p_size") > 25, "large")
+        .when(F.col("p_size") > 10, "medium")
+        .otherwise("small"),
+    )
+
+
+@q(
+    "project_datetime",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                                AS order_year,
+           month(o_orderdate)                               AS order_month,
+           day(o_orderdate)                                 AS order_day,
+           dayofweek(o_orderdate)                           AS order_dow,
+           o_orderdate + INTERVAL 30 DAY                    AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch95
+    FROM orders
+    """,
+)
+def project_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dayofweek: DuckDB returns 0=Sunday..6; Spark dayofweek is 1=Sunday..7.
+    return _t(spark, sf_dir, "orders") >> select(
+        "o_orderkey",
+        order_year=F.year("o_orderdate"),
+        order_month=F.month("o_orderdate"),
+        order_day=F.dayofmonth("o_orderdate"),
+        order_dow=F.dayofweek("o_orderdate") - 1,
+        due_date=F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        days_since_epoch95=F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long"),
+    )
+
+
+@q(
+    "mutate_derived",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_extendedprice * (1 - l_discount)                      AS net_price,
+           floor(l_extendedprice / l_quantity * 10000) / 10000     AS unit_price,
+           l_discount > 0.05                                       AS high_discount
+    FROM lineitem
+    """,
+)
+def mutate_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mutate (appending projection, stupidb/api.py:353-397) then narrow.
+    # Per-row derived floats are identical IEEE expressions on both engines;
+    # the division is floor-truncated only to demonstrate deterministic
+    # truncation (floor of identical doubles is engine-independent).
+    return (
+        _t(spark, sf_dir, "lineitem")
+        >> mutate(
+            net_price=F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            unit_price=F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10000)
+            / 10000,
+            high_discount=F.col("l_discount") > 0.05,
+        )
+        >> select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "net_price",
+            "unit_price",
+            "high_discount",
+        )
+    )
+
+
+@q(
+    "filter_compound",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_discount > 0.03
+      AND l_returnflag IN ('A', 'R')
+      AND NOT (l_linestatus = 'F' AND l_tax > 0.07)
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Compound predicate — pushed to the parquet scan by Catalyst.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        >> sift(
+            F.col("l_quantity").between(10, 20)
+            & (F.col("l_discount") > 0.03)
+            & F.col("l_returnflag").isin("A", "R")
+            & ~((F.col("l_linestatus") == "F") & (F.col("l_tax") > 0.07))
+        )
+        >> select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+    )
+
+
+@q(
+    "distinct_rows",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem") >> select("l_returnflag", "l_linestatus") >> distinct()
+
+
+# ---------------------------------------------------------------------------
+# joins (§2.3) — reference is always nested-loop over an eager Cartesian
+# product (stupidb/core.py:328-340); here Catalyst picks broadcast-hash for
+# the dim tables and sort-merge for fact-fact.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "join_inner_star",
+    f"""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           count(*) AS n_customers,
+           {X.sql_dsum('c_acctbal', 2)} AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # Dims are broadcast: no shuffle of the customer fact for either join.
+    return (
+        _t(spark, sf_dir, "customer")
+        >> inner_join(nation, F.col("c_nationkey") == F.col("n_nationkey"), broadcast=True)
+        >> inner_join(region, F.col("n_regionkey") == F.col("r_regionkey"), broadcast=True)
+        >> group_by(region_name=F.col("r_name"), nation_name=F.col("n_name"))
+        >> aggregate(
+            n_customers=F.count(F.lit(1)),
+            total_balance=X.dsum("c_acctbal", 2),
+        )
+    )
+
+
+@q(
+    "join_left_nullpad",
+    f"""
+    SELECT c_custkey, c_name,
+           count(o_orderkey)                   AS n_orders,
+           {X.sql_dtotal('o_totalprice', 2)}   AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    GROUP BY 1, 2
+    """,
+)
+def join_left_nullpad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unmatched customers keep null order columns (reference pads with
+    # dict.fromkeys, stupidb/core.py:382); count(o_orderkey) counts non-null;
+    # TOTAL semantics give unmatched customers 0.0 spend
+    # (stupidb/functions/associative/__init__.py:127-133).
+    orders = _t(spark, sf_dir, "orders") >> sift(F.col("o_orderstatus") == "F")
+    return (
+        _t(spark, sf_dir, "customer")
+        >> left_join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        >> group_by("c_custkey", "c_name")
+        >> aggregate(
+            n_orders=agg.count("o_orderkey"),
+            total_spend=X.dtotal("o_totalprice", 2),
+        )
+    )
+
+
+@q(
+    "join_right",
+    """
+    SELECT o_orderkey, c_custkey, c_name
+    FROM orders
+    RIGHT JOIN customer ON o_custkey = c_custkey AND o_totalprice > 300000
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        _t(spark, sf_dir, "orders")
+        >> right_join(
+            customer,
+            (F.col("o_custkey") == F.col("c_custkey")) & (F.col("o_totalprice") > 300000),
+        )
+        >> select("o_orderkey", "c_custkey", "c_name")
+    )
+
+
+@q(
+    "join_full_outer",
+    """
+    WITH rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 4000),
+         big  AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+                  WHERE o_totalprice > 400000)
+    SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+    FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full_join is declared-but-NotImplementedError in the reference
+    # (stupidb/api.py:261-265) — first-class here.
+    rich = _t(spark, sf_dir, "customer") >> sift(F.col("c_acctbal") > 4000) >> select(
+        "c_custkey", "c_acctbal"
+    )
+    big = _t(spark, sf_dir, "orders") >> sift(F.col("o_totalprice") > 400000) >> select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return (
+        rich
+        >> full_join(big, F.col("c_custkey") == F.col("o_custkey"))
+        >> select("c_custkey", "c_acctbal", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "join_cross",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cartesian product (stupidb/api.py:134-178) — only ever sane on small
+    # relations; at scale prefer broadcast of one side (Spark does: BNLJ).
+    return (
+        _t(spark, sf_dir, "region")
+        >> cross_join(_t(spark, sf_dir, "nation"))
+        >> select("r_name", "n_name")
+    )
+
+
+@q(
+    "join_theta",
+    """
+    SELECT s_suppkey, c_custkey
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theta join: equi part hashes, inequality filters post-match. The
+    # reference runs the full O(n·m) product for every join; here only the
+    # equi-key buckets are compared.
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        _t(spark, sf_dir, "customer")
+        >> inner_join(
+            supplier,
+            (F.col("s_nationkey") == F.col("c_nationkey"))
+            & (F.col("s_acctbal") > F.col("c_acctbal")),
+            broadcast=True,
+        )
+        >> select("s_suppkey", "c_custkey")
+    )
+
+
+@q(
+    "join_semi_exists",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference expresses EXISTS as per-row re-execution of a filtered
+    # relation (stupidb/api.py:431-438, O(n·m)); this is a hash left-semi join.
+    urgent = _t(spark, sf_dir, "orders") >> sift(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        _t(spark, sf_dir, "customer")
+        >> semi_join(urgent, F.col("c_custkey") == F.col("o_custkey"))
+        >> select("c_custkey", "c_name")
+    )
+
+
+@q(
+    "join_anti_not_exists",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urgent = _t(spark, sf_dir, "orders") >> sift(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        _t(spark, sf_dir, "customer")
+        >> anti_join(urgent, F.col("c_custkey") == F.col("o_custkey"))
+        >> select("c_custkey", "c_name")
+    )
+
+
+@q(
+    "join_fact_fact",
+    f"""
+    SELECT o_orderpriority,
+           count(DISTINCT o_orderkey)           AS n_orders,
+           {X.sql_dsum(_DISC_PRICE_SQL, 4)}     AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fact-fact shuffle join on the key both sides are naturally keyed by;
+    # at 100 TB this is the canonical sort-merge join + AQE skew handling.
+    orders = _t(spark, sf_dir, "orders") >> sift(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        orders
+        >> inner_join(
+            _t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        >> group_by("o_orderpriority")
+        >> aggregate(
+            n_orders=F.countDistinct("o_orderkey"),
+            revenue=X.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation (§2.4): all 12 reference aggregates, global & grouped,
+# computed keys, count distinct, having — exact decimal moments throughout
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_global_all12",
+    f"""
+    SELECT count(l_quantity)                            AS count_qty,
+           sum(l_quantity)                              AS sum_qty,
+           coalesce({X.sql_dsum('CASE WHEN l_quantity > 1e9 THEN l_quantity END', 2)}, 0.0)
+                                                        AS total_empty,
+           {X.sql_davg('l_quantity', 2)}                AS mean_qty,
+           min(l_quantity)                              AS min_qty,
+           max(l_quantity)                              AS max_qty,
+           {X.sql_dcovar('l_quantity', 'l_extendedprice', 2, samp=True)}  AS cov_samp_qp,
+           {X.sql_dcovar('l_quantity', 'l_extendedprice', 2, samp=False)} AS cov_pop_qp,
+           {X.sql_dvar_samp('l_quantity', 2)}           AS var_samp_qty,
+           {X.sql_dvar_pop('l_quantity', 2)}            AS var_pop_qty,
+           {X.sql_dstddev_samp('l_quantity', 2)}        AS stdev_samp_qty,
+           {X.sql_dstddev_pop('l_quantity', 2)}         AS stdev_pop_qty
+    FROM lineitem
+    """,
+)
+def agg_global_all12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All 12 reference aggregates (stupidb/functions/associative/__init__.py)
+    # in one ungrouped pass — empty partitioners ⇒ one global group, matching
+    # stupidb/core.py:214-216. `total_empty` exercises TOTAL's empty ⇒ 0.0.
+    qty = F.col("l_quantity")
+    return _t(spark, sf_dir, "lineitem") >> aggregate(
+        count_qty=agg.count(qty),
+        sum_qty=agg.sum(qty),
+        total_empty=X.dtotal(F.when(qty > 1e9, qty), 2),
+        mean_qty=X.davg(qty, 2),
+        min_qty=agg.min(qty),
+        max_qty=agg.max(qty),
+        cov_samp_qp=X.dcovar_samp(qty, "l_extendedprice", 2),
+        cov_pop_qp=X.dcovar_pop(qty, "l_extendedprice", 2),
+        var_samp_qty=X.dvar_samp(qty, 2),
+        var_pop_qty=X.dvar_pop(qty, 2),
+        stdev_samp_qty=X.dstddev_samp(qty, 2),
+        stdev_pop_qty=X.dstddev_pop(qty, 2),
+    )
+
+
+@q(
+    "agg_grouped_stats",
+    f"""
+    SELECT l_returnflag,
+           count(*)                                     AS n_rows,
+           {X.sql_dsum('l_extendedprice', 2)}           AS sum_price,
+           {X.sql_davg('l_extendedprice', 2)}           AS avg_price,
+           min(l_shipdate)                              AS first_ship,
+           max(l_shipdate)                              AS last_ship,
+           {X.sql_dvar_samp('l_extendedprice', 2)}      AS var_price,
+           {X.sql_dstddev_pop('l_discount', 2)}         AS sd_disc,
+           {X.sql_dcovar('l_quantity', 'l_discount', 2, samp=True)} AS cov_qd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        >> group_by("l_returnflag")
+        >> aggregate(
+            n_rows=F.count(F.lit(1)),
+            sum_price=X.dsum("l_extendedprice", 2),
+            avg_price=X.davg("l_extendedprice", 2),
+            first_ship=agg.min("l_shipdate"),
+            last_ship=agg.max("l_shipdate"),
+            var_price=X.dvar_samp("l_extendedprice", 2),
+            sd_disc=X.dstddev_pop("l_discount", 2),
+            cov_qd=X.dcovar_samp("l_quantity", "l_discount", 2),
+        )
+    )
+
+
+@q(
+    "agg_computed_key",
+    f"""
+    SELECT c_acctbal > 0 AS positive,
+           count(*)       AS n,
+           {X.sql_davg('c_acctbal', 2)} AS avg_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def agg_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Computed (boolean) group key — the reference's test uses r.balance > 0
+    # as a partition key (stupidb/tests/test_stupidb.py:767).
+    return (
+        _t(spark, sf_dir, "customer")
+        >> group_by(positive=F.col("c_acctbal") > 0)
+        >> aggregate(n=F.count(F.lit(1)), avg_bal=X.davg("c_acctbal", 2))
+    )
+
+
+@q(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)  AS n_parts,
+           count(DISTINCT l_suppkey)  AS n_supps
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distinct aggregation — absent in the reference (SURVEY.md §2.4), free
+    # in Spark (expand + two-phase agg).
+    return (
+        _t(spark, sf_dir, "lineitem")
+        >> group_by("l_returnflag")
+        >> aggregate(
+            n_parts=F.countDistinct("l_partkey"),
+            n_supps=F.countDistinct("l_suppkey"),
+        )
+    )
+
+
+@q(
+    "agg_having",
+    """
+    SELECT l_partkey, count(*) AS n, sum(l_quantity) AS qty
+    FROM lineitem GROUP BY 1 HAVING count(*) >= 3
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HAVING = sift after aggregate (post-agg filter). Integer-valued
+    # quantities sum exactly in double.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        >> group_by("l_partkey")
+        >> aggregate(n=F.count(F.lit(1)), qty=F.sum("l_quantity"))
+        >> sift(F.col("n") >= 3)
+    )
+
+
+@q(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouping-set aggregation — absent in the reference (SURVEY.md §2.4);
+    # native DataFrame rollup here.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+
+
+@q(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / top-k (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic: o_orderkey is a unique tiebreak. islice semantics as the
+    # reference (stupidb/api.py:718-737).
+    return (
+        _t(spark, sf_dir, "orders")
+        >> order_by(F.col("o_totalprice").desc(), "o_orderkey")
+        >> limit(20, offset=10)
+        >> select("o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "sort_topk",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 15
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order_by >> limit fuses to TakeOrderedAndProject — no global sort, each
+    # partition keeps k rows and the driver merges (scale-safe top-k).
+    return (
+        _t(spark, sf_dir, "customer")
+        >> order_by(F.col("c_acctbal").desc(), "c_custkey")
+        >> limit(15)
+        >> select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@q(
+    "sort_nulls_first",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS maybe_price
+    FROM orders
+    ORDER BY maybe_price ASC NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null ordering — reference defaults to NULLS FIRST
+    # (stupidb/aggregation.py:43-48); unique o_orderkey tiebreak keeps the
+    # LIMIT deterministic.
+    maybe = F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("double")).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        >> select("o_orderkey", maybe_price=maybe)
+        >> order_by("maybe_price", F.col("o_orderkey").asc(), nulls=Nulls.FIRST)
+        >> limit(50)
+    )

@@ -1,0 +1,119 @@
+"""Deduplication queries over ``documents`` / ``embeddings``.
+
+Exact and n-gram-Jaccard dedup have full DuckDB oracles (list lambdas mirror
+the Spark shingling exactly). MinHash-LSH and SimHash are approximate
+algorithms with no SQL equivalent — they are registered without an oracle
+(driver records the weaker rows-only check) and are instead verified in
+tests/test_dedup.py against the exact-Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupidb_spark.functions.text import fingerprint_md5
+from stupidb_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from stupidb_spark.operators.similarity import embedding_near_dup_pairs
+from stupidb_spark.queryset import q
+from stupidb_spark.sources import load_table
+
+_DUCK_SHINGLES = """
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 t -> t != '') AS w
+              FROM documents)
+"""
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keeper_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup = hash groupBy on the content fingerprint; keeps min id.
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_dedup(docs, fingerprint_md5(F.col("text")), "doc_id", keep="min")
+    return out.select(F.col("__dedup_key").alias("fp"), "keeper_id", "n_copies")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM pairs WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact 3-word-shingle Jaccard near-dup pairs via inverted-index
+    # self-join (only docs sharing a shingle ever meet — not n²).
+    docs = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, id_col="doc_id", text_col="text", k=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("dedup_minhash_lsh")  # approximate — no SQL oracle; verified in tests
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash(32) + LSH(8 bands × 4) candidates, verified with exact Jaccard.
+    # tests/test_dedup.py checks it finds exactly the exact-Jaccard pairs at
+    # this threshold (the S-curve at 0.5 with b=8,r=4 gives ~99% recall).
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, n_hashes=32, n_bands=8, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("dedup_simhash")  # approximate — no SQL oracle; verified in tests
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64-bit SimHash fingerprints, 4×16-bit band blocking, hamming ≤ 8.
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, id_col="doc_id", text_col="text", max_hamming=8)
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cosine_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cosine_sim, 6) AS cosine_sim
+    FROM pairs WHERE cosine_sim >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding near-dup: label-blocked pairwise cosine (the cross product
+    # never leaves a block). Double fold accumulation matches DuckDB's
+    # bit-for-bit, so the threshold cut is identical.
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.4
+    )
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))

@@ -1,0 +1,196 @@
+"""Event-time queries over the ``events`` table: tumbling / sliding / session
+windows (batch), as-of join, range join.
+
+Entirely beyond the reference (streaming and temporal ops are absent,
+SURVEY.md §2.8). Batch forms here share semantics with the Structured
+Streaming variants in ``stupidb_spark/streaming`` — same ``F.window`` /
+``F.session_window`` expressions, so a correctness result on the batch oracle
+transfers to the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupidb_spark.operators.asof import asof_join, range_join
+from stupidb_spark.queryset import q
+from stupidb_spark.sources import load_table
+from stupidb_spark.verbs import select
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@q(
+    "events_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           round(sum(value), 4)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tumbling 1h event-time windows; F.window aligns to epoch origin, which
+    # for whole hours equals date_trunc('hour') — the oracle's bucketing.
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
+    "events_sliding",
+    """
+    -- 1h windows sliding every 30min: each event belongs to exactly two
+    -- windows, starts at bucket(ts) and bucket(ts) - 30min.
+    SELECT time_bucket(INTERVAL 30 MINUTES, ts) - k.off * INTERVAL 30 MINUTES
+               AS window_start,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1)) k(off)
+    GROUP BY 1
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@q(
+    "events_session",
+    """
+    -- Gaps-and-islands sessionization with a 30-minute inactivity gap:
+    -- new session when the previous event is more than 30min older.
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL 30 MINUTES
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                         AS session_start,
+           max(ts) + INTERVAL 30 MINUTES   AS session_end,
+           count(*)                        AS n_events,
+           round(sum(value), 4)            AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native session windows (30min gap). F.session_window merges events
+    # whose gap ≤ 30min; end = last_ts + gap — mirrored by the oracle's
+    # gaps-and-islands CTE. Same expression works under Structured Streaming
+    # with a watermark (stupidb_spark/streaming/events.py).
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
+    "asof_join_orders",
+    """
+    -- Most recent order at-or-before each event, per user. Right side is
+    -- deduplicated to one row per (custkey, orderdate) — max orderkey — to
+    -- make ties deterministic on both engines.
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Union-merge as-of join (stupidb_spark/operators/asof.py): one shuffle +
+    # one sort, O(n+m) — not a range-join pair explosion.
+    events = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        how="left",
+    )
+    return joined.select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+@q(
+    "range_join_buckets",
+    """
+    SELECT b.bucket_name,
+           count(*)             AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
+                 ('high', 50.0, 75.0), ('top', 75.0, 1e9)) b(bucket_name, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+)
+def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranges = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 50.0), ("high", 50.0, 75.0), ("top", 75.0, 1e9)],
+        "bucket_name string, lo double, hi double",
+    )
+    joined = range_join(
+        _events(spark, sf_dir),
+        ranges,
+        value=F.col("value"),
+        lo=F.col("lo"),
+        hi=F.col("hi"),
+    )
+    return (
+        joined.groupBy("bucket_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

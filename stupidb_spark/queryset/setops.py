@@ -1,0 +1,104 @@
+"""Set-operation queries — SURVEY.md §2.7.
+
+The two sides are derived projections of ``orders`` chosen to contain both
+duplicates and partial overlap, so distinct-vs-bag multiplicity semantics are
+actually exercised.
+
+Quirk Q4: the reference's ``intersect_all`` / ``difference_all`` are NOT SQL
+bag semantics (`stupidb/core.py:437-450,479-490`); we follow SQL
+(``intersectAll`` / ``exceptAll``) because DuckDB is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupidb_spark.queryset import q
+from stupidb_spark.sources import load_table
+from stupidb_spark.verbs import (
+    difference,
+    difference_all,
+    intersect,
+    intersect_all,
+    select,
+    sift,
+    union,
+    union_all,
+)
+
+_LEFT_SQL = """
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 200000
+"""
+_RIGHT_SQL = """
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+"""
+
+
+def _sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders >> sift(F.col("o_totalprice") > 200000) >> select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    right = orders >> sift(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ) >> select("o_orderstatus", "o_orderpriority")
+    return left, right
+
+
+@q("setop_union", f"SELECT * FROM ({_LEFT_SQL}) UNION SELECT * FROM ({_RIGHT_SQL})")
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distinct union (stupidb/core.py:416-425).
+    left, right = _sides(spark, sf_dir)
+    return left >> union(right)
+
+
+@q(
+    "setop_union_all",
+    f"SELECT * FROM ({_LEFT_SQL}) UNION ALL SELECT * FROM ({_RIGHT_SQL})",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bag concatenation (stupidb/core.py:428-434).
+    left, right = _sides(spark, sf_dir)
+    return left >> union_all(right)
+
+
+@q(
+    "setop_intersect",
+    f"SELECT * FROM ({_LEFT_SQL}) INTERSECT SELECT * FROM ({_RIGHT_SQL})",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _sides(spark, sf_dir)
+    return left >> intersect(right)
+
+
+@q(
+    "setop_intersect_all",
+    f"SELECT * FROM ({_LEFT_SQL}) INTERSECT ALL SELECT * FROM ({_RIGHT_SQL})",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL min-multiplicity bag intersect — deliberate deviation from the
+    # reference (quirk Q4).
+    left, right = _sides(spark, sf_dir)
+    return left >> intersect_all(right)
+
+
+@q(
+    "setop_except",
+    f"SELECT * FROM ({_LEFT_SQL}) EXCEPT SELECT * FROM ({_RIGHT_SQL})",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _sides(spark, sf_dir)
+    return left >> difference(right)
+
+
+@q(
+    "setop_except_all",
+    f"SELECT * FROM ({_LEFT_SQL}) EXCEPT ALL SELECT * FROM ({_RIGHT_SQL})",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL multiset subtraction — deliberate deviation from the reference
+    # (quirk Q4).
+    left, right = _sides(spark, sf_dir)
+    return left >> difference_all(right)

@@ -1,0 +1,62 @@
+"""Similarity-search queries over ``embeddings``.
+
+Brute-force cosine top-k has a full DuckDB oracle (double-fold dot products
+are bit-identical across engines). The LSH variant is approximate — rows-only
+check, with recall asserted against brute force in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupidb_spark.operators.similarity import brute_force_topk, lsh_topk
+from stupidb_spark.queryset import q
+from stupidb_spark.sources import load_table
+
+
+@q(
+    "ann_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.v, e.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(e.v, e.v))) AS cosine_sim
+        FROM q JOIN e ON e.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim, rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact top-10 cosine neighbors for 5 query vectors: broadcast the query
+    # side, scan the base once, per-query window top-k.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rk"
+    )
+
+
+@q("ann_topk_lsh")  # approximate — no SQL oracle; recall tested vs brute force
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale path: random-hyperplane sign-bucketing; queries probe only their
+    # own bucket, turning scan-per-query into bucket-local scoring.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10, dim=64, n_planes=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rk"
+    )

@@ -1,0 +1,172 @@
+"""Text-analysis queries over ``documents``: language ID, quality scoring,
+token counting, fingerprinting. Beyond-reference extension surface
+(SURVEY.md §7), all pure Column expressions.
+
+Oracle notes: token/stopword logic is mirrored in DuckDB with list lambdas
+(list_filter/list_contains) over the same regex splits, so both engines
+compute identical integer counts — no float drift anywhere except explicitly
+rounded ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupidb_spark.functions import text as T
+from stupidb_spark.queryset import q
+from stupidb_spark.sources import load_table
+from stupidb_spark.verbs import aggregate, group_by, select
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _duck_stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS[lang]) + "]"
+
+
+def _duck_words() -> str:
+    return "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t != '')"
+
+
+def _duck_score(lang: str) -> str:
+    return f"len(list_filter({_duck_words()}, t -> list_contains({_duck_stoplist(lang)}, t)))"
+
+
+@q(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_duck_score('en')} AS score_en,
+               {_duck_score('fr')} AS score_fr,
+               {_duck_score('de')} AS score_de,
+               {_duck_score('es')} AS score_es
+        FROM documents
+    )
+    SELECT doc_id, score_en, score_fr, score_de, score_es,
+           CASE WHEN score_en + score_fr + score_de + score_es = 0 THEN 'und'
+                WHEN score_en >= score_fr AND score_en >= score_de
+                     AND score_en >= score_es THEN 'en'
+                WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+                WHEN score_de >= score_es THEN 'de'
+                ELSE 'es' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = T.lang_scores(F.col("text"))
+    return _docs(spark, sf_dir) >> select(
+        "doc_id",
+        score_en=scores["en"],
+        score_fr=scores["fr"],
+        score_de=scores["de"],
+        score_es=scores["es"],
+        pred_lang=T.lang_id("text"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != ''))                      AS n_tokens,
+               length(text)                                        AS n_chars_raw,
+               length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\\[\\]-]', '', 'g'))               AS n_punct,
+               {_duck_score('en')}                                 AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars_raw, n_punct, n_stop,
+           round(CAST(n_punct AS DOUBLE) / n_chars_raw, 6)  AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6)      AS stop_ratio,
+           (n_tokens >= 5 AND n_tokens <= 10000
+            AND CAST(n_punct AS DOUBLE) / n_chars_raw < 0.2) AS passes_quality
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Length / punctuation / stopword quality heuristics — the standard
+    # cheap pre-filter stage of a training-data pipeline.
+    n_tokens = T.token_count("text")
+    n_chars_raw = F.length("text")
+    n_punct = T.punct_count("text")
+    n_stop = T.stopword_count("text", "en")
+    return (
+        _docs(spark, sf_dir)
+        >> select(
+            "doc_id",
+            n_tokens=n_tokens,
+            n_chars_raw=n_chars_raw,
+            n_punct=n_punct,
+            n_stop=n_stop,
+            punct_ratio=F.round(n_punct.cast("double") / n_chars_raw, 6),
+            stop_ratio=F.round(n_stop.cast("double") / n_tokens, 6),
+            passes_quality=(
+                (n_tokens >= 5)
+                & (n_tokens <= 10000)
+                & (n_punct.cast("double") / n_chars_raw < 0.2)
+            ),
+        )
+    )
+
+
+@q(
+    "text_token_stats",
+    """
+    WITH t AS (
+        SELECT source,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != '')) AS n_tokens,
+               n_chars
+        FROM documents
+    )
+    SELECT source,
+           count(*)                      AS n_docs,
+           sum(n_tokens)                 AS total_tokens,
+           round(avg(n_tokens), 4)       AS avg_tokens,
+           sum(n_chars)                  AS total_chars
+    FROM t GROUP BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus token accounting per source — the "how many tokens do we have"
+    # query every pretraining pipeline runs first.
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("n_tokens", T.token_count("text"))
+        >> group_by("source")
+        >> aggregate(
+            n_docs=F.count(F.lit(1)),
+            total_tokens=F.sum("n_tokens"),
+            avg_tokens=F.round(F.avg("n_tokens"), 4),
+            total_chars=F.sum("n_chars"),
+        )
+    )
+
+
+@q(
+    "text_fingerprint_md5",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic content fingerprint; identical hex on both engines.
+    return _docs(spark, sf_dir) >> select("doc_id", fp=T.fingerprint_md5("text"))
+
+
+@q("text_fingerprint_rolling")  # no SQL oracle: custom fold, verified in tests
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Polynomial rolling hash as a pure Catalyst fold (F.aggregate) — the
+    # document-fingerprinting shape from SURVEY.md §7; cross-checked against
+    # a Python reference implementation in tests/test_text.py.
+    return _docs(spark, sf_dir) >> select(
+        "doc_id", fp_roll=T.fingerprint_rolling("text")
+    )

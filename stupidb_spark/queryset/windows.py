@@ -1,0 +1,427 @@
+"""Window-function queries — SURVEY.md §2.5.
+
+The reference implements windows with a hash-partition → per-partition sort →
+segment-tree frame queries pipeline (`stupidb/aggregation.py:505-587`);
+Spark's WindowExec does partition shuffle + sort + specialized frame
+processors natively, so every query here is a plain ``expr.over(window)``.
+
+Determinism discipline: every ordered window carries a unique tiebreak key
+(orderkey / event_id) unless tie behavior itself is under test (rank /
+dense_rank, where ties are well-defined). Float outputs follow the exact.py
+rules: windowed sums go through DECIMAL (exact under any frame-evaluation
+strategy — Spark's sliding frames vs DuckDB's segment tree would otherwise
+drift), navigation values are passthroughs, ratios are identical double
+expressions.
+
+Quirk decisions exercised here (SURVEY.md §2.9):
+- Q1  first/last skip nulls → IGNORE NULLS on both sides.
+- Q3  ranks 1-based by default, ``zero_based=True`` for reference parity.
+- Q7  dynamic per-row lead/lag offsets and negative nth — the documented
+      collect_list slow path, oracle'd by DuckDB's native dynamic lag and
+      windowed list().
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from stupidb_spark.functions import exact as X
+from stupidb_spark.functions import navigation as nav
+from stupidb_spark.functions import ranking as rk
+from stupidb_spark.queryset import q
+from stupidb_spark.sources import load_table
+from stupidb_spark.verbs import select
+from stupidb_spark.window import partition_window, range_window, rows_window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _wsum(c: str, w, scale: int = 2) -> Column:
+    """Exact windowed sum: unscaled-long accumulation, double result
+    (see stupidb_spark/functions/exact.py for why not DECIMAL)."""
+    return X.dsum_over(c, w, scale)
+
+
+def _sql_wsum(expr: str, over: str, scale: int = 2) -> str:
+    return X.sql_dsum_over(expr, over, scale)
+
+
+@q(
+    "win_running_sum",
+    f"""
+    SELECT o_orderkey,
+           {_sql_wsum('o_totalprice', 'w')} AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = rows_window(
+        partition_by=("o_custkey",),
+        order_by=("o_orderdate", "o_orderkey"),
+        preceding=None,  # unbounded
+        following=0,
+    )
+    return _t(spark, sf_dir, "orders") >> select(
+        "o_orderkey",
+        running_spend=_wsum("o_totalprice", w),
+    )
+
+
+@q(
+    "win_rows_bounded",
+    f"""
+    SELECT o_orderkey,
+           {_sql_wsum('o_totalprice', 'trailing3')} / count(*) OVER trailing3
+               AS mov_avg,
+           max(o_totalprice) OVER centered AS mov_max
+    FROM orders
+    WINDOW trailing3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           centered  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    """,
+)
+def win_rows_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trailing = rows_window(
+        partition_by=("o_custkey",),
+        order_by=("o_orderdate", "o_orderkey"),
+        preceding=2,
+        following=0,
+    )
+    centered = rows_window(
+        partition_by=("o_custkey",),
+        order_by=("o_orderdate", "o_orderkey"),
+        preceding=1,
+        following=1,
+    )
+    return _t(spark, sf_dir, "orders") >> select(
+        "o_orderkey",
+        mov_avg=_wsum("o_totalprice", trailing) / F.count(F.lit(1)).over(trailing),
+        mov_max=F.max("o_totalprice").over(centered),
+    )
+
+
+@q(
+    "win_range_numeric",
+    """
+    SELECT c_custkey,
+           count(*) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal
+               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS peers_within_100
+    FROM customer
+    """,
+)
+def win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE frame over a numeric key (reference RangeMode bisects sorted
+    # keys, stupidb/aggregation.py:297-333; Spark rangeBetween is native).
+    w = range_window(
+        partition_by=("c_nationkey",),
+        order_by="c_acctbal",
+        preceding=100,
+        following=0,
+    )
+    return _t(spark, sf_dir, "customer") >> select(
+        "c_custkey",
+        peers_within_100=F.count(F.lit(1)).over(w),
+    )
+
+
+@q(
+    "win_range_temporal",
+    f"""
+    SELECT event_id,
+           {_sql_wsum('value', 'w')} AS weekly_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temporal RANGE frame (timedelta bounds on a time key — the reference's
+    # date ± timedelta case, stupidb/aggregation.py:307-333, test
+    # stupidb/tests/test_stupidb.py:529-588). Spark rangeBetween needs a
+    # numeric key; we order by epoch MICROseconds (exact integer — epoch
+    # seconds would truncate sub-second timestamps and shift frame edges).
+    events = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    week_us = int(datetime.timedelta(days=7).total_seconds() * 1_000_000)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-week_us, W.currentRow)
+    )
+    return events >> select(
+        "event_id",
+        weekly_value=X.dsum_over("value", w, 2),
+    )
+
+
+@q(
+    "win_whole_partition",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {_sql_wsum('l_extendedprice', 'w')}                     AS flag_total,
+           l_extendedprice / {_sql_wsum('l_extendedprice', 'w')}   AS share_of_flag
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def win_whole_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unordered window ⇒ whole-partition frame — the reference's default when
+    # no order_by is given (stupidb/aggregation.py:185-194).
+    w = partition_window("l_returnflag")
+    total = _wsum("l_extendedprice", w)
+    return _t(spark, sf_dir, "lineitem") >> select(
+        "l_orderkey",
+        "l_linenumber",
+        flag_total=total,
+        share_of_flag=F.col("l_extendedprice") / total,
+    )
+
+
+@q(
+    "win_rank",
+    """
+    SELECT c_custkey,
+           rank()         OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+           dense_rank()   OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk,
+           row_number()   OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           ntile(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS prnk
+    FROM customer
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # percent_rank = (rank-1)/(n-1): identical integers → identical double.
+    ties = partition_window("c_nationkey", order_by=(F.col("c_acctbal").desc(),))
+    uniq = partition_window(
+        "c_nationkey", order_by=(F.col("c_acctbal").desc(), "c_custkey")
+    )
+    return _t(spark, sf_dir, "customer") >> select(
+        "c_custkey",
+        rnk=rk.rank(ties),
+        drnk=rk.dense_rank(ties),
+        rn=rk.row_number(uniq),
+        quartile=rk.ntile(4, uniq),
+        prnk=rk.percent_rank(ties),
+    )
+
+
+@q(
+    "win_rank_zero_based",
+    """
+    SELECT c_custkey,
+           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) - 1 AS rnk0,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) - 1 AS drnk0,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) - 1 AS rn0
+    FROM customer
+    """,
+)
+def win_rank_zero_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference parity: its ranks are 0-based (stupidb/tests/test_ranking.py:
+    # 37,68; quirk Q3) — exposed via zero_based=True.
+    ties = partition_window("c_nationkey", order_by=(F.col("c_acctbal").desc(),))
+    uniq = partition_window(
+        "c_nationkey", order_by=(F.col("c_acctbal").desc(), "c_custkey")
+    )
+    return _t(spark, sf_dir, "customer") >> select(
+        "c_custkey",
+        rnk0=rk.rank(ties, zero_based=True),
+        drnk0=rk.dense_rank(ties, zero_based=True),
+        rn0=rk.row_number(uniq, zero_based=True),
+    )
+
+
+@q(
+    "win_navigation",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS maybe_value
+        FROM events
+    )
+    SELECT event_id,
+           lag(value)  OVER w                                  AS prev_value,
+           lead(value, 2, CAST(-1.0 AS DOUBLE)) OVER w         AS next2_value,
+           first_value(maybe_value IGNORE NULLS) OVER running  AS first_ok,
+           last_value(maybe_value IGNORE NULLS) OVER running   AS last_ok,
+           nth_value(value, 3) OVER running                    AS third_value
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           running AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first/last ALWAYS skip nulls in the reference (quirk Q1,
+    # stupidb/functions/navigation/__init__.py:94-98) → IGNORE NULLS here and
+    # in the oracle. nth is 0-based in the reference; nav.nth(..., 2) == SQL
+    # nth_value(..., 3). All outputs are passthrough source values.
+    e = _t(spark, sf_dir, "events").withColumn(
+        "maybe_value",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    w = partition_window("user_id", order_by=("ts", "event_id"))
+    running = rows_window(
+        partition_by=("user_id",),
+        order_by=("ts", "event_id"),
+        preceding=None,
+        following=0,
+    )
+    return e >> select(
+        "event_id",
+        prev_value=nav.lag("value", 1, w=w),
+        next2_value=nav.lead("value", 2, default=F.lit(-1.0), w=w),
+        first_ok=F.first("maybe_value", ignorenulls=True).over(running),
+        last_ok=F.last("maybe_value", ignorenulls=True).over(running),
+        third_value=nav.nth("value", 2, w=running),
+    )
+
+
+@q(
+    "win_dynamic_lag",
+    """
+    SELECT event_id,
+           lag(value, CAST(event_id % 3 AS INTEGER), CAST(-1.0 AS DOUBLE))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dyn_prev
+    FROM events
+    """,
+)
+def win_dynamic_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quirk Q7: per-row callable offsets (stupidb/api.py:841-888). Spark has
+    # no dynamic lag → documented collect_list slow path
+    # (stupidb_spark/functions/navigation.py). DuckDB's native dynamic lag is
+    # the oracle.
+    w = partition_window("user_id", order_by=("ts", "event_id"))
+    return _t(spark, sf_dir, "events") >> select(
+        "event_id",
+        dyn_prev=nav.lag("value", (F.col("event_id") % 3).cast("int"), F.lit(-1.0), w=w),
+    )
+
+
+@q(
+    "win_nth_negative",
+    """
+    SELECT event_id,
+           list_extract(list(value) OVER running, -1) AS last_in_frame,
+           list_extract(list(value) OVER running, -2) AS second_last
+    FROM events
+    WINDOW running AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_nth_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quirk Q7 continued: Python-style negative nth indices
+    # (stupidb/functions/navigation/__init__.py:113-159).
+    running = rows_window(
+        partition_by=("user_id",),
+        order_by=("ts", "event_id"),
+        preceding=None,
+        following=0,
+    )
+    return _t(spark, sf_dir, "events") >> select(
+        "event_id",
+        last_in_frame=nav.nth("value", -1, w=running),
+        second_last=nav.nth("value", -2, w=running),
+    )
+
+
+@q(
+    "win_multiple",
+    f"""
+    SELECT o_orderkey,
+           {_sql_wsum('o_totalprice', 'cust')} AS cust_running,
+           rank() OVER (ORDER BY o_totalprice DESC) AS global_price_rank,
+           {_sql_wsum('o_totalprice', 'prio')} / count(*) OVER prio AS prio_mov_avg
+    FROM orders
+    WINDOW cust AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           prio AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multiple independent windows in one select — the reference tees its
+    # child iterator once per window (stupidb/core.py:125-148, test
+    # stupidb/tests/test_stupidb.py:760-780); Spark plans stacked WindowExecs.
+    cust = rows_window(
+        partition_by=("o_custkey",),
+        order_by=("o_orderdate", "o_orderkey"),
+        preceding=None,
+        following=0,
+    )
+    glob = partition_window(order_by=(F.col("o_totalprice").desc(),))
+    prio = rows_window(
+        partition_by=("o_orderpriority",),
+        order_by=("o_orderdate", "o_orderkey"),
+        preceding=4,
+        following=0,
+    )
+    return _t(spark, sf_dir, "orders") >> select(
+        "o_orderkey",
+        cust_running=_wsum("o_totalprice", cust),
+        global_price_rank=F.rank().over(glob),
+        prio_mov_avg=_wsum("o_totalprice", prio) / F.count(F.lit(1)).over(prio),
+    )
+
+
+def _sql_ws2(expr: str, over: str, scale: int = 2) -> str:
+    return X.sql_dsum_over(f"({expr}) * ({expr})", over, scale * 2)
+
+
+@q(
+    "win_stat_frames",
+    f"""
+    SELECT o_orderkey,
+           CASE WHEN count(*) OVER w > 1 THEN
+             ({_sql_ws2('o_totalprice', 'w')}
+              - {_sql_wsum('o_totalprice', 'w')} * {_sql_wsum('o_totalprice', 'w')}
+                / count(*) OVER w)
+             / (count(*) OVER w - 1)
+           END                                             AS frame_var,
+           sqrt(greatest(({_sql_ws2('o_totalprice', 'w')}
+                 - {_sql_wsum('o_totalprice', 'w')} * {_sql_wsum('o_totalprice', 'w')}
+                   / count(*) OVER w)
+                / count(*) OVER w, 0.0))                   AS frame_sd,
+           count(*) OVER w                                 AS frame_n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_stat_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Statistical aggregates over bounded frames — the case the reference
+    # built its segment tree for (stupidb/associative/segmenttree.py). Native
+    # var_samp/stddev drift between engines (different one-pass algorithms),
+    # so frame variance is computed from exact decimal moment sums — the
+    # moment route is also what a segment tree would aggregate.
+    w = rows_window(
+        partition_by=("o_custkey",),
+        order_by=("o_orderdate", "o_orderkey"),
+        preceding=3,
+        following=0,
+    )
+    price = F.col("o_totalprice")
+    n = F.count(F.lit(1)).over(w)
+    s1 = _wsum("o_totalprice", w)
+    s2 = X.dsum_over(price * price, w, 4)
+    var_samp = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
+    # exact-moment numerator can be a hair negative when n=1 (s1*s1 double-
+    # rounds differently than the exact Σx²); clamp — DuckDB errors on
+    # sqrt(<0) where Spark yields NaN, and the clamp is deterministic.
+    sd_pop = F.sqrt(F.greatest((s2 - s1 * s1 / n) / n, F.lit(0.0)))
+    return _t(spark, sf_dir, "orders") >> select(
+        "o_orderkey",
+        frame_var=var_samp,
+        frame_sd=sd_pop,
+        frame_n=n,
+    )

@@ -1,0 +1,75 @@
+"""SparkSession bootstrap tuned for the engine.
+
+The reference (cpcloud/stupidb) is a single-threaded in-memory engine with no
+session concept (`stupidb/core.py:42-74` — relations are bare Python
+iterators). Here the session is the unit of configuration: AQE, shuffle
+parallelism, Arrow, and a fixed UTC timezone so timestamp semantics are stable
+across the DuckDB oracle and Spark.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting, and
+  join-strategy switching are the main levers that keep a static plan healthy
+  at 1000 executors.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE coalesces
+  down on small inputs and the value should be raised (or left to AQE with a
+  high initial value) on a real cluster.
+- Arrow enabled so any Pandas-UDF fallback path is batch-vectorized, never
+  row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_session(
+    app_name: str = "stupidb-spark",
+    *,
+    cpus: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with engine defaults applied."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to a session we didn't build.
+
+    The driver hands us its own session in ``__spark_entry__.entry``; only
+    runtime-mutable confs can be set there.
+    """
+    for key, value in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # events.parquet stores TIMESTAMP(NANOS); see sources/catalog.py
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # immutable in this session; fine — correctness never depends on conf
+    return spark

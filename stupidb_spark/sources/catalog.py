@@ -1,0 +1,136 @@
+"""Fixture-table catalog with explicit StructType schemas.
+
+The reference has no schema concept at all — columns are dict keys and types
+are whatever Python values appear (`stupidb/aggregation.py:519-521` even
+wishes for static schemas). Explicit schemas are the single largest model
+upgrade (SURVEY.md §1.2): they make column pruning, predicate pushdown and
+vectorized parquet reads possible.
+
+Scale note: at 100 TB the scan is the dominant cost. Pinning the schema here
+(instead of inferring) avoids a footer-sampling pass and guarantees
+``ReadSchema`` prunes to exactly the referenced columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _st(*fields: tuple) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+FIXTURE_SCHEMAS: dict[str, StructType] = {
+    "region": _st(("r_regionkey", IntegerType()), ("r_name", StringType())),
+    "nation": _st(
+        ("n_nationkey", IntegerType()),
+        ("n_name", StringType()),
+        ("n_regionkey", IntegerType()),
+    ),
+    "customer": _st(
+        ("c_custkey", LongType()),
+        ("c_name", StringType()),
+        ("c_nationkey", IntegerType()),
+        ("c_acctbal", DoubleType()),
+        ("c_mktsegment", StringType()),
+    ),
+    "supplier": _st(
+        ("s_suppkey", LongType()),
+        ("s_name", StringType()),
+        ("s_nationkey", IntegerType()),
+        ("s_acctbal", DoubleType()),
+    ),
+    "part": _st(
+        ("p_partkey", LongType()),
+        ("p_name", StringType()),
+        ("p_brand", StringType()),
+        ("p_type", StringType()),
+        ("p_size", IntegerType()),
+        ("p_retailprice", DoubleType()),
+    ),
+    "orders": _st(
+        ("o_orderkey", LongType()),
+        ("o_custkey", LongType()),
+        ("o_orderstatus", StringType()),
+        ("o_totalprice", DoubleType()),
+        ("o_orderdate", TimestampType()),
+        ("o_orderpriority", StringType()),
+    ),
+    "lineitem": _st(
+        ("l_orderkey", LongType()),
+        ("l_partkey", LongType()),
+        ("l_suppkey", LongType()),
+        ("l_linenumber", IntegerType()),
+        ("l_quantity", DoubleType()),
+        ("l_extendedprice", DoubleType()),
+        ("l_discount", DoubleType()),
+        ("l_tax", DoubleType()),
+        ("l_returnflag", StringType()),
+        ("l_linestatus", StringType()),
+        ("l_shipdate", TimestampType()),
+    ),
+    # events.ts is physically TIMESTAMP(NANOS) in parquet, which Spark's
+    # vectorized reader rejects as TimestampType; we read it as raw
+    # nanoseconds (legacy.parquet.nanosAsLong) and convert to microsecond
+    # TimestampType in load_table — the same ns→µs truncation DuckDB applies.
+    "events": _st(
+        ("event_id", LongType()),
+        ("ts", LongType()),
+        ("user_id", LongType()),
+        ("event_type", StringType()),
+        ("value", DoubleType()),
+        ("props", StringType()),
+    ),
+    "documents": _st(
+        ("doc_id", LongType()),
+        ("text", StringType()),
+        ("lang", StringType()),
+        ("source", StringType()),
+        ("n_chars", LongType()),
+    ),
+    "embeddings": _st(
+        ("vec_id", LongType()),
+        ("embedding", ArrayType(FloatType())),
+        ("label", IntegerType()),
+    ),
+}
+
+TABLE_NAMES = tuple(FIXTURE_SCHEMAS)
+
+# Dimension tables that are always broadcast-size regardless of scale factor.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with its pinned schema."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(
+            f"{sf_dir}/{name}.parquet"
+        )
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the full fixture star schema as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

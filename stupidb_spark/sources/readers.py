@@ -1,0 +1,77 @@
+"""Generic source readers.
+
+The reference's sole source is ``table(rows)`` over an iterable of mappings
+(`stupidb/api.py:102-131`). We keep that entry point (``table_from_rows``)
+and add real file sources — parquet/csv/json — which the reference lacks
+entirely (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def table_from_rows(
+    spark: SparkSession,
+    rows: Iterable[Mapping[str, Any]],
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Base relation from an iterable of mappings.
+
+    Mirrors ``stupidb.api.table`` (`stupidb/api.py:102-131`) but with an
+    optional explicit schema; without one, Spark infers (ad-hoc input only —
+    fixture tables always use the pinned catalog schemas).
+    """
+    rows = list(rows)
+    if schema is not None:
+        return spark.createDataFrame(rows, schema=schema)
+    return spark.createDataFrame(rows)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options: Any,
+) -> DataFrame:
+    reader = spark.read.option("header", header)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options: Any,
+) -> DataFrame:
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", **options: Any) -> None:
+    """Sink: parquet writer (absent in the reference — SURVEY.md §2.1)."""
+    df.write.mode(mode).options(**options).parquet(path)

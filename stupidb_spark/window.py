@@ -1,0 +1,129 @@
+"""Window frame builders mirroring the reference's ``Window.rows/range``.
+
+Reference: `stupidb/aggregation.py:336-379` builds a FrameClause with
+order_by / partition_by / preceding / following / nulls; frame resolution in
+`stupidb/aggregation.py:135-198`. Defaults there: no ``preceding`` ⇒
+partition start; no ``following`` ⇒ current row when ordered, whole
+partition when unordered — identical to SQL's defaults except tie handling
+(quirk Q2, we follow SQL).
+
+Spark's WindowExec already implements bounded/unbounded frames natively, so
+nothing like the reference's segment tree (`stupidb/associative/
+segmenttree.py`) is needed — that structure exists only to make pure-Python
+window aggregation O(n log n), which Spark does in the JVM.
+
+Temporal RANGE frames: the reference allows ``timedelta`` bounds on a date
+order key (`stupidb/aggregation.py:307-333`, exercised in
+`stupidb/tests/test_stupidb.py:529-588`). Spark's ``rangeBetween`` needs a
+numeric order key, so :func:`range_window` transparently orders by
+``unix_timestamp`` seconds when given timedelta bounds.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Column, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as SparkWindow
+
+from stupidb_spark.verbs import ColumnLike, Nulls, _col
+
+UNBOUNDED = None  # sentinel mirroring the reference's "no bound given"
+CURRENT_ROW = 0
+
+
+def _ordered(keys: tuple[ColumnLike, ...], nulls: Nulls, desc: bool) -> list[Column]:
+    """String keys get nulls/desc treatment; Column keys (possibly already
+    carrying a sort order, e.g. ``F.col(x).desc()``) pass through as-is."""
+    out = []
+    for k in keys:
+        if not isinstance(k, str):
+            out.append(k)
+            continue
+        c = F.col(k)
+        if desc:
+            out.append(c.desc_nulls_first() if nulls is Nulls.FIRST else c.desc_nulls_last())
+        else:
+            out.append(c.asc_nulls_first() if nulls is Nulls.FIRST else c.asc_nulls_last())
+    return out
+
+
+def rows_window(
+    *,
+    partition_by: tuple[ColumnLike, ...] = (),
+    order_by: tuple[ColumnLike, ...] = (),
+    preceding: int | None = UNBOUNDED,
+    following: int | None = None,
+    nulls: Nulls = Nulls.FIRST,
+    desc: bool = False,
+) -> WindowSpec:
+    """ROWS-mode frame (reference ``Window.rows``, `stupidb/aggregation.py:348-360`).
+
+    ``preceding=None`` ⇒ UNBOUNDED PRECEDING; ``following=None`` ⇒ CURRENT ROW
+    when ordered / UNBOUNDED FOLLOWING when unordered (reference defaults,
+    `stupidb/aggregation.py:173-194`).
+    """
+    w = SparkWindow.partitionBy(*[_col(p) for p in partition_by])
+    if order_by:
+        w = w.orderBy(*_ordered(tuple(order_by), nulls, desc))
+    lo = SparkWindow.unboundedPreceding if preceding is None else -preceding
+    if following is None:
+        hi = SparkWindow.currentRow if order_by else SparkWindow.unboundedFollowing
+    else:
+        hi = following
+    return w.rowsBetween(lo, hi)
+
+
+def range_window(
+    *,
+    partition_by: tuple[ColumnLike, ...] = (),
+    order_by: ColumnLike,
+    preceding: int | float | datetime.timedelta | None = UNBOUNDED,
+    following: int | float | datetime.timedelta | None = CURRENT_ROW,
+    nulls: Nulls = Nulls.FIRST,
+    desc: bool = False,
+) -> WindowSpec:
+    """RANGE-mode frame — exactly one order key, as the reference enforces
+    (`stupidb/aggregation.py:272-278`).
+
+    ``timedelta`` bounds (reference `stupidb/aggregation.py:307-333`) are
+    translated to seconds with the order key recast to epoch seconds, since
+    Spark's rangeBetween requires a numeric key.
+    """
+    key = _col(order_by)
+    lo_delta = preceding
+    hi_delta = following
+    temporal = isinstance(lo_delta, datetime.timedelta) or isinstance(
+        hi_delta, datetime.timedelta
+    )
+    if temporal:
+        key = F.unix_timestamp(key)
+        if isinstance(lo_delta, datetime.timedelta):
+            lo_delta = int(lo_delta.total_seconds())
+        if isinstance(hi_delta, datetime.timedelta):
+            hi_delta = int(hi_delta.total_seconds())
+
+    w = SparkWindow.partitionBy(*[_col(p) for p in partition_by])
+    ordered = _ordered((key,), nulls, desc)
+    w = w.orderBy(*ordered)
+    lo = SparkWindow.unboundedPreceding if lo_delta is None else -lo_delta
+    hi = SparkWindow.currentRow if hi_delta == CURRENT_ROW else (
+        SparkWindow.unboundedFollowing if hi_delta is None else hi_delta
+    )
+    return w.rangeBetween(lo, hi)
+
+
+def partition_window(
+    *partition_by: ColumnLike,
+    order_by: tuple[ColumnLike, ...] = (),
+    nulls: Nulls = Nulls.FIRST,
+    desc: bool = False,
+) -> WindowSpec:
+    """Plain partition/order window (no explicit frame) for ranking and
+    lead/lag, which ignore frames in the reference too
+    (`stupidb/functions/navigation/__init__.py:40-46`)."""
+    w = SparkWindow.partitionBy(*[_col(p) for p in partition_by])
+    if order_by:
+        w = w.orderBy(*_ordered(tuple(order_by), nulls, desc))
+    return w
