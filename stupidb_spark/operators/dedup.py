@@ -26,15 +26,21 @@ from pyspark.sql import functions as F
 from stupidb_spark.functions.text import words
 
 
-def word_shingles(c: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a text column, as array<string>.
+def word_shingles(w: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles over a **materialized** words-array column.
 
-    Pure Catalyst: split → transform over a sequence of start offsets →
-    dedupe. ``slice`` is 1-based.
+    Pure Catalyst: transform over a sequence of start offsets → dedupe
+    (``slice`` is 1-based). ``w`` MUST be a materialized column (e.g. via
+    ``withColumn("_w", words(text))``), not an inline ``words(text)``
+    expression: higher-order lambdas have no common-subexpression
+    elimination, so an inline expression re-runs the regex split once per
+    offset — measured ~50× slower on real documents.
     """
-    w = words(c)
     n = F.size(w)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # guard n < k: sequence(1, 0) would count DOWN ([1, 0]) and emit garbage
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     sh = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
     return F.array_distinct(sh)
 
@@ -71,10 +77,17 @@ def jaccard_pairs(
 
     Returns columns: id_a, id_b, jaccard.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
+    # Filter short docs on the *words* column, NOT on size(shingles): a
+    # filter referencing the shingle expression gets re-inlined by the
+    # optimizer (no CSE through Filter/Generate), re-running the regex split
+    # per shingle offset — measured ~10× slower.
+    sh = (
+        spread_small_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+        .withColumn("_w", words(F.col(text_col)))
+        .filter(F.size("_w") >= k)
+        .select("doc", word_shingles(F.col("_w"), k).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+    )
 
     exploded = sh.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
     a = exploded.alias("a")
@@ -99,14 +112,38 @@ def jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Re-spread a small scan across the cluster before compute-heavy
+    per-row work.
+
+    A small parquet file arrives as one partition, which would serialize the
+    expensive shingle/signature expressions onto a single core. At 100 TB the
+    scan already yields thousands of partitions and this is a no-op; the
+    repartition only fires when the scan came back narrower than the
+    available parallelism.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
     """MinHash signature: per permutation i, min over shingles of
-    xxhash64(i, shingle). Deterministic, JVM-side, no UDF."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
-            for i in range(n_hashes)
-        ]
+    xxhash64(i, shingle). Deterministic, JVM-side, no UDF.
+
+    Single fold over the shingle array (acc = running elementwise min),
+    instead of materializing one transformed array per permutation."""
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), n_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(i), s) for i in range(n_hashes)]),
+            lambda a, h: F.least(a, h),
+        ),
     )
 
 
@@ -130,53 +167,72 @@ def minhash_lsh_pairs(
     Returns: id_a, id_b, jaccard (exact, post-verification).
     """
     rows_per_band = n_hashes // n_bands
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    # The shingle relation feeds three plan branches (signature + both
+    # verification joins); persist it so the scan→split→shingle work runs
+    # once. MEMORY_AND_DISK: at 100 TB this spills rather than OOMs, and is
+    # exactly the deliberate materialization an LSH pipeline wants.
+    # Short docs filtered on the words column — see jaccard_pairs for why
+    # filtering on size(shingles) would re-inline the shingle expression.
+    sh = (
+        spread_small_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+        .withColumn("_w", words(F.col(text_col)))
+        .filter(F.size("_w") >= k)
+        .select("doc", word_shingles(F.col("_w"), k).alias("shingles"))
+    ).persist()
 
+    # Signature via explode → hash-agg min: every expression stays inside
+    # whole-stage codegen with map-side partial aggregation. (A higher-order
+    # `aggregate`/`zip_with` fold computes the same thing but runs in the
+    # interpreted expression evaluator — measured ~10× slower.)
+    sig = (
+        sh.select("doc", F.explode("shingles").alias("s"))
+        .groupBy("doc")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+                for i in range(n_hashes)
+            ]
+        )
+    )
+
+    # Bands carry ONLY (doc, band-bucket) longs — the shingle arrays would
+    # otherwise be duplicated ×n_bands through the shuffle and dominate the
+    # join payload; verification joins them back for candidates only.
     bands = sig.select(
         "doc",
-        "shingles",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(n_bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("doc", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        ).alias("bucket"),
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    verif = (
+        candidates.join(sh.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return candidates.select(
+    return verif.select(
         "id_a", "id_b", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -237,7 +293,27 @@ def simhash_pairs(
     Returns: id_a, id_b, hamming.
     """
     bits_per_band = 64 // n_bands
-    fp = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("fp"))
+    # Fingerprint via explode → 64 codegen'd SUM votes (the one-row
+    # `simhash64` fold is interpreted HOF evaluation — ~10× slower in bulk).
+    toks = spread_small_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ).select("doc", F.explode(words(F.col(text_col))).alias("t"))
+    h = F.xxhash64("t")
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    fp_col = F.lit(0).cast("long")
+    for b in range(64):
+        bit_val = F.lit(-(2**63) if b == 63 else (1 << b)).cast("long")
+        fp_col = fp_col.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        )
+    fp = votes.select("doc", fp_col.alias("fp"))
     bands = fp.select(
         "doc",
         "fp",

@@ -37,5 +37,7 @@ from stupidb_spark.queryset import events  # noqa: E402,F401
 from stupidb_spark.queryset import text  # noqa: E402,F401
 from stupidb_spark.queryset import dedup  # noqa: E402,F401
 from stupidb_spark.queryset import similarity  # noqa: E402,F401
+from stupidb_spark.queryset import multimodal  # noqa: E402,F401
+from stupidb_spark.queryset import udaf  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "q"]

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stupidb_spark.operators.asof import asof_join, range_join
+from stupidb_spark.functions import exact as X
 from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
 from stupidb_spark.verbs import select
@@ -25,11 +26,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "events_tumbling",
-    """
+    f"""
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*)               AS n_events,
-           round(sum(value), 4)   AS total_value
+           {X.sql_dsum('value', 4)} AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -42,7 +43,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            X.dsum("value", 4).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -55,13 +56,13 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "events_sliding",
-    """
+    f"""
     -- 1h windows sliding every 30min: each event belongs to exactly two
     -- windows, starts at bucket(ts) and bucket(ts) - 30min.
     SELECT time_bucket(INTERVAL 30 MINUTES, ts) - k.off * INTERVAL 30 MINUTES
                AS window_start,
            count(*)             AS n_events,
-           round(sum(value), 4) AS total_value
+           {X.sql_dsum('value', 4)} AS total_value
     FROM events CROSS JOIN (VALUES (0), (1)) k(off)
     GROUP BY 1
     """,
@@ -72,7 +73,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            X.dsum("value", 4).alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
@@ -80,7 +81,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "events_session",
-    """
+    f"""
     -- Gaps-and-islands sessionization with a 30-minute inactivity gap:
     -- new session when the previous event is more than 30min older.
     WITH flagged AS (
@@ -101,7 +102,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts)                         AS session_start,
            max(ts) + INTERVAL 30 MINUTES   AS session_end,
            count(*)                        AS n_events,
-           round(sum(value), 4)            AS total_value
+           {X.sql_dsum('value', 4)} AS total_value
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -116,7 +117,7 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            X.dsum("value", 4).alias("total_value"),
         )
         .select(
             "user_id",
@@ -164,10 +165,10 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "range_join_buckets",
-    """
+    f"""
     SELECT b.bucket_name,
            count(*)             AS n_events,
-           round(sum(e.value), 4) AS total_value
+           {X.sql_dsum('e.value', 4)} AS total_value
     FROM events e
     JOIN (VALUES ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
                  ('high', 50.0, 75.0), ('top', 75.0, 1e9)) b(bucket_name, lo, hi)
@@ -191,6 +192,6 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("bucket_name")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            X.dsum("value", 4).alias("total_value"),
         )
     )

@@ -1,0 +1,41 @@
+"""Custom-aggregate queries — the reference's user-defined-aggregate surface
+(`docs/usage.rst:289-297`) exercised through the engine's GROUPED_AGG
+adapter (stupidb_spark/functions/udaf.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stupidb_spark.functions.udaf import GeometricMean, SumOfSquares, udaf_column
+from stupidb_spark.queryset import q
+from stupidb_spark.sources import load_table
+from stupidb_spark.verbs import aggregate, group_by
+
+
+@q(
+    "agg_udaf_sum_sq",
+    """
+    SELECT l_returnflag, sum(l_quantity * l_quantity) AS sum_sq
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_udaf_sum_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Custom step/combine/finalize aggregate via Arrow GROUPED_AGG; quantities
+    # are integer-valued so Σx² is exact and oracle-comparable bit-for-bit.
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        >> group_by("l_returnflag")
+        >> aggregate(sum_sq=udaf_column(SumOfSquares, "l_quantity"))
+    )
+
+
+@q("agg_udaf_geomean")
+def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Floating custom aggregate — exp(mean(ln x)) accumulates in float, so no
+    # bit-exact oracle (rows-only check); value behavior pinned in
+    # tests/test_udaf.py.
+    return (
+        load_table(spark, sf_dir, "part")
+        >> group_by("p_brand")
+        >> aggregate(geo_price=udaf_column(GeometricMean, "p_retailprice"))
+    )

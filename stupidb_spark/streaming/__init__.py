@@ -1,0 +1,28 @@
+"""Structured Streaming surface — additive capability over the reference.
+
+The reference has no streaming at all (SURVEY.md §2.8: no watermarks, no
+event-time windows, no stateful ops). This package re-expresses the batch
+event-time queries (`stupidb_spark/queryset/events.py`) as streaming
+pipelines with identical window expressions, so batch-oracle correctness
+transfers to the stream, and adds a custom stateful operator built on
+``applyInPandasWithState`` (the Spark-native analogue of the reference's
+``step/combine/finalize`` aggregate surface, `stupidb/aggregator.py:38-61`).
+"""
+
+from stupidb_spark.streaming.events import (
+    run_to_memory,
+    sessionized_stream,
+    sliding_stream,
+    stream_events,
+    tumbling_stream,
+    user_running_totals,
+)
+
+__all__ = [
+    "stream_events",
+    "tumbling_stream",
+    "sliding_stream",
+    "sessionized_stream",
+    "user_running_totals",
+    "run_to_memory",
+]

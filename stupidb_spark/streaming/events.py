@@ -1,0 +1,246 @@
+"""Streaming event-time pipelines over the ``events`` table.
+
+Each transformation here uses the *same* window expression as its batch twin
+in ``stupidb_spark/queryset/events.py`` — ``F.window`` / ``F.session_window``
+are batch/stream-polymorphic, so a result verified against the DuckDB oracle
+in batch is the semantics the stream computes incrementally.
+
+Scale design (what changes on a real cluster, none of which changes the
+code): the file source becomes Kafka; ``availableNow`` becomes a continuous
+trigger; the memory sink becomes a parquet/Delta sink with checkpointing.
+Watermarks bound state: a ``1 hour`` watermark means a window's state is
+dropped once the event-time high-water-mark passes its end — state size is
+O(active windows × keys), independent of stream length. The stateful
+operator keys state by ``user_id``; state store shards follow the shuffle
+partitioning, so hot users are the same skew problem (and AQE/salting
+answer) as a hot groupBy key in batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from stupidb_spark.functions import exact as X
+from stupidb_spark.sources.catalog import FIXTURE_SCHEMAS
+
+# ---------------------------------------------------------------------------
+# source
+# ---------------------------------------------------------------------------
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of events parquet files dropped into ``source_dir``.
+
+    Mirrors ``sources.catalog.load_table('events')``: the fixture stores
+    ``ts`` as TIMESTAMP(NANOS), which we read as raw nanos and truncate to
+    microsecond timestamps. ``max_files_per_trigger=1`` makes each staged
+    file its own micro-batch (used by tests to prove state carries across
+    batches).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(FIXTURE_SCHEMAS["events"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregations — identical expressions to the batch twins
+# ---------------------------------------------------------------------------
+
+
+def tumbling_stream(
+    events: DataFrame, *, width: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of ``events_tumbling``: 1h tumbling event-time windows.
+
+    The watermark lets Spark finalize and drop window state ``watermark``
+    past each window's end — without it, state grows without bound.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            X.dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_stream(
+    events: DataFrame,
+    *,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``events_sliding``: overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            X.dsum("value", 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of ``events_session``: gap-based session windows.
+
+    Session windows REQUIRE a watermark in streaming (sessions can otherwise
+    merge forever); ``F.session_window`` merges partial sessions across
+    micro-batches until the watermark closes them.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            X.dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator — the reference's step/combine/finalize shape,
+# re-expressed as Arrow-batched grouped-map-with-state
+# ---------------------------------------------------------------------------
+
+_RUNNING_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+# state = the aggregate's accumulator tuple, exactly a reference
+# ``UnaryAssociativeAggregate``'s fields (count, total) plus a navigation
+# value — what ``step`` updates and ``finalize`` reads
+# (stupidb/functions/associative/core.py:13-81).
+_RUNNING_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _running_totals_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """step(): fold this micro-batch into the accumulator; emit finalize().
+
+    Totals accumulate in integer cents (the exact.py discipline) so the
+    running sum is exact regardless of batch boundaries.
+    """
+    if state.exists:
+        n, total_cents, last_type = state.get
+    else:
+        n, total_cents, last_type = 0, 0, None
+    for pdf in pdfs:
+        if len(pdf):
+            n += len(pdf)
+            total_cents += int(pdf["value"].mul(10000).round().astype("int64").sum())
+            ordered = pdf.sort_values(["ts", "event_id"])
+            last_type = str(ordered["event_type"].iloc[-1])
+    state.update((n, total_cents, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total_cents / 10000.0],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, exact total, last event type) across batches.
+
+    ``applyInPandasWithState`` is the Spark-native custom stateful operator:
+    state lives in the state store keyed by ``user_id``, the function sees
+    Arrow-batched pandas frames (never row-at-a-time Python), and output mode
+    ``update`` emits one row per user per micro-batch that touched it.
+    """
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_OUTPUT,
+            stateStructType=_RUNNING_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    *,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run a streaming query to completion on the currently-staged files
+    (``availableNow`` trigger) into an in-memory table; return the result.
+
+    Test/demo sink — a production pipeline would use a durable sink +
+    checkpoint and a continuous trigger instead; the query shape is the same.
+    """
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB,
+pinned at sf0.001 — losing any of these wouldn't change results, only make
+the plan catastrophically slower at scale, which is why they're tested."""
+
+from __future__ import annotations
+
+from stupidb_spark.plans import (
+    formatted_plan,
+    has_node,
+    pushed_filters,
+    read_schema_fields,
+)
+from stupidb_spark.queryset import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    df = QUERIES["tpch_q1"](spark, SF_DIR)
+    # shipdate filter reaches the parquet scan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # scan reads only the 7 referenced columns, not all 11
+    (scan,) = read_schema_fields(df)
+    assert set(scan) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+    # partial + final hash aggregation (map-side combine before the shuffle)
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = QUERIES["join_inner_star"](spark, SF_DIR)
+    assert has_node(df, "BroadcastHashJoin")
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_semi_join_is_hash_semi(spark):
+    df = QUERIES["join_semi_exists"](spark, SF_DIR)
+    assert "LeftSemi" in formatted_plan(df)
+
+
+def test_topk_fuses_to_take_ordered(spark):
+    df = QUERIES["sort_topk"](spark, SF_DIR)
+    # order_by >> limit must NOT be a global sort: per-partition top-k + merge
+    assert has_node(df, "TakeOrderedAndProject")
+    assert not has_node(df, "Exchange rangepartitioning")
+
+
+def test_compound_filter_pushes_down(spark):
+    df = QUERIES["filter_compound"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in f for f in pushed)
+    assert any("l_discount" in f for f in pushed)
+
+
+def test_fact_fact_join_prunes_both_scans(spark):
+    df = QUERIES["join_fact_fact"](spark, SF_DIR)
+    scans = read_schema_fields(df)
+    assert len(scans) == 2
+    # neither fact scan reads its full column set
+    for fields in scans:
+        assert len(fields) <= 4

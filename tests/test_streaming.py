@@ -1,0 +1,108 @@
+"""Structured Streaming tests: stream results must equal their batch twins
+(whose semantics are DuckDB-oracle-verified in test_oracle_parity), and
+custom stateful state must carry across micro-batches.
+
+Staging: streaming file sources need a directory; fixture parquet is staged
+under the repo-local scratch dir (never writing outside /root/repo).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+
+from stupidb_spark.queryset import QUERIES
+from stupidb_spark.streaming import (
+    run_to_memory,
+    sessionized_stream,
+    stream_events,
+    tumbling_stream,
+    user_running_totals,
+)
+from tests.conftest import SF_DIR, rowset
+
+SCRATCH = Path("/root/repo/.scratch")
+
+
+@pytest.fixture()
+def staged_events():
+    """Copy the events fixture into a fresh source dir (single file)."""
+    d = SCRATCH / f"stream-{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _assert_same(stream_df, batch_df):
+    s_cols, b_cols = list(stream_df.columns), list(batch_df.columns)
+    assert sorted(s_cols) == sorted(b_cols)
+    left = rowset([tuple(r) for r in stream_df.collect()], s_cols)
+    right = rowset([tuple(r) for r in batch_df.collect()], b_cols)
+    assert left == right
+
+
+def test_tumbling_stream_equals_batch(spark, staged_events):
+    stream = tumbling_stream(stream_events(spark, str(staged_events)))
+    result = run_to_memory(stream, "t_tumbling")
+    _assert_same(result, QUERIES["events_tumbling"](spark, SF_DIR))
+
+
+def test_session_stream_equals_batch(spark, staged_events):
+    stream = sessionized_stream(stream_events(spark, str(staged_events)))
+    result = run_to_memory(stream, "t_session")
+    _assert_same(result, QUERIES["events_session"](spark, SF_DIR))
+
+
+def test_stateful_running_totals_across_batches(spark, staged_events):
+    """Split the fixture into 2 files → 2 micro-batches; the stateful
+    operator's final per-user totals must equal the global batch totals,
+    which is only possible if state carried across the batch boundary."""
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.functions import exact as X
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.sources.catalog import FIXTURE_SCHEMAS
+
+    batch = load_table(spark, SF_DIR, "events")
+    # restage as two files split by event_id parity, keeping ts as raw nanos
+    # (stream_events' schema) — the converted batch ts would not round-trip
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(FIXTURE_SCHEMAS["events"]).parquet(
+        f"{SF_DIR}/events.parquet"
+    )
+    for f in staged_events.iterdir():
+        f.unlink()
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(
+        str(staged_events / "b0")
+    )
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        str(staged_events / "b1")
+    )
+    # glob subdirs so each dir's file lands in its own micro-batch
+    stream = stream_events(
+        spark, str(staged_events) + "/*", max_files_per_trigger=1
+    )
+    ckpt = str(staged_events) + "-ckpt"
+    result = run_to_memory(
+        user_running_totals(stream),
+        "t_stateful",
+        output_mode="update",
+        checkpoint_dir=ckpt,
+    )
+    # update mode emits one row per user per touching micro-batch → keep last
+    final = (
+        result.withColumn("_seq", F.monotonically_increasing_id())
+        .groupBy("user_id")
+        .agg(F.max_by("n_events", "_seq").alias("n_events"),
+             F.max_by("total_value", "_seq").alias("total_value"))
+    )
+    expected = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        X.dsum("value", 4).alias("total_value"),
+    )
+    _assert_same(final, expected)
+    shutil.rmtree(ckpt, ignore_errors=True)

@@ -1,0 +1,73 @@
+"""Custom-aggregate (UDAF) tests: the step-loop and vectorized paths must
+agree with each other and with first-principles Python, and the shipped
+SumOfSquares must hash-match the SQL oracle expression (integer-valued input
+⇒ exact)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from stupidb_spark.functions.udaf import (
+    Aggregate,
+    GeometricMean,
+    SumOfSquares,
+    udaf_column,
+)
+from stupidb_spark.sources import load_table
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_sum_of_squares_matches_oracle(spark, duck):
+    sdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(udaf_column(SumOfSquares, "l_quantity").alias("sum_sq"))
+    )
+    assert_matches_oracle(
+        sdf,
+        duck,
+        "SELECT l_returnflag, sum(l_quantity * l_quantity) AS sum_sq "
+        "FROM lineitem GROUP BY 1",
+        name="udaf_sum_sq",
+    )
+
+
+def test_step_loop_path_equals_vectorized(spark):
+    class StepOnlySumSq(Aggregate):  # no `vectorized` → step loop
+        def __init__(self):
+            self.total, self.seen = 0.0, False
+
+        def step(self, x):
+            self.total += x * x
+            self.seen = True
+
+        def finalize(self):
+            return self.total if self.seen else None
+
+    li = load_table(spark, SF_DIR, "lineitem").limit(5000)
+    a = li.groupBy("l_returnflag").agg(
+        udaf_column(StepOnlySumSq, "l_quantity").alias("v")
+    )
+    b = li.groupBy("l_returnflag").agg(
+        udaf_column(SumOfSquares, "l_quantity").alias("v")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_geometric_mean_property(spark):
+    rows = [(1, 2.0), (1, 8.0), (2, 3.0), (2, 0.0), (3, None)]
+    df = spark.createDataFrame(rows, "k int, x double")
+    out = dict(
+        df.groupBy("k").agg(udaf_column(GeometricMean, "x").alias("g")).collect()
+    )
+    assert math.isclose(out[1], 4.0)  # sqrt(2*8)
+    assert math.isclose(out[2], 3.0)  # zero is excluded
+    assert out[3] is None  # all-null group → NULL
+
+
+def test_empty_group_yields_null(spark):
+    df = spark.createDataFrame([(1, None)], "k int, x double")
+    out = df.groupBy("k").agg(udaf_column(SumOfSquares, "x").alias("v")).collect()
+    assert out[0].v is None
