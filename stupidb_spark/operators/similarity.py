@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stupidb_spark.operators.dedup import spread_small_scan
+
 
 def _fsum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -59,7 +61,11 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    b = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    # spread: a small base file arrives as one partition and would put the
+    # whole scoring loop on one core (at scale the scan is already wide)
+    b = spread_small_scan(
+        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    )
     scored = (
         b.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("b_vec")))
@@ -111,7 +117,7 @@ def lsh_topk(
     storage is used), instead of every query touching every row.
     """
     planes = hyperplanes(dim, n_planes, seed)
-    b = base.select(
+    b = spread_small_scan(base).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("b_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
@@ -152,6 +158,7 @@ def embedding_near_dup_pairs(
 
     Returns: id_a, id_b, cosine_sim.
     """
+    df = spread_small_scan(df)
     if block_col is not None:
         work = df.select(
             F.col(id_col).alias("id"),
