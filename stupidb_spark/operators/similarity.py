@@ -98,6 +98,40 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _table_buckets(
+    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int
+) -> Column:
+    """Array of per-table bucket ids: table t's bucket tagged with t in the
+    high bits so one equi-join key covers all tables.
+
+    Computed as ONE vectorized numpy matmul per Arrow batch
+    ((batch, dim) @ (dim, n_tables·n_planes) → sign bits → bucket ids): the
+    expression-level fold evaluates interpreted per plane per element —
+    measured ~10× slower at 16 tables. A dense matrix product is exactly the
+    case where a pandas UDF beats Catalyst expressions."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes_rows = []
+    for t in range(n_tables):
+        planes_rows.extend(hyperplanes(dim, n_planes, seed + 1000 * t))
+    P = np.array(planes_rows, dtype=np.float64)  # (n_tables*n_planes, dim)
+    bit_weights = np.tile(1 << np.arange(n_planes, dtype=np.int64), n_tables)
+
+    def _buckets(v):
+        M = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        signs = (M @ P.T) >= 0.0  # (batch, n_tables*n_planes)
+        weighted = signs * bit_weights  # per-plane bucket bits
+        per_table = weighted.reshape(len(M), n_tables, n_planes).sum(axis=2)
+        tagged = per_table + (np.arange(n_tables, dtype=np.int64) << 32)
+        return pd.Series(list(tagged))
+
+    # explicit returnType form: `from __future__ import annotations` makes
+    # pep-563 string hints, which pandas_udf's hint inspection rejects
+    return pandas_udf(_buckets, "array<long>")(vec)
+
+
 def lsh_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -107,29 +141,37 @@ def lsh_topk(
     k: int = 10,
     dim: int = 64,
     n_planes: int = 4,
+    n_tables: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: both sides bucketed by random-hyperplane
-    sign hash; each query is scored only against its own bucket.
+    """Approximate cosine top-k: standard multi-table random-hyperplane LSH.
 
-    The bucket equi-join replaces the cross product — the scan of the base
-    side shuffles once on bucket id (or not at all if pre-bucketed/bucketed
-    storage is used), instead of every query touching every row.
+    Each of ``n_tables`` hash tables buckets every vector by the signs of
+    ``n_planes`` projections; a query is scored only against vectors sharing
+    a bucket in ≥1 table. Recall for a neighbor at angle θ is
+    1 − (1 − (1 − θ/π)^n_planes)^n_tables — at cosine 0.5 with 4×8 ≈ 0.83,
+    versus 0.2 for a single table (measured 0.12 on the fixture).
+
+    Scale shape: candidates are generated as (table|bucket) equi-joins of
+    ids only — the wide vector arrays never ride the candidate shuffle; the
+    scoring join fetches vectors for surviving candidate pairs.
     """
-    planes = hyperplanes(dim, n_planes, seed)
-    b = spread_small_scan(base).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("b_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    bcol = _table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
+    b_ids = spread_small_scan(base).select(
+        F.col(id_col).alias("neighbor_id"), F.explode(bcol).alias("tb")
     )
-    qs = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = (
-        b.join(F.broadcast(qs), on="bucket")
+    q_ids = queries.select(F.col(id_col).alias("query_id"), F.explode(bcol).alias("tb"))
+    candidates = (
+        b_ids.join(F.broadcast(q_ids), on="tb")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    b_vec = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        candidates.join(b_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
         .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("b_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(

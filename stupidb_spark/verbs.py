@@ -330,6 +330,25 @@ def difference_all(right: DataFrame) -> Verb:
     return Verb(lambda df: df.exceptAll(right), "difference_all")
 
 
+
+def exists(relation: DataFrame) -> bool:
+    """Whether the relation is non-empty — the reference's ``exists``
+    (`stupidb/api.py:431-438`), which it uses per-row for correlated EXISTS.
+
+    Here it is a driver-side boolean over any DataFrame (one `take(1)`);
+    set-based EXISTS/NOT EXISTS belongs in :func:`semi_join` /
+    :func:`anti_join`, which is what the reference's O(n·m) per-row pattern
+    compiles to on Spark.
+    """
+    return bool(relation.take(1))
+
+
+def pretty(df: DataFrame, *, n: int = 10) -> str:
+    """Materialize ≤ n rows into a table string — the reference's ``pretty``
+    (`stupidb/api.py:1016-1076`). Uses Spark's own renderer."""
+    return df._show_string(n)
+
+
 __all__ = [
     "Nulls",
     "Verb",
@@ -360,4 +379,6 @@ __all__ = [
     "intersect_all",
     "difference",
     "difference_all",
+    "exists",
+    "pretty",
 ]
