@@ -25,20 +25,30 @@ from stupidb_spark.session import get_session
 HEADLINE = [
     "tpch_q1",
     "agg_grouped_stats",
+    "agg_rollup",
+    "agg_udaf_sum_sq",
     "join_inner_star",
     "join_fact_fact",
     "join_semi_exists",
     "win_running_sum",
     "win_stat_frames",
     "win_rank",
+    "win_dynamic_lag",
     "sort_topk",
     "setop_except_all",
     "events_sliding",
+    "events_session",
+    "asof_join_orders",
+    "range_join_buckets",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "multimodal_features",
     "text_token_stats",
     "text_quality",
+    "text_lang_id",
 ]
 
 

@@ -64,6 +64,41 @@ def exact_dedup(
     )
 
 
+def doc_shingles(
+    df: DataFrame, *, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles as exploded ``(doc, shingle)`` rows.
+
+    Formulated with posexplode + a lead window + concat, NOT array
+    higher-order functions: HOF lambdas evaluate in the interpreted
+    expression path and — worse — the optimizer inlines any aliased
+    expensive expression into Filter/Generate/lambda references with no
+    CSE, re-running the regex tokenizer per shingle offset (measured ~10×).
+    Window/aggregate outputs are materialized attributes, immune to
+    re-inlining, and every operator here is whole-stage-codegen'd.
+
+    The per-doc window shuffle is also the shape that scales: shingling is
+    embarrassingly parallel over (doc, pos) rows rather than per-document
+    array folds bounded by the largest document.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = spread_small_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ).select("doc", F.posexplode(words(F.col(text_col))).alias("pos", "w"))
+    wspec = W.partitionBy("doc").orderBy("pos")
+    lead_cols = [F.lead("w", i).over(wspec).alias(f"w{i}") for i in range(1, k)]
+    leads = toks.select("doc", "w", *lead_cols)
+    return (
+        leads.filter(F.col(f"w{k - 1}").isNotNull())
+        .select(
+            "doc",
+            F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, k)]).alias("shingle"),
+        )
+        .dropDuplicates(["doc", "shingle"])
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     *,
@@ -74,43 +109,34 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (i < j, jaccard ≥ threshold).
 
-    Inverted-index plan: explode distinct shingles, self-join per shingle
+    Inverted-index plan: distinct (doc, shingle) rows, self-join per shingle
     bucket (so only docs sharing ≥1 shingle ever meet — never the full n²),
     count common shingles per pair, then jaccard = common / (|A|+|B|-common).
 
     Returns columns: id_a, id_b, jaccard.
     """
-    # Filter short docs on the *words* column, NOT on size(shingles): a
-    # filter referencing the shingle expression gets re-inlined by the
-    # optimizer (no CSE through Filter/Generate), re-running the regex split
-    # per shingle offset — measured ~10× slower.
-    sh = (
-        spread_small_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
-        .withColumn("_w", words(F.col(text_col)))
-        .filter(F.size("_w") >= k)
-        .select("doc", word_shingles(F.col("_w"), k).alias("shingles"))
-        .withColumn("n_sh", F.size("shingles"))
-    )
-
-    exploded = sh.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    ex = doc_shingles(df, id_col=id_col, text_col=text_col, k=k)
+    n_sh = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
     common = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .groupBy(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    joined = (
+        common.join(
+            n_sh.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+        ).join(
+            n_sh.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+        )
+    )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return common.select(
+    return joined.select(
         "id_a", "id_b", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -170,32 +196,16 @@ def minhash_lsh_pairs(
     Returns: id_a, id_b, jaccard (exact, post-verification).
     """
     rows_per_band = n_hashes // n_bands
-    # The shingle relation feeds three plan branches (signature + both
-    # verification joins); persist it so the scan→split→shingle work runs
-    # once. MEMORY_AND_DISK: at 100 TB this spills rather than OOMs, and is
-    # exactly the deliberate materialization an LSH pipeline wants.
-    # Short docs filtered on the words column — see jaccard_pairs for why
-    # filtering on size(shingles) would re-inline the shingle expression.
-    sh = (
-        spread_small_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
-        .withColumn("_w", words(F.col(text_col)))
-        .filter(F.size("_w") >= k)
-        .select("doc", word_shingles(F.col("_w"), k).alias("shingles"))
-    ).persist()
+    # Exploded (doc, shingle) rows — see doc_shingles for why not arrays.
+    ex = doc_shingles(df, id_col=id_col, text_col=text_col, k=k)
 
-    # Signature via explode → hash-agg min: every expression stays inside
-    # whole-stage codegen with map-side partial aggregation. (A higher-order
-    # `aggregate`/`zip_with` fold computes the same thing but runs in the
-    # interpreted expression evaluator — measured ~10× slower.)
-    sig = (
-        sh.select("doc", F.explode("shingles").alias("s"))
-        .groupBy("doc")
-        .agg(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
-                for i in range(n_hashes)
-            ]
-        )
+    # Signature via hash-agg min over the exploded rows: every expression
+    # stays inside whole-stage codegen with map-side partial aggregation.
+    sig = ex.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     )
 
     # Bands carry ONLY (doc, band-bucket) longs — the shingle arrays would
@@ -229,13 +239,27 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    verif = (
-        candidates.join(sh.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+    # Exact-Jaccard verification of candidates only, via common-shingle
+    # counts on the exploded rows (pairs with zero common shingles drop out
+    # of the join — their jaccard is 0, below any threshold).
+    n_sh = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        candidates.join(
+            ex.select(F.col("doc").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(ex.select(F.col("doc").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return verif.select(
+    joined = (
+        common.join(
+            n_sh.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+        ).join(
+            n_sh.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+        )
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return joined.select(
         "id_a", "id_b", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
