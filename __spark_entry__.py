@@ -10,7 +10,17 @@ SimHash, LSH-ANN) or non-SQL folds (rolling hash), verified in tests/.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Repo importable from any cwd — and, critically, by forked Python UDF
+# workers (pandas UDFs cloudpickle references to `stupidb_spark`, resolved
+# via PYTHONPATH at worker start).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import DataFrame, SparkSession
 
