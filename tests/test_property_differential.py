@@ -1,0 +1,168 @@
+"""Property-based differential testing: hypothesis-generated tiny relations
+run through the verb layer AND DuckDB, results compared exactly.
+
+This upgrades the reference's fixed-fixture SQLite differential pattern
+(`stupidb/tests/conftest.py:98-150`) with randomized inputs — nulls,
+duplicates, empty relations and single-row groups appear by construction.
+Examples are kept tiny and few: each one pays a full Spark job.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stupidb_spark.verbs import (
+    aggregate,
+    difference_all,
+    group_by,
+    intersect_all,
+    limit,
+    order_by,
+    select,
+    sift,
+    union_all,
+)
+
+# rows: (k small group key, v nullable small int)
+ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.none() | st.integers(-5, 5)),
+    min_size=0,
+    max_size=12,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _pdf(rows):
+    return pd.DataFrame({"k": [k for k, _ in rows], "v": pd.array([v for _, v in rows], dtype="Int64")})
+
+
+def _sdf(spark, rows):
+    return spark.createDataFrame([(k, v) for k, v in rows], "k long, v long")
+
+
+def _r(seq):
+    return sorted(seq, key=repr)
+
+
+def _duck(sql: str, **frames):
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(name, pdf)
+    return con.execute(sql).fetchall()
+
+
+@given(rows=ROWS)
+@SLOW
+def test_grouped_agg_matches_duckdb(spark, rows):
+    got = _r(
+        tuple(r)
+        for r in (
+            _sdf(spark, rows)
+            >> group_by("k")
+            >> aggregate(
+                n=F.count(F.lit(1)),
+                nv=F.count("v"),
+                s=F.sum("v"),
+                mn=F.min("v"),
+                mx=F.max("v"),
+            )
+        ).collect()
+    )
+    want = _r(
+        _duck(
+            "SELECT k, count(*) AS n, count(v) AS nv, sum(v) AS s,"
+            " min(v) AS mn, max(v) AS mx FROM t GROUP BY k",
+            t=_pdf(rows),
+        )
+    )
+    assert got == want
+
+
+@given(rows=ROWS)
+@SLOW
+def test_filter_project_matches_duckdb(spark, rows):
+    got = _r(
+        tuple(r)
+        for r in (
+            _sdf(spark, rows)
+            >> sift(F.col("v").isNotNull() & (F.col("v") > 0))
+            >> select("k", doubled=F.col("v") * 2)
+        ).collect()
+    )
+    want = _r(
+        _duck("SELECT k, v * 2 AS doubled FROM t WHERE v IS NOT NULL AND v > 0", t=_pdf(rows))
+    )
+    assert got == want
+
+
+@given(rows=ROWS)
+@SLOW
+def test_order_limit_matches_duckdb(spark, rows):
+    # unique total order: (v NULLS FIRST, k, rowid-free data so add v+k tiebreak)
+    got = [
+        tuple(r)
+        for r in (
+            _sdf(spark, rows)
+            >> order_by(F.col("v").asc_nulls_first(), F.col("k").asc())
+            >> limit(5)
+        ).collect()
+    ]
+    want = _duck(
+        "SELECT k, v FROM t ORDER BY v ASC NULLS FIRST, k ASC LIMIT 5", t=_pdf(rows)
+    )
+    # ties beyond (v, k) don't exist since those are all the columns
+    assert _r(got) == _r(want) and [g[1] for g in got] == [w[1] for w in want]
+
+
+@given(left=ROWS, right=ROWS)
+@SLOW
+def test_bag_set_ops_match_duckdb(spark, left, right):
+    l, r = _sdf(spark, left), _sdf(spark, right)
+    lp, rp = _pdf(left), _pdf(right)
+    for verb, sql_op in [
+        (union_all, "UNION ALL"),
+        (intersect_all, "INTERSECT ALL"),
+        (difference_all, "EXCEPT ALL"),
+    ]:
+        got = _r(tuple(x) for x in (l >> verb(r)).collect())
+        want = _r(
+            _duck(f"SELECT * FROM a {sql_op} SELECT * FROM b", a=lp, b=rp)
+        )
+        assert got == want, sql_op
+
+
+@given(rows=ROWS)
+@SLOW
+def test_running_sum_window_matches_duckdb(spark, rows):
+    from stupidb_spark.window import rows_window
+
+    w = rows_window(
+        partition_by=("k",),
+        order_by=(F.col("v").asc_nulls_first(),),
+        preceding=None,
+        following=0,
+    )
+    got = _r(
+        tuple(r)
+        for r in _sdf(spark, rows)
+        .withColumn("rs", F.sum("v").over(w))
+        .collect()
+    )
+    want = _r(
+        _duck(
+            "SELECT k, v, sum(v) OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM t",
+            t=_pdf(rows),
+        )
+    )
+    assert got == want
