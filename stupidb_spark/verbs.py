@@ -111,19 +111,40 @@ class GroupedFrame:
 def select(*cols: ColumnLike, **named: Column) -> Verb:
     """Replacement projection; window expressions allowed as columns
     (reference evaluates window specs inline in select, `stupidb/core.py:94-164`;
-    Spark does the same with ``expr.over(window)`` columns)."""
+    Spark does the same with ``expr.over(window)`` columns).
+
+    >>> (people >> select("name", bal2=F.col("balance") * 2)
+    ...         >> order_by("name")).show()
+    +-----+----+
+    | name|bal2|
+    +-----+----+
+    |alice|   4|
+    |  bob|  -2|
+    |  eve|   8|
+    +-----+----+
+    <BLANKLINE>
+    """
     exprs = [_col(c) for c in cols] + [c.alias(n) for n, c in named.items()]
     return Verb(lambda df: df.select(*exprs), "select")
 
 
 def mutate(**named: Column) -> Verb:
-    """Appending projection (reference ``mutate``, `stupidb/api.py:353-397`)."""
+    """Appending projection (reference ``mutate``, `stupidb/api.py:353-397`).
+
+    >>> (people >> mutate(positive=F.col("balance") > 0)
+    ...         >> order_by("name")).columns
+    ['name', 'balance', 'positive']
+    """
     return Verb(lambda df: df.withColumns(dict(named)), "mutate")
 
 
 def sift(predicate: Column) -> Verb:
     """Row filter (reference ``sift``, `stupidb/api.py:400-428`). The Column
-    predicate reaches the parquet scan via Catalyst pushdown."""
+    predicate reaches the parquet scan via Catalyst pushdown.
+
+    >>> (people >> sift(F.col("balance") > 0) >> order_by("name")).count()
+    2
+    """
     return Verb(lambda df: df.filter(predicate), "sift")
 
 
@@ -228,7 +249,22 @@ def group_by(*cols: ColumnLike, **named: Column) -> Verb:
 def aggregate(**aggs: Column) -> Verb:
     """Hash aggregation over the attached keys; a bare DataFrame aggregates
     as one global group — same contract as the reference
-    (`stupidb/core.py:200-224`, empty partitioners ⇒ single group)."""
+    (`stupidb/core.py:200-224`, empty partitioners ⇒ single group).
+
+    >>> (people >> group_by(positive=F.col("balance") > 0)
+    ...         >> aggregate(n=F.count(F.lit(1)), total=F.sum("balance"))
+    ...         >> order_by("positive")).show()
+    +--------+---+-----+
+    |positive|  n|total|
+    +--------+---+-----+
+    |   false|  1|   -1|
+    |    true|  2|    6|
+    +--------+---+-----+
+    <BLANKLINE>
+
+    >>> (people >> aggregate(n=F.count(F.lit(1)))).collect()[0].n
+    3
+    """
 
     def fn(obj) -> DataFrame:
         exprs = [c.alias(n) for n, c in aggs.items()]
@@ -273,7 +309,11 @@ def order_by(*keys: ColumnLike, nulls: Nulls = Nulls.FIRST, desc: bool = False) 
 
 def limit(n: int, *, offset: int = 0) -> Verb:
     """LIMIT/OFFSET (`stupidb/api.py:718-737` — islice semantics). With a
-    preceding order_by, Catalyst fuses to TakeOrderedAndProject."""
+    preceding order_by, Catalyst fuses to TakeOrderedAndProject.
+
+    >>> [r.name for r in (people >> order_by("name") >> limit(2, offset=1)).collect()]
+    ['bob', 'eve']
+    """
     if n is not None and n < 0:
         raise ValueError(f"limit must be non-negative, got {n}")
     if offset < 0:
