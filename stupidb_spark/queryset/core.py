@@ -691,3 +691,31 @@ def sort_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         >> order_by("maybe_price", F.col("o_orderkey").asc(), nulls=Nulls.FIRST)
         >> limit(50)
     )
+
+
+@q(
+    "agg_salted_skew",
+    f"""
+    SELECT o_custkey, count(*) AS n, {X.sql_dsum('o_totalprice', 2)} AS spend
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-level salted aggregation (stupidb_spark/operators/skew.py) — the
+    # declarative answer to hot group keys at 100 TB. Result-identical to the
+    # plain groupBy (salting changes placement, never values): the oracle IS
+    # the plain SQL.
+    from stupidb_spark.operators.skew import salted_aggregate
+
+    out = salted_aggregate(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        ["o_custkey"],
+        partial_aggs={"n": F.count(F.lit(1)), "s": X.usum("o_totalprice", 2)},
+        merge_aggs={"n": F.sum("n"), "s": F.sum("s")},
+        n_salts=16,
+    )
+    return out.select(
+        "o_custkey",
+        "n",
+        (F.col("s").cast("double") / F.lit(100.0)).alias("spend"),
+    )
