@@ -1,10 +1,49 @@
 """Beyond-reference operators: as-of/range joins, dedup, similarity search,
-text analysis, multimodal plumbing, sessionization.
+text analysis, multimodal plumbing, skew mitigation.
 
 The reference has none of these (SURVEY.md §2.8) — they are the extension
 surface a large-scale training-data pipeline needs, built Spark-first.
 """
 
 from stupidb_spark.operators.asof import asof_join, range_join
+from stupidb_spark.operators.dedup import (
+    doc_shingles,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    spread_small_scan,
+)
+from stupidb_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample,
+    synthesize_media,
+)
+from stupidb_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from stupidb_spark.operators.skew import replicate_join, salted_aggregate, with_salt
 
-__all__ = ["asof_join", "range_join"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "doc_shingles",
+    "exact_dedup",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "spread_small_scan",
+    "decode_image",
+    "extract_features",
+    "frame_sample",
+    "synthesize_media",
+    "brute_force_topk",
+    "embedding_near_dup_pairs",
+    "lsh_topk",
+    "replicate_join",
+    "salted_aggregate",
+    "with_salt",
+]

@@ -65,3 +65,27 @@ def test_fact_fact_join_prunes_both_scans(spark):
     # neither fact scan reads its full column set
     for fields in scans:
         assert len(fields) <= 4
+
+
+def test_asof_join_is_join_free(spark):
+    # union-merge as-of: one shuffle+sort window pass, NO join operator at
+    # all — the property that avoids the O(n·m) range-pair explosion
+    df = QUERIES["asof_join_orders"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+
+
+def test_minhash_never_plans_cartesian(spark):
+    df = QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    # banding against a literal interval table: broadcast-NLJ of the tiny
+    # ranges side is the intended strategy (zero shuffle of the fact side)
+    df = QUERIES["range_join_buckets"](spark, SF_DIR)
+    assert has_node(df, "BroadcastNestedLoopJoin")
