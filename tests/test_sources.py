@@ -1,0 +1,67 @@
+"""Source/sink round-trips: csv/json/parquet readers, table_from_rows, and
+partitioned parquet writes (the reference's only source is an iterable of
+mappings — SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from stupidb_spark.sources import load_table
+from stupidb_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_parquet,
+    table_from_rows,
+    write_parquet,
+)
+from tests.conftest import SF_DIR
+
+SCRATCH = Path("/root/repo/.scratch")
+
+
+@pytest.fixture()
+def outdir():
+    d = SCRATCH / f"io-{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_table_from_rows_mirrors_reference_entry(spark):
+    rows = [{"z": "a", "a": 1}, {"z": "b", "a": 2}]
+    df = table_from_rows(spark, rows, schema="z string, a long")
+    assert sorted(map(tuple, df.collect())) == [("a", 1), ("b", 2)]
+
+
+def test_csv_json_parquet_round_trip(spark, outdir):
+    src = load_table(spark, SF_DIR, "nation")
+    expected = sorted(map(tuple, src.collect()))
+
+    write_parquet(src, str(outdir / "p"))
+    assert sorted(map(tuple, read_parquet(spark, str(outdir / "p")).collect())) == expected
+
+    src.write.option("header", True).csv(str(outdir / "c"))
+    got_csv = read_csv(spark, str(outdir / "c"), schema=src.schema)
+    assert sorted(map(tuple, got_csv.collect())) == expected
+
+    src.write.json(str(outdir / "j"))
+    got_json = read_json(spark, str(outdir / "j"), schema=src.schema)
+    assert sorted(map(tuple, got_json.collect())) == expected
+
+
+def test_partitioned_write_prunes(spark, outdir):
+    src = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    src.write.partitionBy("o_orderstatus").parquet(str(outdir / "part"))
+    back = spark.read.parquet(str(outdir / "part"))
+    one = back.filter(F.col("o_orderstatus") == "F")
+    # partition pruning: only the o_orderstatus=F directory is scanned
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == src.filter(F.col("o_orderstatus") == "F").count()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus=F" in plan
