@@ -32,6 +32,9 @@ from stupidb_spark.session import get_session
 
 HEADLINE = [
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
     "agg_grouped_stats",
     "agg_rollup",
     "agg_udaf_sum_sq",

@@ -25,6 +25,7 @@ from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
 from stupidb_spark.functions import aggregates as agg
 from stupidb_spark.functions import exact as X
+from stupidb_spark.window import partition_window
 from stupidb_spark.verbs import (
     Nulls,
     aggregate,
@@ -718,4 +719,174 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "n",
         (F.col("s").cast("double") / F.lit(100.0)).alias("spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# classic TPC-H shapes beyond Q1 — the canonical join/agg/topk plans a
+# warehouse engine must get right; all exact.py float discipline
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q6",
+    f"""
+    SELECT {X.sql_dtotal('l_extendedprice * l_discount', 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure scan-filter-aggregate: every predicate pushes to the parquet scan
+    # (row-group pruning on l_shipdate at scale); single global agg.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        >> sift(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        >> aggregate(revenue=X.dtotal(F.col("l_extendedprice") * F.col("l_discount"), 4))
+    )
+
+
+@q(
+    "tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           {X.sql_dsum(_DISC_PRICE_SQL, 4)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shipping-priority shape: filtered dim broadcast into a fact-fact
+    # join, grouped revenue, top-10 fused to TakeOrderedAndProject.
+    cust = _t(spark, sf_dir, "customer") >> sift(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders") >> sift(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem") >> sift(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        orders
+        >> inner_join(cust, F.col("c_custkey") == F.col("o_custkey"), broadcast=True)
+        >> inner_join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        >> group_by("l_orderkey", "o_orderdate", "o_orderpriority")
+        >> aggregate(
+            revenue=X.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        )
+        >> order_by(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        >> limit(10)
+        >> select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@q(
+    "tpch_q5",
+    f"""
+    SELECT n_name, {X.sql_dsum(_DISC_PRICE_SQL, 4)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Local-supplier-volume shape: six-way join — dims broadcast, facts
+    # shuffle on their natural keys; the c_nationkey = s_nationkey clause
+    # makes the customer join a theta-equi mix.
+    region = _t(spark, sf_dir, "region") >> sift(F.col("r_name") == "ASIA")
+    orders = _t(spark, sf_dir, "orders") >> sift(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        orders
+        >> inner_join(
+            _t(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+            broadcast=True,
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            broadcast=True,
+        )
+        >> inner_join(
+            region, F.col("n_regionkey") == F.col("r_regionkey"), broadcast=True
+        )
+        >> group_by("n_name")
+        >> aggregate(
+            revenue=X.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        )
+        >> order_by(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@q(
+    "agg_median_disc",
+    """
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag, l_extendedprice AS median_price
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def agg_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact discrete median via rank-pick — engine-agnostic (a passthrough
+    # source value, no interpolation arithmetic to drift). The reference has
+    # no percentile support at all; Spark's percentile()/DuckDB's
+    # quantile_cont interpolate with different expression shapes, so the
+    # rank-pick form is the oracle-safe way to expose medians.
+    w = partition_window(
+        "l_returnflag",
+        order_by=("l_extendedprice", "l_orderkey", "l_linenumber"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    count_w = _W.partitionBy("l_returnflag")
+    ranked = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(count_w).alias("n"),
+    )
+    return (
+        ranked
+        >> sift(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        >> select("l_returnflag", median_price=F.col("l_extendedprice"))
     )
