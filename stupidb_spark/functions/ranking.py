@@ -50,3 +50,10 @@ def ntile(n: int, w: WindowSpec | None = None) -> Column:
     """Additive beyond the reference surface."""
     c = F.ntile(n)
     return c.over(w) if w is not None else c
+
+
+def cume_dist(w: WindowSpec | None = None) -> Column:
+    """Cumulative distribution: fraction of partition rows ≤ current order
+    key — integer counts divided once, so cross-engine deterministic."""
+    c = F.cume_dist()
+    return c.over(w) if w is not None else c

@@ -194,7 +194,8 @@ def win_whole_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
            dense_rank()   OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk,
            row_number()   OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
            ntile(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
-           percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS prnk
+           percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS prnk,
+           cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS cdist
     FROM customer
     """,
 )
@@ -211,6 +212,7 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn=rk.row_number(uniq),
         quartile=rk.ntile(4, uniq),
         prnk=rk.percent_rank(ties),
+        cdist=rk.cume_dist(ties),
     )
 
 
