@@ -361,7 +361,10 @@ def simhash_pairs(
 
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # hamming filter runs in the join output BEFORE the pair-dedup shuffle:
+    # only surviving near-dup pairs (not every band collision) get shuffled
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -374,9 +377,8 @@ def simhash_pairs(
             F.col("a.fp").alias("fp_a"),
             F.col("b.fp").alias("fp_b"),
         )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+        .select("id_a", "id_b", "hamming")
     )
