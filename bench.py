@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "multimodal_features",
     "text_token_stats",
     "text_quality",

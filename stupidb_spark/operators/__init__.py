@@ -6,6 +6,7 @@ surface a large-scale training-data pipeline needs, built Spark-first.
 """
 
 from stupidb_spark.operators.asof import asof_join, range_join
+from stupidb_spark.operators.ivf import ivf_topk, kmeans_centroids
 from stupidb_spark.operators.dedup import (
     doc_shingles,
     exact_dedup,
@@ -30,6 +31,8 @@ from stupidb_spark.operators.skew import replicate_join, salted_aggregate, with_
 __all__ = [
     "asof_join",
     "range_join",
+    "ivf_topk",
+    "kmeans_centroids",
     "doc_shingles",
     "exact_dedup",
     "jaccard_pairs",

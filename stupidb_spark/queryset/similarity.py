@@ -60,3 +60,18 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rk"
     )
+
+
+@q("ann_topk_ivf")  # approximate + iterative (k-means) — no SQL oracle;
+# recall vs brute force pinned in tests/test_similarity.py
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-Flat: k-means coarse quantizer (Lloyd iterations as DataFrame
+    # jobs), cell-local probing — the second ANN scale path next to LSH.
+    from stupidb_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rk"
+    )

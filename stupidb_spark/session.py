@@ -63,6 +63,26 @@ def get_session(
     return builder.getOrCreate()
 
 
+def ensure_worker_pythonpath(spark: SparkSession) -> None:
+    """Make `stupidb_spark` importable inside forked Python UDF workers.
+
+    Workers resolve cloudpickled references via the PYTHONPATH captured in
+    ``SparkContext.environment`` at UDF-creation time. If the session (and
+    JVM) was created before our package directory reached the environment —
+    e.g. a driver that builds its SparkSession first and imports
+    ``__spark_entry__`` second, from another cwd — pandas UDFs would fail
+    with ModuleNotFoundError. Called from ``load_table`` so every query path
+    repairs the environment before any UDF is created.
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = spark.sparkContext.environment
+    current = env.get("PYTHONPATH", "")
+    if repo not in current.split(os.pathsep):
+        env["PYTHONPATH"] = repo + (os.pathsep + current if current else "")
+    if repo not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
 def configure_existing(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to a session we didn't build.
 

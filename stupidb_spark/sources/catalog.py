@@ -114,6 +114,9 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its pinned schema."""
+    from stupidb_spark.session import ensure_worker_pythonpath
+
+    ensure_worker_pythonpath(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(
