@@ -154,6 +154,16 @@ def dcovar_pop(x: ColumnLike, y: ColumnLike, scale: int = 2) -> Column:
     return (sxy - sx * sy / n) / n
 
 
+def dround(c: ColumnLike, scale: int = 6) -> Column:
+    """Deterministic decimal rounding of a non-negative double: one multiply,
+    one floor (long), one exact long→double cast, one divide — identical IEEE
+    ops on both engines, unlike round() whose BigDecimal path can flip a
+    halfway-boundary last digit differently per engine."""
+    return F.floor(_col(c) * F.lit(_p10(scale)) + F.lit(0.5)).cast(
+        "double"
+    ) / F.lit(_p10(scale))
+
+
 # --------------------------------------------------------------------------
 # SQL (DuckDB oracle) side — the same construction, textually
 # --------------------------------------------------------------------------
@@ -211,6 +221,13 @@ def sql_dstddev_samp(expr: str, scale: int = 2) -> str:
 
 def sql_dstddev_pop(expr: str, scale: int = 2) -> str:
     return f"sqrt({sql_dvar_pop(expr, scale)})"
+
+
+def sql_dround(expr: str, scale: int = 6) -> str:
+    return (
+        f"(CAST(CAST(floor(({expr}) * {_sql_p10(scale)} + 0.5) AS BIGINT)"
+        f" AS DOUBLE) / {_sql_p10(scale)})"
+    )
 
 
 def sql_dcovar(x: str, y: str, scale: int = 2, *, samp: bool = True) -> str:

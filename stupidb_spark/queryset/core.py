@@ -853,6 +853,143 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "tpch_q17",
+    f"""
+    WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13' AND p_size <= 10
+    ), w AS (
+        SELECT l_quantity, l_extendedprice,
+               {X.sql_dsum_over('l_quantity', '(PARTITION BY l_partkey)', 2)}
+                   / count(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        FROM li
+    )
+    SELECT {X.sql_dtotal('l_extendedprice', 2)} / 7.0 AS avg_yearly
+    FROM w WHERE l_quantity < 0.4 * avg_qty
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Small-quantity-order revenue: the classic correlated scalar subquery
+    # (l_quantity < fraction of that part's average), decorrelated
+    # Spark-first. Instead of aggregating ALL of lineitem per partkey and
+    # joining back (full fact shuffle + self-join), the broadcast part
+    # filter runs FIRST — the per-part average over the surviving ~1% of
+    # lineitem is identical because the filter is on part attributes — and
+    # the average is a window over the single partkey shuffle. One broadcast
+    # join + one shuffle total; at 100 TB the naive plan shuffles the fact
+    # table twice. (No p_container in this fixture; brand+size stands in.)
+    part_f = _t(spark, sf_dir, "part") >> sift(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)
+    )
+    li = _t(spark, sf_dir, "lineitem") >> inner_join(
+        part_f >> select("p_partkey"),
+        F.col("p_partkey") == F.col("l_partkey"),
+        broadcast=True,
+    )
+    from pyspark.sql.window import Window as _W
+
+    pw = _W.partitionBy("l_partkey")
+    with_avg = li.select(
+        "l_quantity",
+        "l_extendedprice",
+        (X.dsum_over("l_quantity", pw, 2) / F.count("l_quantity").over(pw)).alias(
+            "avg_qty"
+        ),
+    )
+    return (
+        with_avg
+        >> sift(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        >> aggregate(
+            avg_yearly=X.dtotal("l_extendedprice", 2) / F.lit(7.0)
+        )
+    )
+
+
+@q(
+    "tpch_q18",
+    """
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Large-volume-customer shape: HAVING over a fact aggregate, fact-fact
+    # join, top-k. Aggregating lineitem BEFORE the orders join shrinks the
+    # join input from 4 rows/order to 1 (and the HAVING filter to ~0.3%);
+    # customer broadcasts; the final top-100 fuses to TakeOrderedAndProject
+    # (no global sort at scale). Quantities are integer-valued so the plain
+    # double sum is exact.
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        >> group_by("l_orderkey")
+        >> aggregate(sum_qty=agg.sum("l_quantity"))
+        >> sift(F.col("sum_qty") > 300)
+    )
+    return (
+        big
+        >> inner_join(
+            _t(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            broadcast=True,
+        )
+        >> order_by(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        >> limit(100)
+        >> select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+@q(
+    "join_skew_replicate",
+    f"""
+    SELECT s_name, {X.sql_dsum('l_extendedprice', 2)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def join_skew_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Salted replicate join (operators/skew.py:replicate_join) proven against
+    # the plain-SQL join: the skewed fact side keeps a salt, the other side
+    # is replicated x8, and the join key becomes (suppkey, salt) — a hot
+    # supplier's rows land on 8 tasks instead of 1. For when the other side
+    # is too big to broadcast and AQE's runtime skew split is not available
+    # (e.g. the join feeds a co-partitioned downstream op). Exact integer
+    # sums make the result independent of the salt-induced ordering.
+    from stupidb_spark.operators.skew import replicate_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return (
+        replicate_join(li, supp, ["suppkey"], n_salts=8)
+        >> group_by("s_name")
+        >> aggregate(
+            revenue=X.dsum("l_extendedprice", 2),
+            n_items=F.count(F.lit(1)),
+        )
+    )
+
+
+@q(
     "agg_median_disc",
     """
     WITH ranked AS (

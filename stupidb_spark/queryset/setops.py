@@ -102,3 +102,58 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (quirk Q4).
     left, right = _sides(spark, sf_dir)
     return left >> difference_all(right)
+
+
+def _tagged(op: str, df: DataFrame) -> DataFrame:
+    return df.select(F.lit(op).alias("op"), "*")
+
+
+@q(
+    "setop_distinct_trio",
+    f"""
+    SELECT 'union' AS op, * FROM
+        (SELECT * FROM ({_LEFT_SQL}) UNION SELECT * FROM ({_RIGHT_SQL}))
+    UNION ALL
+    SELECT 'intersect' AS op, * FROM
+        (SELECT * FROM ({_LEFT_SQL}) INTERSECT SELECT * FROM ({_RIGHT_SQL}))
+    UNION ALL
+    SELECT 'except' AS op, * FROM
+        (SELECT * FROM ({_LEFT_SQL}) EXCEPT SELECT * FROM ({_RIGHT_SQL}))
+    """,
+)
+def setop_distinct_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three distinct set operations over the same two sides, tagged and
+    stacked — one hard-signal correctness row covering ``union`` /
+    ``intersect`` / ``difference`` (stupidb/core.py:416-425,437-450,479-490)
+    in a single query."""
+    left, right = _sides(spark, sf_dir)
+    return (
+        _tagged("union", left >> union(right))
+        >> union_all(_tagged("intersect", left >> intersect(right)))
+        >> union_all(_tagged("except", left >> difference(right)))
+    )
+
+
+@q(
+    "setop_bag_trio",
+    f"""
+    SELECT 'union_all' AS op, * FROM
+        (SELECT * FROM ({_LEFT_SQL}) UNION ALL SELECT * FROM ({_RIGHT_SQL}))
+    UNION ALL
+    SELECT 'intersect_all' AS op, * FROM
+        (SELECT * FROM ({_LEFT_SQL}) INTERSECT ALL SELECT * FROM ({_RIGHT_SQL}))
+    UNION ALL
+    SELECT 'except_all' AS op, * FROM
+        (SELECT * FROM ({_LEFT_SQL}) EXCEPT ALL SELECT * FROM ({_RIGHT_SQL}))
+    """,
+)
+def setop_bag_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three bag (ALL) set operations, tagged and stacked — one row
+    covering ``union_all`` / ``intersect_all`` / ``difference_all`` with SQL
+    multiset semantics (quirk Q4 deviation from the reference)."""
+    left, right = _sides(spark, sf_dir)
+    return (
+        _tagged("union_all", left >> union_all(right))
+        >> union_all(_tagged("intersect_all", left >> intersect_all(right)))
+        >> union_all(_tagged("except_all", left >> difference_all(right)))
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stupidb_spark.functions import exact as X
 from stupidb_spark.functions import text as T
 from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
@@ -82,8 +83,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_tokens, n_chars_raw, n_punct, n_stop,
-           round(CAST(n_punct AS DOUBLE) / n_chars_raw, 6)  AS punct_ratio,
-           round(CAST(n_stop AS DOUBLE) / n_tokens, 6)      AS stop_ratio,
+           {X.sql_dround('CAST(n_punct AS DOUBLE) / n_chars_raw')}  AS punct_ratio,
+           {X.sql_dround('CAST(n_stop AS DOUBLE) / n_tokens')}      AS stop_ratio,
            (n_tokens >= 5 AND n_tokens <= 10000
             AND CAST(n_punct AS DOUBLE) / n_chars_raw < 0.2) AS passes_quality
     FROM m
@@ -104,8 +105,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_chars_raw=n_chars_raw,
             n_punct=n_punct,
             n_stop=n_stop,
-            punct_ratio=F.round(n_punct.cast("double") / n_chars_raw, 6),
-            stop_ratio=F.round(n_stop.cast("double") / n_tokens, 6),
+            punct_ratio=X.dround(n_punct.cast("double") / n_chars_raw),
+            stop_ratio=X.dround(n_stop.cast("double") / n_tokens),
             passes_quality=(
                 (n_tokens >= 5)
                 & (n_tokens <= 10000)
@@ -127,11 +128,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*)                      AS n_docs,
-           sum(n_tokens)                 AS total_tokens,
-           round(avg(n_tokens), 4)       AS avg_tokens,
-           sum(n_chars)                  AS total_chars
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {avg_tok}                     AS avg_tokens,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars
     FROM t GROUP BY source
-    """,
+    """.format(
+        avg_tok=X.sql_dround(
+            "CAST(sum(n_tokens) AS DOUBLE) / count(n_tokens)", 4
+        )
+    ),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus token accounting per source — the "how many tokens do we have"
@@ -143,7 +148,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         >> aggregate(
             n_docs=F.count(F.lit(1)),
             total_tokens=F.sum("n_tokens"),
-            avg_tokens=F.round(F.avg("n_tokens"), 4),
+            avg_tokens=X.dround(
+                F.sum("n_tokens").cast("double") / F.count("n_tokens"), 4
+            ),
             total_chars=F.sum("n_chars"),
         )
     )
@@ -160,6 +167,71 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic content fingerprint; identical hex on both engines.
     return _docs(spark, sf_dir) >> select("doc_id", fp=T.fingerprint_md5("text"))
+
+
+@q(
+    "text_metrics",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               {_duck_score('en')} AS score_en,
+               {_duck_score('fr')} AS score_fr,
+               {_duck_score('de')} AS score_de,
+               {_duck_score('es')} AS score_es,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != ''))                      AS n_tokens,
+               length(text)                                        AS n_chars_raw,
+               length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\\[\\]-]', '', 'g'))               AS n_punct,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN score_en + score_fr + score_de + score_es = 0 THEN 'und'
+                WHEN score_en >= score_fr AND score_en >= score_de
+                     AND score_en >= score_es THEN 'en'
+                WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+                WHEN score_de >= score_es THEN 'de'
+                ELSE 'es' END AS pred_lang,
+           n_tokens, n_chars_raw, n_punct, score_en AS n_stop,
+           {X.sql_dround('CAST(n_punct AS DOUBLE) / n_chars_raw')} AS punct_ratio,
+           {X.sql_dround('CAST(score_en AS DOUBLE) / n_tokens')}   AS stop_ratio,
+           (n_tokens >= 5 AND n_tokens <= 10000
+            AND CAST(n_punct AS DOUBLE) / n_chars_raw < 0.2) AS passes_quality,
+           fp
+    FROM m
+    """,
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-document text profile: language ID + quality heuristics
+    + content fingerprint — the combined form of ``text_lang_id`` /
+    ``text_quality`` / ``text_fingerprint_md5`` (single scan, single
+    projection; the three metric families a pretraining pipeline computes
+    together before filtering).
+
+    All pure Column expressions inside one whole-stage-codegen projection —
+    at 100 TB this runs at scan speed with zero shuffles.
+    """
+    n_tokens = T.token_count("text")
+    n_chars_raw = F.length("text")
+    n_punct = T.punct_count("text")
+    n_stop = T.stopword_count("text", "en")
+    return _docs(spark, sf_dir) >> select(
+        "doc_id",
+        pred_lang=T.lang_id("text"),
+        n_tokens=n_tokens,
+        n_chars_raw=n_chars_raw,
+        n_punct=n_punct,
+        n_stop=n_stop,
+        punct_ratio=X.dround(n_punct.cast("double") / n_chars_raw),
+        stop_ratio=X.dround(n_stop.cast("double") / n_tokens),
+        passes_quality=(
+            (n_tokens >= 5)
+            & (n_tokens <= 10000)
+            & (n_punct.cast("double") / n_chars_raw < 0.2)
+        ),
+        fp=T.fingerprint_md5("text"),
+    )
 
 
 @q("text_fingerprint_rolling")  # no SQL oracle: custom fold, verified in tests

@@ -5,8 +5,10 @@ adapter (stupidb_spark/functions/udaf.py)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from stupidb_spark.functions.udaf import GeometricMean, SumOfSquares, udaf_column
+from stupidb_spark.operators.skew import salted_aggregate
 from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
 from stupidb_spark.verbs import aggregate, group_by
@@ -26,6 +28,36 @@ def agg_udaf_sum_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         >> group_by("l_returnflag")
         >> aggregate(sum_sq=udaf_column(SumOfSquares, "l_quantity"))
+    )
+
+
+@q(
+    "agg_udaf_salted",
+    """
+    SELECT l_returnflag, sum(l_quantity * l_quantity) AS sum_sq
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_udaf_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted UDAF — the documented mitigation for GROUPED_AGG's
+    no-partial-aggregation skew hazard (functions/udaf.py module docs),
+    proven against the plain-SQL answer.
+
+    Phase 1 runs the custom aggregate per (key, salt) — a hot key's group is
+    split across 16 reducers instead of materializing on one executor;
+    phase 2 merges the associative partials with a built-in sum. The partial
+    Σx² values are integer-valued doubles, so the merge is exact under any
+    addition order and the result is bit-identical to the unsalted form.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    return salted_aggregate(
+        li,
+        ["l_returnflag"],
+        partial_aggs={"sum_sq": udaf_column(SumOfSquares, "l_quantity")},
+        merge_aggs={"sum_sq": F.sum("sum_sq")},
+        n_salts=16,
     )
 
 

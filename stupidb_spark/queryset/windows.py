@@ -35,7 +35,12 @@ from stupidb_spark.functions import ranking as rk
 from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
 from stupidb_spark.verbs import select
-from stupidb_spark.window import partition_window, range_window, rows_window
+from stupidb_spark.window import (
+    dynamic_rows_sum,
+    partition_window,
+    range_window,
+    rows_window,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -373,6 +378,46 @@ def win_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust_running=_wsum("o_totalprice", cust),
         global_price_rank=F.rank().over(glob),
         prio_mov_avg=_wsum("o_totalprice", prio) / F.count(F.lit(1)).over(prio),
+    )
+
+
+@q(
+    "win_dynamic_frame",
+    """
+    WITH t AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CAST(event_id % 3 AS BIGINT) AS prec,
+               CAST(event_id % 2 AS BIGINT) AS foll
+        FROM events
+    )
+    SELECT a.event_id,
+           CAST(CAST(sum(CAST(floor(b.value * 100.0 + 0.5) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 100.0 AS dyn_sum
+    FROM t a JOIN t b
+      ON a.user_id = b.user_id
+     AND b.rn BETWEEN a.rn - a.prec AND a.rn + a.foll
+    GROUP BY a.event_id
+    """,
+)
+def win_dynamic_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's frame bounds are *callables of the current row*
+    # (stupidb/typehints.py:25-26, resolution stupidb/aggregation.py:135-198)
+    # — a per-row ROWS frame no SQL window clause can express. Spark path:
+    # collect_list + per-row slice + exact integer fold
+    # (stupidb_spark/window.py:dynamic_rows_sum); the DuckDB oracle is the
+    # equivalent rn-band self-join. Bounds here are ≥ 0, so every frame
+    # contains its own row and the oracle's inner join drops nothing.
+    return _t(spark, sf_dir, "events") >> select(
+        "event_id",
+        dyn_sum=dynamic_rows_sum(
+            "value",
+            partition_by=("user_id",),
+            order_by=("ts", "event_id"),
+            preceding=(F.col("event_id") % 3).cast("int"),
+            following=(F.col("event_id") % 2).cast("int"),
+        ),
     )
 
 

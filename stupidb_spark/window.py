@@ -88,8 +88,10 @@ def range_window(
     (`stupidb/aggregation.py:272-278`).
 
     ``timedelta`` bounds (reference `stupidb/aggregation.py:307-333`) are
-    translated to seconds with the order key recast to epoch seconds, since
-    Spark's rangeBetween requires a numeric key.
+    translated to microseconds with the order key recast to epoch
+    microseconds (full timestamp precision — epoch *seconds* would truncate
+    sub-second order keys and silently shift frame edges), since Spark's
+    rangeBetween requires a numeric key.
     """
     key = _col(order_by)
     lo_delta = preceding
@@ -98,11 +100,11 @@ def range_window(
         hi_delta, datetime.timedelta
     )
     if temporal:
-        key = F.unix_timestamp(key)
+        key = F.unix_micros(key.cast("timestamp"))
         if isinstance(lo_delta, datetime.timedelta):
-            lo_delta = int(lo_delta.total_seconds())
+            lo_delta = round(lo_delta.total_seconds() * 1_000_000)
         if isinstance(hi_delta, datetime.timedelta):
-            hi_delta = int(hi_delta.total_seconds())
+            hi_delta = round(hi_delta.total_seconds() * 1_000_000)
 
     w = SparkWindow.partitionBy(*[_col(p) for p in partition_by])
     ordered = _ordered((key,), nulls, desc)
@@ -112,6 +114,63 @@ def range_window(
         SparkWindow.unboundedFollowing if hi_delta is None else hi_delta
     )
     return w.rangeBetween(lo, hi)
+
+
+def dynamic_rows_sum(
+    value: ColumnLike,
+    *,
+    partition_by: tuple[ColumnLike, ...],
+    order_by: tuple[ColumnLike, ...],
+    preceding: Column,
+    following: Column,
+    scale: int = 2,
+) -> Column:
+    """Exact SUM over a ROWS frame whose bounds are *per-row expressions* —
+    the reference's callable ``preceding``/``following``
+    (`stupidb/typehints.py:25-26`, frame resolution
+    `stupidb/aggregation.py:135-198`), which SQL window frames cannot
+    express (bounds must be constants).
+
+    Formulation: one window pass collects the partition's values as an array
+    (``collect_list`` over UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) plus the
+    row's position; a codegen'd projection then slices
+    ``[pos - preceding, pos + following]`` and folds the slice. The fold runs
+    on *unscaled integers* (exact.py discipline) so the result is identical
+    under any partitioning. An empty frame yields NULL, matching SQL SUM.
+
+    Scale: one shuffle (the window), then pure projection. Each partition's
+    value array is materialized per row, so this is for bounded partitions
+    (user sessions, per-key series) — the same constraint the reference has,
+    where a partition is a Python list (`stupidb/aggregation.py:207-230`).
+    Nulls in ``value`` contribute 0 to the fold (≡ SQL SUM's null-skip) and
+    keep array positions aligned.
+    """
+    p10 = float(10**scale)
+    unscaled = F.coalesce(
+        F.floor(_col(value) * F.lit(p10) + F.lit(0.5)), F.lit(0)
+    )
+    w_full = (
+        SparkWindow.partitionBy(*[_col(p) for p in partition_by])
+        .orderBy(*_ordered(tuple(order_by), Nulls.FIRST, False))
+        .rowsBetween(SparkWindow.unboundedPreceding, SparkWindow.unboundedFollowing)
+    )
+    w_ord = SparkWindow.partitionBy(*[_col(p) for p in partition_by]).orderBy(
+        *_ordered(tuple(order_by), Nulls.FIRST, False)
+    )
+    arr = F.collect_list(unscaled).over(w_full)
+    pos = F.row_number().over(w_ord)
+    start = F.greatest(F.lit(1), pos - preceding)
+    # slice() clamps past the partition end, so only the lower edge needs
+    # explicit clamping; length <= 0 means an empty frame => NULL.
+    length = pos + following - start + 1
+    total = F.aggregate(
+        F.slice(arr, start, F.greatest(F.lit(0), length)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        length > 0, total.cast("double") / F.lit(p10)
+    ).otherwise(F.lit(None).cast("double"))
 
 
 def partition_window(
