@@ -148,14 +148,45 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
     A small parquet file arrives as one partition, which would serialize the
     expensive shingle/signature expressions onto a single core. At 100 TB the
     scan already yields thousands of partitions and this is a no-op; the
-    repartition only fires when the scan came back narrower than the
-    available parallelism.
+    repartition only fires when the source files are small.
+
+    Smallness is decided from the source file sizes (driver-side metadata,
+    no job) — the previous ``df.rdd.getNumPartitions()`` probe forced a
+    DataFrame→RDD conversion per call, gratuitous analyzer work in a hot
+    service path. Non-file sources (in-memory test frames) count as small.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    import os as _os
+    import urllib.parse as _up
+
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return df  # remote storage: the scan is already wide at scale
+        try:
+            total += _os.path.getsize(_up.unquote(_up.urlparse(f).path))
+        except OSError:
+            return df  # listed file not stat-able: assume big, leave as-is
+    split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if total < target * split:
         return df.repartition(target)
     return df
+
+
+def _parse_bytes(conf_value: str) -> int:
+    """Parse a Spark byte-size conf ("1048576", "128m", "1g", ...)."""
+    v = conf_value.strip().lower().removesuffix("b")
+    for suffix, mult in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if v.endswith(suffix):
+            return int(float(v[:-1]) * mult)
+    return int(v)
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
@@ -304,27 +335,19 @@ def simhash64(c: Column) -> Column:
     return fp
 
 
-def simhash_pairs(
-    df: DataFrame,
-    *,
-    id_col: str,
-    text_col: str,
-    max_hamming: int = 8,
-    n_bands: int = 4,
+def simhash_fingerprints(
+    df: DataFrame, *, id_col: str, text_col: str
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: fingerprint, band into 16-bit chunks
-    (pigeonhole: hamming ≤ 8 pairs are likely to agree on ≥1 of 4 bands for
-    clustered corruptions; raise n_bands for a strict guarantee), self-join
-    per band bucket, verify with exact popcount(xor).
+    """64-bit SimHash per document as (doc, fp) — the distributed form.
 
-    Returns: id_a, id_b, hamming.
+    Fingerprint via explode → 64 codegen'd SUM votes (the one-row
+    :func:`simhash64` fold is interpreted HOF evaluation — ~10× slower in
+    bulk); votes are left-joined back onto the full doc list so a doc with
+    no alphabetic tokens still fingerprints (as 0, matching the fold's
+    empty-array behavior) rather than vanishing at the explode.
     """
-    bits_per_band = 64 // n_bands
-    # Fingerprint via explode → 64 codegen'd SUM votes (the one-row
-    # `simhash64` fold is interpreted HOF evaluation — ~10× slower in bulk).
-    toks = spread_small_scan(
-        df.select(F.col(id_col).alias("doc"), F.col(text_col))
-    ).select("doc", F.explode(words(F.col(text_col))).alias("t"))
+    docs = spread_small_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+    toks = docs.select("doc", F.explode(words(F.col(text_col))).alias("t"))
     h = F.xxhash64("t")
     votes = toks.groupBy("doc").agg(
         *[
@@ -340,7 +363,43 @@ def simhash_pairs(
         fp_col = fp_col.bitwiseOR(
             F.when(F.col(f"v{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
         )
-    fp = votes.select("doc", fp_col.alias("fp"))
+    return docs.select("doc").join(
+        votes.select("doc", fp_col.alias("fp")), "doc", "left"
+    ).select("doc", F.coalesce(F.col("fp"), F.lit(0).cast("long")).alias("fp"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: fingerprint, band the 64 bits, self-join
+    per band bucket, verify with exact popcount(xor).
+
+    Recall contract: with ``n_bands >= max_hamming + 1`` (the default),
+    pigeonhole guarantees any pair within ``max_hamming`` leaves at least one
+    band untouched → every true pair collides in some bucket → the verified
+    output is EXACTLY the set of pairs with hamming ≤ ``max_hamming``, for
+    any adversarial spread of bit flips. Passing a smaller ``n_bands`` trades
+    that guarantee for fewer/larger bands (cheaper candidate generation).
+
+    Documents with zero alphabetic tokens fingerprint as 0 (matching
+    :func:`simhash64`'s empty fold) and therefore pair with each other —
+    they are NOT silently dropped; corpora with many empty documents should
+    route them through :func:`exact_dedup` first to avoid an n² clique of
+    trivial matches.
+
+    Returns: id_a, id_b, hamming.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    base_w, extra = divmod(64, n_bands)
+    widths = [base_w + 1 if b < extra else base_w for b in range(n_bands)]
+    starts = [sum(widths[:b]) for b in range(n_bands)]
+    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
     bands = fp.select(
         "doc",
         "fp",
@@ -349,8 +408,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("fp"), b * bits_per_band)
-                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        F.shiftright(F.col("fp"), starts[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("chunk"),
                     )
                     for b in range(n_bands)

@@ -6,24 +6,36 @@ space into ``n_centroids`` cells; each base vector is indexed under its
 nearest centroid, and a query scores only the ``n_probe`` nearest cells —
 scan-per-query becomes cell-local scoring, the classic IVF-Flat layout.
 
-Spark-first shape:
-- centroids are tiny (k × dim floats) — they live on the driver and ride
-  into tasks as numpy literals inside a vectorized pandas UDF (one matmul
-  per Arrow batch; an expression-level distance fold would be interpreted
-  and ~10× slower — see memory: HOFs).
-- Lloyd iterations are DataFrame jobs: assign (map) → per-dimension mean
-  via posexplode + groupBy (shuffle of k×dim partials, not vectors) →
-  collect k×dim to the driver. The only driver-side data is the centroid
-  table itself, which is model metadata, not data rows.
-- At 100 TB the assignment pass is map-only over the base table and the
-  index write is one shuffle on cell id (or a bucketed write,
-  sources/bucketing.py, making later probes shuffle-free).
+Train / index / probe are SEPARATE steps (the FAISS lifecycle), because at
+100 TB an index must be built once and probed many times — never rebuilt
+inside a query:
 
-Deterministic: seeds are the lowest-id vectors, iteration count is fixed,
-and every step is a deterministic computation — same inputs, same index.
+- :func:`ivf_train` fits the quantizer on a bounded deterministic SAMPLE of
+  the base table collected to the driver, with Lloyd iterations running as
+  vectorized numpy on that sample (k·dim model floats). Training on a sample
+  is the standard IVF recipe — the quantizer only needs the coarse shape of
+  the distribution, and it turns ~7 Spark jobs per Lloyd iteration into one
+  bounded collect.
+- :func:`ivf_index` is one map-only pass assigning every base vector to its
+  cell (vectorized matmul per Arrow batch). At scale the result is written
+  partitioned/bucketed by cell (sources/bucketing.py) so probes are
+  pruned scans; locally we ``persist()`` it.
+- :func:`ivf_probe` explodes each query into its ``n_probe`` nearest cells
+  and scores only those cells' vectors — no k-means, no full scan.
+
+:func:`ivf_topk` composes the three for one-shot use and memoizes the
+trained index per (DataFrame, params) so repeated queries against the same
+base table skip straight to the probe — the behavior a 1000-executor
+deployment gets from the bucketed index table.
+
+Deterministic: the training sample is the ``n_train`` lowest-id vectors,
+seeds are the first ``k`` of those, iteration count is fixed — same inputs,
+same index.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -32,7 +44,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from stupidb_spark.operators.similarity import cosine, spread_small_scan
+from stupidb_spark.operators.similarity import (
+    collect_query_matrix,
+    query_lookup_cosine,
+    spread_small_scan,
+)
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -52,19 +68,51 @@ def _assign_udf(centroids: np.ndarray):
     return F.pandas_udf(fn, "int")
 
 
-def _probe_udf(centroids: np.ndarray, n_probe: int):
-    """ids of the n_probe nearest centroids per vector."""
+def _probe_cells(Q: np.ndarray, centroids: np.ndarray, n_probe: int) -> np.ndarray:
+    """(nq, n_probe) ids of the nearest centroids per query vector — driver
+    math on the collected query matrix (nq × k floats)."""
     C = _normalize(centroids.astype(np.float64))
-
-    def fn(v: pd.Series) -> pd.Series:
-        M = _normalize(np.stack(v.to_numpy()).astype(np.float64))
-        sims = M @ C.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(top))
-
-    return F.pandas_udf(fn, "array<int>")
+    sims = _normalize(Q) @ C.T
+    return np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
 
 
+def ivf_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+    n_train: int = 4096,
+) -> np.ndarray:
+    """Fit the coarse quantizer: deterministic Lloyd's k-means on the
+    ``n_train`` lowest-id vectors (one bounded TakeOrdered collect — the
+    only data that ever reaches the driver), iterations vectorized in numpy.
+
+    The sample bound is what makes this a 100 TB operation: quantizer
+    quality needs a distribution sketch, not the data set, so training cost
+    is O(n_train · k · dim · iters) on the driver regardless of table size.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(n_train)
+        .collect()
+    )
+    X = np.stack([np.array(r._v, dtype=np.float64) for r in rows])
+    Xn = _normalize(X)
+    centroids = X[:k].copy()
+    for _ in range(iters):
+        C = _normalize(centroids)
+        assign = np.argmax(Xn @ C.T, axis=1)  # cosine assignment
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+# Back-compat alias (pre-split name); same contract, sample-trained now.
 def kmeans_centroids(
     df: DataFrame,
     *,
@@ -73,33 +121,110 @@ def kmeans_centroids(
     k: int = 16,
     iters: int = 3,
 ) -> np.ndarray:
-    """Deterministic Lloyd's k-means: seeds = the k lowest-id vectors.
+    return ivf_train(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
 
-    Each iteration is one assignment pass plus one per-dimension mean
-    aggregation; only k×dim floats ever reach the driver.
-    """
-    base = spread_small_scan(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    )
-    seed_rows = base.orderBy("_id").limit(k).collect()
-    centroids = np.stack([np.array(r._v, dtype=np.float64) for r in seed_rows])
-    for _ in range(iters):
-        assigned = base.withColumn("_c", _assign_udf(centroids)("_v"))
-        means = (
-            assigned.select("_c", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_c", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
+
+def ivf_index(
+    base: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every base vector to its nearest cell — one map-only pass
+    (columns: neighbor_id, b_vec, cell). At scale, write this partitioned or
+    bucketed by ``cell`` so probes scan only probed cells."""
+    return spread_small_scan(
+        base.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec")
         )
-        new = centroids.copy()
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r._c, {})[r._pos] = r._m
-        for c, dims in by_cluster.items():
-            for pos, m in dims.items():
-                new[c, pos] = m
-        centroids = new
-    return centroids
+    ).withColumn("cell", _assign_udf(centroids)("b_vec"))
+
+
+def ivf_probe(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 6,
+) -> DataFrame:
+    """Probe a prebuilt index: each query fans out to its ``n_probe``
+    nearest cells (computed driver-side on the collected query matrix —
+    queries are the small, broadcastable side), and only those cells' index
+    rows are scored, with the query matrix embedded in the scorer so no
+    vector rides the join. No training, no full scan, no k-means jobs.
+
+    Returns: query_id, neighbor_id, cosine_sim, rk (≤ k rows per query).
+    """
+    q_ids, Q = collect_query_matrix(queries, id_col, vec_col)
+    cells = _probe_cells(Q, centroids, n_probe)
+    spark = queries.sparkSession
+    probe_pairs = spark.createDataFrame(
+        [
+            (qid.item() if hasattr(qid, "item") else qid, int(c))
+            for qid, row in zip(q_ids, cells)
+            for c in row
+        ],
+        schema=queries.select(F.col(id_col).alias("query_id")).schema.add(
+            "cell", "integer"
+        ),
+    )
+    scored = (
+        indexed.join(F.broadcast(probe_pairs), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            query_lookup_cosine(queries, id_col, vec_col)(
+                F.col("query_id"), F.col("b_vec")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
+@dataclass
+class _CachedIndex:
+    centroids: np.ndarray
+    indexed: DataFrame
+
+
+# Memoized per-base-table index; keyed by the base plan + build params so a
+# different table or config trains its own index.
+_INDEX_CACHE: dict[tuple, _CachedIndex] = {}
+
+
+def build_ivf_index(
+    base: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 3,
+    cache_key: str | None = None,
+) -> _CachedIndex:
+    """Train + index once, persist the assignment, memoize. ``cache_key``
+    (e.g. the source path) scopes reuse; None disables memoization."""
+    key = (cache_key, id_col, vec_col, n_centroids, iters)
+    if cache_key is not None and key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    centroids = ivf_train(
+        base, id_col=id_col, vec_col=vec_col, k=n_centroids, iters=iters
+    )
+    indexed = ivf_index(base, centroids, id_col=id_col, vec_col=vec_col).persist()
+    built = _CachedIndex(centroids=centroids, indexed=indexed)
+    if cache_key is not None:
+        _INDEX_CACHE[key] = built
+    return built
 
 
 def ivf_topk(
@@ -112,32 +237,23 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 6,
     iters: int = 3,
+    cache_key: str | None = None,
 ) -> DataFrame:
-    """IVF-Flat top-k: train the coarse quantizer, index base vectors by
-    cell, probe the ``n_probe`` nearest cells per query.
-
-    Returns: query_id, neighbor_id, cosine_sim, rk (≤ k rows per query).
-    """
-    centroids = kmeans_centroids(
-        base, id_col=id_col, vec_col=vec_col, k=n_centroids, iters=iters
+    """IVF-Flat top-k = build (memoized when ``cache_key`` given) + probe."""
+    idx = build_ivf_index(
+        base,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        iters=iters,
+        cache_key=cache_key,
     )
-    b = spread_small_scan(
-        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
-    ).withColumn("cell", _assign_udf(centroids)("b_vec"))
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("cell", F.explode(_probe_udf(centroids, n_probe)("q_vec")))
-    )
-    scored = (
-        b.join(F.broadcast(q), on="cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("b_vec")))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    return ivf_probe(
+        idx.indexed,
+        idx.centroids,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_probe=n_probe,
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stupidb_spark.functions import exact as X
 from stupidb_spark.functions.text import fingerprint_md5
 from stupidb_spark.operators.dedup import (
     exact_dedup,
@@ -19,7 +20,10 @@ from stupidb_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from stupidb_spark.operators.similarity import embedding_near_dup_pairs
+from stupidb_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+    sql_pair_cosine,
+)
 from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
 
@@ -62,16 +66,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    SELECT id_a, id_b, {X.sql_dround('jaccard')} AS jaccard
     FROM pairs WHERE jaccard >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact 3-word-shingle Jaccard near-dup pairs via inverted-index
     # self-join (only docs sharing a shingle ever meet — not n²).
+    # Jaccard is a small-integer ratio, which CAN land on decimal halfway
+    # boundaries — floor-based rounding is identical across engines where
+    # round()'s halfway rules are not.
     docs = load_table(spark, sf_dir, "documents")
     out = jaccard_pairs(docs, id_col="doc_id", text_col="text", k=3, threshold=0.5)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return out.select("id_a", "id_b", X.dround("jaccard").alias("jaccard"))
 
 
 @q("dedup_minhash_lsh")  # approximate — no SQL oracle; verified in tests
@@ -86,34 +93,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@q("dedup_simhash")  # approximate — no SQL oracle; verified in tests
+@q("dedup_simhash")  # no SQL oracle (banding isn't SQL); recall is EXACT —
+# 9-band pigeonhole guarantees every hamming≤8 pair is found (tests pin
+# equality against brute-force popcount ground truth)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 64-bit SimHash fingerprints, 4×16-bit band blocking, hamming ≤ 8.
+    # 64-bit SimHash fingerprints, 9-band blocking (max_hamming+1 bands →
+    # guaranteed recall at radius 8), exact popcount(xor) verification.
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, id_col="doc_id", text_col="text", max_hamming=8)
 
 
 @q(
     "dedup_embedding_cosine",
-    """
+    f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_dot_product(a.v, b.v)
-                   / (sqrt(list_dot_product(a.v, a.v))
-                      * sqrt(list_dot_product(b.v, b.v))) AS cosine_sim
+               {sql_pair_cosine('a.v', 'b.v')} AS cosine_sim
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b, round(cosine_sim, 6) AS cosine_sim
+    SELECT id_a, id_b, {X.sql_dround('cosine_sim')} AS cosine_sim
     FROM pairs WHERE cosine_sim >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedding near-dup: label-blocked pairwise cosine (the cross product
-    # never leaves a block). Double fold accumulation matches DuckDB's
-    # bit-for-bit, so the threshold cut is identical.
+    # never leaves a block). Scoring is the vectorized quantized dot
+    # (operators/similarity.py:pair_cosine) — exact integer sums make the
+    # Spark numpy path and the DuckDB fold bit-identical, so the threshold
+    # cut is identical too.
     emb = load_table(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs(
         emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.4
     )
-    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    return out.select("id_a", "id_b", X.dround("cosine_sim").alias("cosine_sim"))

