@@ -35,16 +35,20 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q17",
+    "tpch_q18",
     "agg_grouped_stats",
     "agg_rollup",
     "agg_udaf_sum_sq",
     "join_inner_star",
     "join_fact_fact",
     "join_semi_exists",
+    "join_skew_replicate",
     "win_running_sum",
     "win_stat_frames",
     "win_rank",
     "win_dynamic_lag",
+    "win_dynamic_frame",
     "sort_topk",
     "setop_except_all",
     "events_sliding",
@@ -54,12 +58,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "multimodal_features",
     "text_token_stats",
-    "text_quality",
+    "text_metrics",
     "text_lang_id",
 ]
 
@@ -83,8 +88,13 @@ def main() -> None:
     ).save()
 
     # best-of-2 per query: steady-state timing, robust to noisy-neighbor
-    # interference and first-plan codegen compile
+    # interference and first-plan codegen compile. Shuffle-exchange counts
+    # per plan are recorded alongside so a timing regression is attributable
+    # (did the plan change, or just the machine?).
+    from stupidb_spark.plans import exchange_count
+
     timings: dict[str, float] = {}
+    exchanges: dict[str, int] = {}
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
@@ -92,6 +102,7 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        exchanges[name] = exchange_count(QUERIES[name](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -101,6 +112,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "exchanges": exchanges,
                 "sf": sf,
             }
         )

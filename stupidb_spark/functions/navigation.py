@@ -36,6 +36,14 @@ def lead(
 
     Constant ``n`` → native ``F.lead`` (fast path). Column ``n`` → dynamic
     per-row offset (reference quirk Q7) via collect_list indexing.
+
+    >>> [r.nxt for r in series.select(
+    ...     lead("x", 1, default=F.lit(-1.0), w=w_series).alias("nxt")).collect()]
+    [20.0, 30.0, -1.0]
+    >>> [r.nxt for r in series.select(  # per-row offset: t % 2
+    ...     lead("x", (F.col("t") % 2).cast("int"), w=w_series).alias("nxt")
+    ... ).collect()]
+    [20.0, 20.0, None]
     """
     if isinstance(n, int):
         col = F.lead(_col(c), n, None)
@@ -50,7 +58,12 @@ def lag(
     default: Column | None = None,
     w: WindowSpec | None = None,
 ) -> Column:
-    """Shift backward within the partition; see :func:`lead`."""
+    """Shift backward within the partition; see :func:`lead`.
+
+    >>> [r.prev for r in series.select(
+    ...     lag("x", 1, w=w_series).alias("prev")).collect()]
+    [None, 10.0, 20.0]
+    """
     if isinstance(n, int):
         col = F.lag(_col(c), n, None)
         col = col.over(w) if w is not None else col
@@ -98,6 +111,14 @@ def nth(
 
     Constant non-negative ``i`` → native ``F.nth_value`` (fast path);
     negative or Column ``i`` → collect_list indexing over the frame.
+
+    >>> running = w_series.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    >>> [r.second for r in series.select(
+    ...     nth("x", 1, w=running).alias("second")).collect()]  # 0-based
+    [None, 20.0, 20.0]
+    >>> [r.last for r in series.select(
+    ...     nth("x", -1, w=running).alias("last")).collect()]  # python-style
+    [10.0, 20.0, 30.0]
     """
     if isinstance(i, int) and i >= 0:
         one_based = i + 1 if zero_based else i

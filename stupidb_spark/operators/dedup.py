@@ -52,6 +52,10 @@ def exact_dedup(
     with the kept representative id and the duplicate count.
 
     The canonical hash-groupBy dedup: one shuffle on the (fingerprint) key.
+
+    >>> out = exact_dedup(dup_docs, F.lower(F.col("txt")), "id", keep="min")
+    >>> sorted((r.keeper_id, r.n_copies) for r in out.collect())
+    [(1, 2), (3, 1)]
     """
     keep_expr = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
     # No spread here: md5+normalize is cheap enough that an extra

@@ -51,7 +51,11 @@ def dot(a: Column, b: Column) -> Column:
 
     Left-to-right Catalyst fold — interpreted, fine for one-off expressions
     (LSH plane projections against literal arrays); use :func:`pair_cosine`
-    for bulk pair scoring."""
+    for bulk pair scoring.
+
+    >>> vecs.select(dot(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    11.0
+    """
     return _fsum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
 
 
@@ -60,6 +64,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Expression-level cosine; see :func:`dot` for when to prefer this.
+
+    >>> round(vecs.select(cosine(F.col("a"), F.col("a")).alias("c"))
+    ...           .collect()[0].c, 9)
+    1.0
+    """
     return dot(a, b) / (norm(a) * norm(b))
 
 

@@ -27,14 +27,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salts: int, col_name: str = "__salt") -> DataFrame:
-    """Uniform pseudo-random salt in [0, n_salts) — deterministic per row
-    content is NOT required (salting never changes results, only placement),
-    but we derive it from a hash of all columns so reruns place rows
-    identically (reproducible stage timings)."""
-    return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
-    )
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    col_name: str = "__salt",
+    *,
+    method: str = "content",
+) -> DataFrame:
+    """Uniform salt in [0, n_salts). Salting never changes results, only
+    placement, so the method is a placement policy:
+
+    - ``content`` (default): hash of all columns — reruns place rows
+      identically (reproducible stage timings). CAVEAT: byte-identical
+      duplicate rows (this module's motivating case — one template
+      duplicated a billion times) all hash to ONE salt and still pile onto
+      a single reducer.
+    - ``rowid``: position-derived (``monotonically_increasing_id`` mod
+      n_salts) — spreads even identical duplicates; placement is stable for
+      a fixed partitioning but not across re-partitioned reruns.
+
+    >>> s = with_salt(ticks, 4)
+    >>> s.select((F.min("__salt") >= 0).alias("lo"),
+    ...          (F.max("__salt") <= 3).alias("hi")).collect()
+    [Row(lo=True, hi=True)]
+    """
+    if method == "content":
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    elif method == "rowid":
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    else:
+        raise ValueError(f"unknown salt method {method!r}")
+    return df.withColumn(col_name, salt)
 
 
 def salted_aggregate(
@@ -44,6 +67,7 @@ def salted_aggregate(
     merge_aggs: dict[str, Column],
     *,
     n_salts: int = 16,
+    salt_method: str = "content",
 ) -> DataFrame:
     """Two-level (salted) aggregation for skewed group keys.
 
@@ -55,8 +79,11 @@ def salted_aggregate(
             partial_aggs={"n": F.count(F.lit(1)), "s": X.usum("o_totalprice", 2)},
             merge_aggs={"n": F.sum("n"), "s": F.sum("s")},
         )
+
+    Use ``salt_method="rowid"`` when the hot key's rows are byte-identical
+    duplicates (content hashing would give them all one salt).
     """
-    salted = with_salt(df, n_salts)
+    salted = with_salt(df, n_salts, method=salt_method)
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[c.alias(name) for name, c in partial_aggs.items()]
     )
@@ -72,6 +99,7 @@ def replicate_join(
     *,
     n_salts: int = 8,
     how: str = "inner",
+    salt_method: str = "content",
 ) -> DataFrame:
     """Equi-join where ``skewed`` has hot keys and ``other`` is too large to
     broadcast: salt the skewed side, replicate the other side ×``n_salts``,
@@ -86,7 +114,7 @@ def replicate_join(
         # right/full would surface the replicated side's unmatched rows once
         # per salt — n_salts phantom rows per miss
         raise ValueError(f"replicate_join supports inner/left joins, got {how!r}")
-    salted = with_salt(skewed, n_salts)
+    salted = with_salt(skewed, n_salts, method=salt_method)
     replicated = other.withColumn(
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")),

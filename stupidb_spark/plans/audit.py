@@ -41,8 +41,13 @@ def has_node(df: DataFrame, node: str) -> bool:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the (initial) physical plan."""
-    return len(re.findall(r"\bExchange\b", formatted_plan(df)))
+    """Number of shuffle exchanges in the (initial) physical plan.
+
+    Counts unique numbered ``(N) Exchange`` nodes (broadcast exchanges are
+    data *distribution*, not a shuffle — excluded); EXPLAIN FORMATTED names
+    each node twice (tree + detail), so the match is on the detail header.
+    """
+    return len(set(re.findall(r"\((\d+)\) Exchange\b", formatted_plan(df))))
 
 
 def codegen_stage_count(df: DataFrame) -> int:

@@ -133,7 +133,9 @@ def project_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand_upper=F.upper("p_brand"),
         name_len=F.length("p_name"),
         type_prefix=F.substring("p_type", 1, 5),
-        name_brand=F.concat_ws(":", "p_name", "p_brand"),
+        # concat (not concat_ws): || yields NULL on a NULL operand and
+        # concat_ws silently skips it — same null semantics as the oracle
+        name_brand=F.concat(F.col("p_name"), F.lit(":"), F.col("p_brand")),
         size_plus=F.col("p_size") + 10,
         price_bumped=F.col("p_retailprice") * 1.1,
         size_dist=F.abs(F.col("p_size") - 25),

@@ -63,6 +63,12 @@ def rows_window(
     ``preceding=None`` ⇒ UNBOUNDED PRECEDING; ``following=None`` ⇒ CURRENT ROW
     when ordered / UNBOUNDED FOLLOWING when unordered (reference defaults,
     `stupidb/aggregation.py:173-194`).
+
+    >>> w = rows_window(partition_by=("grp",), order_by=("t",),
+    ...                 preceding=1, following=0)
+    >>> [r.s for r in ticks.select(F.sum("x").over(w).alias("s"))
+    ...                    .orderBy("grp", "t").collect()]
+    [10.0, 30.0, 50.0, 5.0, 12.0]
     """
     w = SparkWindow.partitionBy(*[_col(p) for p in partition_by])
     if order_by:
@@ -92,6 +98,12 @@ def range_window(
     microseconds (full timestamp precision — epoch *seconds* would truncate
     sub-second order keys and silently shift frame edges), since Spark's
     rangeBetween requires a numeric key.
+
+    >>> w = range_window(partition_by=("grp",), order_by="t",
+    ...                  preceding=1, following=0)
+    >>> [r.n for r in ticks.select(F.count(F.lit(1)).over(w).alias("n"))
+    ...                    .orderBy("grp", "t").collect()]
+    [1, 2, 2, 1, 2]
     """
     key = _col(order_by)
     lo_delta = preceding
@@ -144,6 +156,12 @@ def dynamic_rows_sum(
     where a partition is a Python list (`stupidb/aggregation.py:207-230`).
     Nulls in ``value`` contribute 0 to the fold (≡ SQL SUM's null-skip) and
     keep array positions aligned.
+
+    >>> dyn = dynamic_rows_sum(
+    ...     "x", partition_by=("grp",), order_by=("t",),
+    ...     preceding=(F.col("t") % 2).cast("int"), following=F.lit(0))
+    >>> [r.s for r in ticks.select(dyn.alias("s")).orderBy("grp", "t").collect()]
+    [10.0, 20.0, 50.0, 5.0, 7.0]
     """
     p10 = float(10**scale)
     unscaled = F.coalesce(
@@ -181,7 +199,13 @@ def partition_window(
 ) -> WindowSpec:
     """Plain partition/order window (no explicit frame) for ranking and
     lead/lag, which ignore frames in the reference too
-    (`stupidb/functions/navigation/__init__.py:40-46`)."""
+    (`stupidb/functions/navigation/__init__.py:40-46`).
+
+    >>> w = partition_window("grp", order_by=("t",))
+    >>> [r.rn for r in ticks.select(F.row_number().over(w).alias("rn"))
+    ...                     .orderBy("grp", "t").collect()]
+    [1, 2, 3, 1, 2]
+    """
     w = SparkWindow.partitionBy(*[_col(p) for p in partition_by])
     if order_by:
         w = w.orderBy(*_ordered(tuple(order_by), nulls, desc))

@@ -5,6 +5,7 @@ the plan catastrophically slower at scale, which is why they're tested."""
 from __future__ import annotations
 
 from stupidb_spark.plans import (
+    exchange_count,
     formatted_plan,
     has_node,
     pushed_filters,
@@ -89,3 +90,56 @@ def test_range_join_is_broadcast_nested_loop(spark):
     # ranges side is the intended strategy (zero shuffle of the fact side)
     df = QUERIES["range_join_buckets"](spark, SF_DIR)
     assert has_node(df, "BroadcastNestedLoopJoin")
+
+
+# --------------------------------------------------------------------------
+# exchange-count pins: a regression that adds a shuffle to these pipelines
+# wouldn't change results, only multiply cost at scale — so the counts are
+# pinned here and any increase must be a conscious decision.
+# --------------------------------------------------------------------------
+
+EXCHANGE_BUDGETS = {
+    # fingerprint groupBy: the one shuffle
+    "dedup_exact": 1,
+    # spread + votes groupBy + fp backfill join + band self-join (2 sides) +
+    # pair dedup
+    "dedup_simhash": 7,
+    # spread + signature agg + band explode join + candidate dedup + the
+    # shingle-verification joins (count/total per side)
+    "dedup_minhash_lsh": 12,
+    # spread + block shuffle (applyInPandas)
+    "dedup_embedding_cosine": 2,
+    # spread + partial-topk merge window
+    "ann_topk_bruteforce": 2,
+    # spread + the one union-merge window shuffle, no join
+    "asof_join_orders": 2,
+    # salted two-phase agg: exactly two shuffles
+    "agg_salted_skew": 2,
+}
+
+
+def test_exchange_budgets(spark):
+    over = {}
+    for name, budget in EXCHANGE_BUDGETS.items():
+        n = exchange_count(QUERIES[name](spark, SF_DIR))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"exchange budget exceeded (got, budget): {over}"
+
+
+def test_tpch_q17_single_fact_shuffle(spark):
+    # the decorrelated Q17 must not shuffle lineitem twice: broadcast part
+    # filter first, ONE partkey shuffle for the window
+    df = QUERIES["tpch_q17"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert exchange_count(df) <= 2  # partkey window + single-row final agg
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    # lineitem collapses to per-order rows BEFORE joining orders: the
+    # HashAggregate must sit below the join, and the top-100 must fuse
+    plan = formatted_plan(QUERIES["tpch_q18"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -42,3 +42,22 @@ def test_salt_range(spark):
     s = with_salt(orders, 8)
     out = s.agg(F.min("__salt"), F.max("__salt"), F.countDistinct("__salt")).collect()[0]
     assert out[0] >= 0 and out[1] <= 7 and out[2] >= 2
+
+
+def test_rowid_salt_spreads_identical_duplicates(spark):
+    """Content hashing puts byte-identical rows on ONE salt (the motivating
+    hot-template case); rowid salting must spread them."""
+    dupes = spark.createDataFrame([("k", "same-payload")] * 1000, "key string, v string")
+    content = with_salt(dupes, 8, method="content")
+    assert content.select(F.countDistinct("__salt")).collect()[0][0] == 1
+    rowid = with_salt(dupes, 8, method="rowid")
+    assert rowid.select(F.countDistinct("__salt")).collect()[0][0] >= 4
+    # results identical either way
+    plain = dupes.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    salted = salted_aggregate(
+        dupes, ["key"],
+        partial_aggs={"n": F.count(F.lit(1))},
+        merge_aggs={"n": F.sum("n")},
+        n_salts=8, salt_method="rowid",
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

@@ -47,6 +47,62 @@ def test_lang_id_heuristic_on_real_sentences(spark):
         assert got[i] == want, f"doc {i}: want {want}, got {got[i]}"
 
 
+#: small public per-language vocabularies: the engine's stopword lists plus
+#: a handful of common words — enough signal for the stopword-hit heuristic,
+#: deterministic enough to score accuracy against.
+_LANG_VOCAB = {
+    "en": ("house", "water", "day", "good", "time", "people", "friend"),
+    "fr": ("maison", "jour", "temps", "bon", "ami", "ville", "monde"),
+    "de": ("haus", "tag", "zeit", "gut", "freund", "stadt", "welt"),
+    "es": ("casa", "dia", "tiempo", "bueno", "amigo", "ciudad", "mundo"),
+}
+#: language-neutral loanwords = realistic noise every language shares
+_NEUTRAL = ("internet", "taxi", "hotel", "radio", "metro", "kiosk")
+
+
+def labeled_sentences(n_per_lang: int = 50, noise: float = 0.2):
+    """Deterministic labeled corpus: sentences of 8-14 tokens drawn ~80%
+    from the language's stopword+vocab pool and ~20% from neutral loanwords.
+    Seeded per (lang, i) — same corpus every run."""
+    import random
+
+    from stupidb_spark.functions.text import STOPWORDS
+
+    rows = []
+    doc_id = 0
+    for lang in STOPWORDS:
+        pool = list(STOPWORDS[lang]) + list(_LANG_VOCAB[lang])
+        for i in range(n_per_lang):
+            rng = random.Random(f"{lang}:{i}")
+            n_tok = rng.randint(8, 14)
+            toks = [
+                rng.choice(_NEUTRAL) if rng.random() < noise else rng.choice(pool)
+                for _ in range(n_tok)
+            ]
+            rows.append((doc_id, " ".join(toks), lang))
+            doc_id += 1
+    return rows
+
+
+def test_lang_id_accuracy_floor_on_labeled_corpus(spark):
+    """Measurable accuracy (not just stability): ≥ 90% on a deterministic
+    200-sentence labeled corpus with 20% loanword noise. The fixture's own
+    `lang` labels are random metadata, so the floor is pinned here."""
+    from stupidb_spark.functions.text import lang_id as predict_lang
+
+    rows = labeled_sentences()
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.pred
+        for r in df.select("doc_id", predict_lang(F.col("text")).alias("pred")).collect()
+    }
+    correct = sum(1 for i, _, want in rows if got[i] == want)
+    accuracy = correct / len(rows)
+    assert accuracy >= 0.90, f"lang_id accuracy {accuracy:.3f} below floor"
+
+
 def test_lang_id_query_runs_and_is_total(spark):
     out = QUERIES["text_lang_id"](spark, SF_DIR)
     docs_n = load_table(spark, SF_DIR, "documents").count()
