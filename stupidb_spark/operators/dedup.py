@@ -424,9 +424,20 @@ def simhash_pairs(
 
     a = bands.alias("a")
     b = bands.alias("b")
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    # hamming filter runs in the join output BEFORE the pair-dedup shuffle:
-    # only surviving near-dup pairs (not every band collision) get shuffled
+    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    hamming = F.bit_count(xor)
+    # A true pair collides in EVERY band its flips miss (a hamming-2 pair
+    # agrees on >= n_bands-2 bands), so the band join re-derives each pair
+    # many times. Emitting a pair only from its FIRST clean band — decidable
+    # per joined row from fp_a^fp_b alone — makes the join output exactly-once
+    # per pair, replacing a pair-dedup shuffle with a codegen'd filter.
+    first_clean = F.lit(None).cast("int")
+    for bb in reversed(range(n_bands)):
+        chunk_clean = (
+            F.shiftright(xor, starts[bb]).bitwiseAND(F.lit((1 << widths[bb]) - 1))
+            == 0
+        )
+        first_clean = F.when(chunk_clean, F.lit(bb)).otherwise(first_clean)
     return (
         a.join(
             b,
@@ -439,9 +450,9 @@ def simhash_pairs(
             F.col("b.doc").alias("id_b"),
             F.col("a.fp").alias("fp_a"),
             F.col("b.fp").alias("fp_b"),
+            F.col("a.band").alias("band"),
         )
         .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .filter((F.col("hamming") <= max_hamming) & (F.col("band") == first_clean))
         .select("id_a", "id_b", "hamming")
     )

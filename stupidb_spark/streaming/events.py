@@ -137,6 +137,29 @@ def sessionized_stream(
     )
 
 
+def deduped_stream(
+    events: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once view of an at-least-once event stream: drop rows whose
+    ``keys`` were already seen within the watermark horizon.
+
+    The canonical training-pipeline ingest guard — upstream collectors retry,
+    so the same event arrives more than once. ``dropDuplicatesWithinWatermark``
+    keeps one row per key and, unlike plain ``dropDuplicates``, bounds the
+    dedup state: a key's entry is evicted once the event-time high-water-mark
+    passes its timestamp + ``watermark``, so state is O(keys per horizon),
+    independent of stream length. Duplicates arriving later than the horizon
+    are ingested again — pair with a downstream batch ``exact_dedup``
+    (operators/dedup.py) for the long tail.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator — the reference's step/combine/finalize shape,
 # re-expressed as Arrow-batched grouped-map-with-state

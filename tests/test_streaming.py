@@ -16,6 +16,7 @@ import pytest
 
 from stupidb_spark.queryset import QUERIES
 from stupidb_spark.streaming import (
+    deduped_stream,
     run_to_memory,
     sessionized_stream,
     stream_events,
@@ -55,6 +56,43 @@ def test_session_stream_equals_batch(spark, staged_events):
     stream = sessionized_stream(stream_events(spark, str(staged_events)))
     result = run_to_memory(stream, "t_session")
     _assert_same(result, QUERIES["events_session"](spark, SF_DIR))
+
+
+def test_deduped_stream_drops_cross_batch_duplicates(spark, staged_events):
+    """Stage the fixture twice (two micro-batches of identical events —
+    an at-least-once redelivery); the deduped stream must equal the batch
+    rowset exactly once, which requires dedup state to span the batch
+    boundary."""
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.sources.catalog import FIXTURE_SCHEMAS
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(FIXTURE_SCHEMAS["events"]).parquet(
+        f"{SF_DIR}/events.parquet"
+    )
+    for f in staged_events.iterdir():
+        f.unlink()
+    # keep the replay small: 500 events, delivered twice
+    sample = raw.filter(F.col("event_id") < 500).coalesce(1)
+    sample.write.mode("append").parquet(str(staged_events / "b0"))
+    sample.write.mode("append").parquet(str(staged_events / "b1"))
+    stream = stream_events(spark, str(staged_events) + "/*", max_files_per_trigger=1)
+    ckpt = str(staged_events) + "-ckpt"
+    result = run_to_memory(
+        deduped_stream(stream),
+        "t_dedup_stream",
+        output_mode="append",
+        checkpoint_dir=ckpt,
+    )
+    expected = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 500)
+        .dropDuplicates(["event_id"])
+    )
+    _assert_same(result, expected)
+    shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def test_stateful_running_totals_across_batches(spark, staged_events):
