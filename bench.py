@@ -66,6 +66,7 @@ HEADLINE = [
     "text_token_stats",
     "text_metrics",
     "text_lang_id",
+    "pipeline_prep",
 ]
 
 

@@ -69,12 +69,12 @@ PRIORITY: tuple[str, ...] = (
     "setop_distinct_trio",
     "setop_bag_trio",
     "events_tumbling",
+    "pipeline_prep",
     # 20-50: one query per remaining §2 component (round-1 green).
     "project_scalar",
     "project_datetime",
     "mutate_derived",
     "filter_compound",
-    "distinct_rows",
     "join_cross",
     "join_inner_star",
     "join_theta",
@@ -103,6 +103,7 @@ PRIORITY: tuple[str, ...] = (
     "sort_topk",
     # 51+: redundant twins (component already covered above) and plan-shape
     # demos — still oracled, still run in tests/test_oracle_parity.py.
+    "distinct_rows",
     "tpch_q3",
     "tpch_q6",
     "tpch_q5",

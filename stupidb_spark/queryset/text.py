@@ -234,6 +234,91 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "pipeline_prep",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               {_duck_score('en')} AS score_en,
+               {_duck_score('fr')} AS score_fr,
+               {_duck_score('de')} AS score_de,
+               {_duck_score('es')} AS score_es,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != ''))                      AS n_tokens,
+               length(text)                                        AS n_chars_raw,
+               length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\\[\\]-]', '', 'g'))               AS n_punct
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, fp, n_tokens,
+               CASE WHEN score_en + score_fr + score_de + score_es = 0 THEN 'und'
+                    WHEN score_en >= score_fr AND score_en >= score_de
+                         AND score_en >= score_es THEN 'en'
+                    WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+                    WHEN score_de >= score_es THEN 'de'
+                    ELSE 'es' END AS pred_lang
+        FROM m
+        WHERE n_tokens >= 5 AND n_tokens <= 10000
+          AND CAST(n_punct AS DOUBLE) / n_chars_raw < 0.2
+    ),
+    kept AS (
+        SELECT fp,
+               arg_min(n_tokens, doc_id)  AS n_tokens,
+               arg_min(pred_lang, doc_id) AS pred_lang
+        FROM f GROUP BY fp
+    )
+    SELECT pred_lang,
+           count(*)                      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {X.sql_dround('CAST(sum(n_tokens) AS DOUBLE) / count(*)', 4)} AS avg_tokens
+    FROM kept GROUP BY pred_lang
+    """,
+)
+def pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep, composed in ONE Catalyst plan:
+    quality filter → exact dedup (keep lowest doc_id per content
+    fingerprint) → per-language token accounting.
+
+    The composition is the point: filter/projection fuse into the scan,
+    the dedup is a single shuffle on the fingerprint, the final rollup is
+    a map-side-combined hash agg over the (already small) keeper set — at
+    100 TB this is one full scan + one dedup-key shuffle, which is the
+    floor for this pipeline. ``min_by`` keeps the keeper's own metrics
+    (duplicate copies may differ in raw whitespace, hence in token count).
+    """
+    n_tokens = T.token_count("text")
+    n_chars_raw = F.length("text")
+    n_punct = T.punct_count("text")
+    kept = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            T.fingerprint_md5("text").alias("fp"),
+            T.lang_id("text").alias("pred_lang"),
+            n_tokens.alias("n_tokens"),
+        )
+        .filter(
+            (n_tokens >= 5)
+            & (n_tokens <= 10000)
+            & (n_punct.cast("double") / n_chars_raw < 0.2)
+        )
+        .groupBy("fp")
+        .agg(
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+            F.min_by("pred_lang", "doc_id").alias("pred_lang"),
+        )
+    )
+    return kept.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        X.dround(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_tokens"
+        ),
+    )
+
+
 @q("text_fingerprint_rolling")  # no SQL oracle: custom fold, verified in tests
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Polynomial rolling hash as a pure Catalyst fold (F.aggregate) — the
