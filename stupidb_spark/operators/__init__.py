@@ -21,6 +21,7 @@ from stupidb_spark.operators.multimodal import (
     frame_sample,
     synthesize_media,
 )
+from stupidb_spark.operators.packing import pack_by_cumsum, pack_greedy
 from stupidb_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -46,6 +47,8 @@ __all__ = [
     "brute_force_topk",
     "embedding_near_dup_pairs",
     "lsh_topk",
+    "pack_by_cumsum",
+    "pack_greedy",
     "replicate_join",
     "salted_aggregate",
     "with_salt",

@@ -1,0 +1,122 @@
+"""Sequence packing: group documents into fixed-token-budget packs.
+
+Beyond-reference surface — the pretraining step that turns a deduped,
+quality-filtered corpus into training sequences: concatenate documents
+until a context-window budget is reached, start the next pack. Two
+strategies with different determinism/efficiency trade-offs:
+
+- :func:`pack_by_cumsum` — streaming chunk packing: documents in a fixed
+  global order, pack boundary every ``capacity`` cumulative tokens. A pure
+  window expression (one sort shuffle, no UDF), identical in ANSI SQL —
+  this is the oracled form. A document straddling a boundary goes to the
+  pack its *preceding* tokens filled into (packs may overflow by at most
+  one document — the standard streaming-packer behavior).
+- :func:`pack_greedy` — first-fit-decreasing bin packing within hash
+  buckets via ``applyInPandas``: tighter packs (no overflow; fewer padding
+  tokens), at the cost of a Python stage. Buckets pack independently, so
+  the operator scales horizontally: quality of fit degrades only with
+  bucket count, never correctness.
+
+Scale notes: both forms are a single shuffle of (id, n_tokens) longs —
+the document *text* never moves; join the assignment back to the corpus
+on the id. At 100 TB the text stays columnar in parquet and only the
+~16-byte assignment rows shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def pack_by_cumsum(
+    df: DataFrame,
+    *,
+    token_col: str,
+    order_col: str,
+    capacity: int,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Assign ``pack_col`` = the pack index under streaming chunk packing.
+
+    ``pack_id = floor(tokens_before / capacity)`` where ``tokens_before``
+    is the exclusive running token sum in ``order_col`` order — document i
+    starts in the pack its predecessors filled into.
+
+    Single window over a global sort; everything stays in whole-stage
+    codegen. The equivalent SQL (the DuckDB oracle of ``pack_sequences``)::
+
+        floor((sum(n) OVER (ORDER BY id) - n) / capacity)
+    """
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    tokens_before = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn(
+        pack_col, F.floor(tokens_before / F.lit(capacity)).cast("long")
+    )
+
+
+_PACK_OUT = StructType(
+    [
+        StructField("doc", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("pack_id", LongType()),
+    ]
+)
+
+
+def pack_greedy(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """First-fit-decreasing bin packing, parallel over hash buckets.
+
+    Returns ``(doc, n_tokens, pack_id)`` with every pack's token total
+    <= ``capacity`` (a document larger than ``capacity`` gets a pack of
+    its own). ``pack_id`` is globally unique: ``bucket * 2^32 + local``.
+
+    Each bucket packs independently in one Arrow batch — deterministic
+    (items sorted by (tokens desc, id)), no cross-bucket coordination, and
+    the shuffle payload is two longs per document. FFD within a bucket
+    wastes at most ~2/9 over optimal (classic bound); bucketing adds at
+    most one underfull pack per bucket, so choose ``n_buckets`` ~ cluster
+    parallelism, not higher.
+    """
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        items = pdf.sort_values(
+            ["n_tokens", "doc"], ascending=[False, True]
+        ).itertuples(index=False)
+        packs: list[int] = []  # remaining capacity per local pack
+        assign: dict[int, int] = {}
+        for it in items:
+            doc, n = int(it.doc), int(it.n_tokens)
+            for p, rem in enumerate(packs):
+                if rem >= n:
+                    packs[p] = rem - n
+                    assign[doc] = p
+                    break
+            else:
+                packs.append(max(capacity - n, 0))
+                assign[doc] = len(packs) - 1
+        out = pdf[["doc", "n_tokens"]].copy()
+        out["pack_id"] = out["doc"].map(
+            lambda d: (bucket << 32) | assign[int(d)]
+        ).astype("int64")
+        return out
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("bucket"),
+    )
+    return slim.groupBy("bucket").applyInPandas(pack, _PACK_OUT)

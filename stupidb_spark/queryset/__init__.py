@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "setop_bag_trio",
     "events_tumbling",
     "pipeline_prep",
+    "pack_sequences",
     # 20-50: one query per remaining §2 component (round-1 green).
     "project_scalar",
     "project_datetime",
@@ -92,7 +93,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "agg_salted_skew",
     "win_running_sum",
-    "win_rows_bounded",
     "win_range_numeric",
     "win_range_temporal",
     "win_rank",
@@ -118,6 +118,7 @@ PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "text_quality",
     "text_fingerprint_md5",
+    "win_rows_bounded",
     "win_whole_partition",
     "win_multiple",
     "win_stat_frames",

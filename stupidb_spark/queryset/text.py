@@ -319,6 +319,54 @@ def pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != '')) AS n_tokens
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                          / 2048.0) AS BIGINT) AS pack_id
+        FROM t
+    )
+    SELECT pack_id,
+           count(*)                       AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)  AS pack_tokens,
+           min(doc_id)                    AS first_doc,
+           max(doc_id)                    AS last_doc
+    FROM p GROUP BY pack_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing to a 2048-token context budget
+    (operators/packing.py::pack_by_cumsum), rolled up per pack.
+
+    One global sort-window plus one hash agg over (doc_id, n_tokens)
+    longs — the document text never shuffles. The greedy first-fit
+    variant (pack_greedy) is exercised in tests/test_packing.py; this
+    window form is the SQL-expressible oracle path.
+    """
+    from stupidb_spark.operators.packing import pack_by_cumsum
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    p = pack_by_cumsum(
+        t, token_col="n_tokens", order_col="doc_id", capacity=2048
+    )
+    return p.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 @q("text_fingerprint_rolling")  # no SQL oracle: custom fold, verified in tests
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Polynomial rolling hash as a pure Catalyst fold (F.aggregate) — the
