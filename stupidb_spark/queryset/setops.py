@@ -47,63 +47,6 @@ def _sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return left, right
 
 
-@q("setop_union", f"SELECT * FROM ({_LEFT_SQL}) UNION SELECT * FROM ({_RIGHT_SQL})")
-def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Distinct union (stupidb/core.py:416-425).
-    left, right = _sides(spark, sf_dir)
-    return left >> union(right)
-
-
-@q(
-    "setop_union_all",
-    f"SELECT * FROM ({_LEFT_SQL}) UNION ALL SELECT * FROM ({_RIGHT_SQL})",
-)
-def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bag concatenation (stupidb/core.py:428-434).
-    left, right = _sides(spark, sf_dir)
-    return left >> union_all(right)
-
-
-@q(
-    "setop_intersect",
-    f"SELECT * FROM ({_LEFT_SQL}) INTERSECT SELECT * FROM ({_RIGHT_SQL})",
-)
-def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    left, right = _sides(spark, sf_dir)
-    return left >> intersect(right)
-
-
-@q(
-    "setop_intersect_all",
-    f"SELECT * FROM ({_LEFT_SQL}) INTERSECT ALL SELECT * FROM ({_RIGHT_SQL})",
-)
-def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SQL min-multiplicity bag intersect — deliberate deviation from the
-    # reference (quirk Q4).
-    left, right = _sides(spark, sf_dir)
-    return left >> intersect_all(right)
-
-
-@q(
-    "setop_except",
-    f"SELECT * FROM ({_LEFT_SQL}) EXCEPT SELECT * FROM ({_RIGHT_SQL})",
-)
-def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    left, right = _sides(spark, sf_dir)
-    return left >> difference(right)
-
-
-@q(
-    "setop_except_all",
-    f"SELECT * FROM ({_LEFT_SQL}) EXCEPT ALL SELECT * FROM ({_RIGHT_SQL})",
-)
-def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SQL multiset subtraction — deliberate deviation from the reference
-    # (quirk Q4).
-    left, right = _sides(spark, sf_dir)
-    return left >> difference_all(right)
-
-
 def _tagged(op: str, df: DataFrame) -> DataFrame:
     return df.select(F.lit(op).alias("op"), "*")
 

@@ -200,12 +200,17 @@ def win_whole_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
            row_number()   OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
            ntile(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
            percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS prnk,
-           cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS cdist
+           cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS cdist,
+           rank()         OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) - 1 AS rnk0,
+           dense_rank()   OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) - 1 AS drnk0,
+           row_number()   OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) - 1 AS rn0
     FROM customer
     """,
 )
 def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percent_rank = (rank-1)/(n-1): identical integers → identical double.
+    # rnk0/drnk0/rn0 pin the reference's 0-based rank parity (quirk Q3,
+    # stupidb/tests/test_ranking.py:37,68) via zero_based=True.
     ties = partition_window("c_nationkey", order_by=(F.col("c_acctbal").desc(),))
     uniq = partition_window(
         "c_nationkey", order_by=(F.col("c_acctbal").desc(), "c_custkey")
@@ -218,28 +223,6 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         quartile=rk.ntile(4, uniq),
         prnk=rk.percent_rank(ties),
         cdist=rk.cume_dist(ties),
-    )
-
-
-@q(
-    "win_rank_zero_based",
-    """
-    SELECT c_custkey,
-           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) - 1 AS rnk0,
-           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) - 1 AS drnk0,
-           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) - 1 AS rn0
-    FROM customer
-    """,
-)
-def win_rank_zero_based(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Reference parity: its ranks are 0-based (stupidb/tests/test_ranking.py:
-    # 37,68; quirk Q3) — exposed via zero_based=True.
-    ties = partition_window("c_nationkey", order_by=(F.col("c_acctbal").desc(),))
-    uniq = partition_window(
-        "c_nationkey", order_by=(F.col("c_acctbal").desc(), "c_custkey")
-    )
-    return _t(spark, sf_dir, "customer") >> select(
-        "c_custkey",
         rnk0=rk.rank(ties, zero_based=True),
         drnk0=rk.dense_rank(ties, zero_based=True),
         rn0=rk.row_number(uniq, zero_based=True),
@@ -259,7 +242,9 @@ def win_rank_zero_based(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(value, 2, CAST(-1.0 AS DOUBLE)) OVER w         AS next2_value,
            first_value(maybe_value IGNORE NULLS) OVER running  AS first_ok,
            last_value(maybe_value IGNORE NULLS) OVER running   AS last_ok,
-           nth_value(value, 3) OVER running                    AS third_value
+           nth_value(value, 3) OVER running                    AS third_value,
+           list_extract(list(value) OVER running, -1)          AS last_in_frame,
+           list_extract(list(value) OVER running, -2)          AS second_last
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
            running AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -270,7 +255,10 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first/last ALWAYS skip nulls in the reference (quirk Q1,
     # stupidb/functions/navigation/__init__.py:94-98) → IGNORE NULLS here and
     # in the oracle. nth is 0-based in the reference; nav.nth(..., 2) == SQL
-    # nth_value(..., 3). All outputs are passthrough source values.
+    # nth_value(..., 3). last_in_frame/second_last pin the reference's
+    # Python-style NEGATIVE nth indices (quirk Q7,
+    # stupidb/functions/navigation/__init__.py:113-159). All outputs are
+    # passthrough source values.
     e = _t(spark, sf_dir, "events").withColumn(
         "maybe_value",
         F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
@@ -291,6 +279,8 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_ok=F.first("maybe_value", ignorenulls=True).over(running),
         last_ok=F.last("maybe_value", ignorenulls=True).over(running),
         third_value=nav.nth("value", 2, w=running),
+        last_in_frame=nav.nth("value", -1, w=running),
+        second_last=nav.nth("value", -2, w=running),
     )
 
 
@@ -312,33 +302,6 @@ def win_dynamic_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events") >> select(
         "event_id",
         dyn_prev=nav.lag("value", (F.col("event_id") % 3).cast("int"), F.lit(-1.0), w=w),
-    )
-
-
-@q(
-    "win_nth_negative",
-    """
-    SELECT event_id,
-           list_extract(list(value) OVER running, -1) AS last_in_frame,
-           list_extract(list(value) OVER running, -2) AS second_last
-    FROM events
-    WINDOW running AS (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-)
-def win_nth_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Quirk Q7 continued: Python-style negative nth indices
-    # (stupidb/functions/navigation/__init__.py:113-159).
-    running = rows_window(
-        partition_by=("user_id",),
-        order_by=("ts", "event_id"),
-        preceding=None,
-        following=0,
-    )
-    return _t(spark, sf_dir, "events") >> select(
-        "event_id",
-        last_in_frame=nav.nth("value", -1, w=running),
-        second_last=nav.nth("value", -2, w=running),
     )
 
 
