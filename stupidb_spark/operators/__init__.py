@@ -6,7 +6,16 @@ surface a large-scale training-data pipeline needs, built Spark-first.
 """
 
 from stupidb_spark.operators.asof import asof_join, range_join
-from stupidb_spark.operators.ivf import ivf_topk, kmeans_centroids
+from stupidb_spark.operators.ivf import (
+    build_ivf_index,
+    ivf_index,
+    ivf_probe,
+    ivf_topk,
+    ivf_train,
+    kmeans_centroids,
+    load_ivf_index,
+    save_ivf_index,
+)
 from stupidb_spark.operators.dedup import (
     doc_shingles,
     exact_dedup,
@@ -33,6 +42,12 @@ __all__ = [
     "asof_join",
     "range_join",
     "ivf_topk",
+    "ivf_train",
+    "ivf_index",
+    "ivf_probe",
+    "build_ivf_index",
+    "save_ivf_index",
+    "load_ivf_index",
     "kmeans_centroids",
     "doc_shingles",
     "exact_dedup",

@@ -172,8 +172,13 @@ def ivf_probe(
             "cell", "integer"
         ),
     )
+    # The probed cell set is known driver-side — filter it STATICALLY so a
+    # cell-partitioned index scans only probed partitions (partition pruning
+    # at plan time, not dynamic pruning at run time).
+    probed = sorted({int(c) for row in cells for c in row})
     scored = (
-        indexed.join(F.broadcast(probe_pairs), on="cell")
+        indexed.filter(F.col("cell").isin(probed))
+        .join(F.broadcast(probe_pairs), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
@@ -196,6 +201,34 @@ def ivf_probe(
 class _CachedIndex:
     centroids: np.ndarray
     indexed: DataFrame
+
+
+def save_ivf_index(idx: _CachedIndex, path: str) -> None:
+    """Persist an index as a table: the cell assignment partitioned by
+    ``cell`` (so :func:`ivf_probe`'s static cell filter prunes to probed
+    partitions at scan time) plus the centroid matrix as model metadata.
+
+    This is the durable form of :func:`build_ivf_index`'s in-session
+    ``persist()`` — on a cluster the index outlives the session and is
+    shared by every probing job.
+    """
+    idx.indexed.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/cells"
+    )
+    spark = idx.indexed.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(idx.centroids)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> _CachedIndex:
+    """Load a :func:`save_ivf_index` table; probes against it scan only the
+    probed cell partitions."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.stack([np.array(r.centroid, dtype=np.float64) for r in cent_rows])
+    indexed = spark.read.parquet(f"{path}/cells")
+    return _CachedIndex(centroids=centroids, indexed=indexed)
 
 
 # Memoized per-base-table index; keyed by the base plan + build params so a

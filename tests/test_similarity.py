@@ -72,3 +72,54 @@ def test_ivf_recall_vs_brute_force(spark):
     # deterministic (lowest-id seeds, fixed iterations): measured 0.92 at
     # n_probe=6/16 cells on the fixtures
     assert recall >= 0.8, f"IVF recall {recall} below bound"
+
+
+def test_ivf_index_save_load_prunes(spark):
+    """A persisted (cell-partitioned) index probes to identical results,
+    and the probe's static cell filter scans ONLY probed partitions."""
+    import shutil
+    import uuid
+
+    from stupidb_spark.operators.ivf import (
+        _probe_cells,
+        build_ivf_index,
+        ivf_probe,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from stupidb_spark.operators.similarity import collect_query_matrix
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = f"/root/repo/.scratch/ivf-{uuid.uuid4().hex[:8]}"
+    try:
+        idx = build_ivf_index(emb)
+        save_ivf_index(idx, path)
+        loaded = load_ivf_index(spark, path)
+        mem = sorted(
+            map(tuple, ivf_probe(idx.indexed, idx.centroids, queries).collect())
+        )
+        dur = sorted(
+            map(tuple, ivf_probe(loaded.indexed, loaded.centroids, queries).collect())
+        )
+        assert mem == dur
+        # pruning: the probe's cell filter reads only probed partitions
+        _, Q = collect_query_matrix(queries, "vec_id", "embedding")
+        probed = sorted(
+            {int(c) for row in _probe_cells(Q, loaded.centroids, 6) for c in row}
+        )
+        from stupidb_spark.plans import formatted_plan
+
+        pruned = loaded.indexed.filter(F.col("cell").isin(probed))
+        plan = formatted_plan(pruned)
+        # the cell predicate must land in PartitionFilters (pruned at plan
+        # time), not PushedFilters/post-scan Filter
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "cell" in pf[0], f"no partition filter on cell:\n{plan}"
+        # and some cells must actually be excluded on disk
+        n_cells_on_disk = len(
+            {f.split("cell=")[1].split("/")[0] for f in loaded.indexed.inputFiles()}
+        )
+        assert len(probed) < n_cells_on_disk
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
