@@ -115,6 +115,14 @@ EXCHANGE_BUDGETS = {
     "asof_join_orders": 2,
     # salted two-phase agg: exactly two shuffles
     "agg_salted_skew": 2,
+    # prep pipeline: fingerprint-dedup shuffle + language rollup, nothing else
+    "pipeline_prep": 2,
+    # packing: ONE global sort window (the rollup reuses its partitioning)
+    "pack_sequences": 1,
+    # sampling decision fuses into the scan; only the rate rollup shuffles
+    "sample_stratified": 1,
+    # epoch fan-out is a generator in the scan stage: NO shuffle at all
+    "mixture_epochs": 0,
 }
 
 
