@@ -52,6 +52,10 @@ def pack_by_cumsum(
     codegen. The equivalent SQL (the DuckDB oracle of ``pack_sequences``)::
 
         floor((sum(n) OVER (ORDER BY id) - n) / capacity)
+
+    >>> out = pack_by_cumsum(seqs, token_col="n", order_col="id", capacity=100)
+    >>> [(r.id, r.pack_id) for r in out.orderBy("id").collect()]
+    [(1, 0), (2, 0), (3, 1), (4, 1)]
     """
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
     tokens_before = F.sum(token_col).over(w) - F.col(token_col)
@@ -89,6 +93,12 @@ def pack_greedy(
     wastes at most ~2/9 over optimal (classic bound); bucketing adds at
     most one underfull pack per bucket, so choose ``n_buckets`` ~ cluster
     parallelism, not higher.
+
+    >>> out = pack_greedy(seqs, id_col="id", token_col="n",
+    ...                   capacity=100, n_buckets=1)
+    >>> out.groupBy("pack_id").sum("n_tokens").agg(
+    ...     F.max("sum(n_tokens)").alias("m")).collect()[0].m <= 100
+    True
     """
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 import stupidb_spark.functions.navigation as nav_mod
 import stupidb_spark.functions.ranking as rank_mod
 import stupidb_spark.operators.dedup as dedup_mod
+import stupidb_spark.operators.packing as pack_mod
 import stupidb_spark.operators.similarity as sim_mod
 import stupidb_spark.operators.skew as skew_mod
 import stupidb_spark.verbs as verbs_mod
@@ -92,6 +93,10 @@ def test_operator_doctests(spark):
     vecs = spark.createDataFrame(
         [([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>"
     )
+    seqs = spark.createDataFrame(
+        [(1, 60), (2, 50), (3, 40), (4, 70)], "id long, n long"
+    )
     _run(dedup_mod, {"spark": spark, "F": F, "dup_docs": dup_docs}, 1)
     _run(sim_mod, {"spark": spark, "F": F, "vecs": vecs}, 2)
     _run(skew_mod, {"spark": spark, "F": F, "ticks": _ticks(spark)}, 1)
+    _run(pack_mod, {"spark": spark, "F": F, "seqs": seqs}, 2)
