@@ -38,7 +38,7 @@ HEADLINE = [
     "tpch_q17",
     "tpch_q18",
     "agg_grouped_stats",
-    "agg_rollup",
+    "agg_grouping_sets",
     "agg_udaf_sum_sq",
     "join_inner_star",
     "join_fact_fact",
@@ -47,10 +47,10 @@ HEADLINE = [
     "win_running_sum",
     "win_stat_frames",
     "win_rank",
-    "win_dynamic_lag",
+    "win_navigation",
     "win_dynamic_frame",
     "sort_topk",
-    "setop_bag_trio",
+    "setop_six",
     "events_sliding",
     "events_session",
     "asof_join_orders",

@@ -67,11 +67,12 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q17",
     "tpch_q18",
     "join_skew_replicate",
-    "setop_distinct_trio",
-    "setop_bag_trio",
+    "setop_six",
     "events_tumbling",
     "pipeline_prep",
     "pack_sequences",
+    "sample_stratified",
+    "mixture_epochs",
     # 20-50: one query per remaining §2 component (round-1 green).
     "project_scalar",
     "project_datetime",
@@ -91,27 +92,23 @@ PRIORITY: tuple[str, ...] = (
     "agg_grouped_stats",
     "agg_count_distinct",
     "agg_having",
-    "agg_rollup",
+    "agg_grouping_sets",
     "agg_salted_skew",
     "win_running_sum",
     "win_range_numeric",
     "win_range_temporal",
     "win_rank",
     "win_navigation",
-    "win_dynamic_lag",
     "sort_nulls_first",
     "sort_limit_offset",
     "sort_topk",
     # 51+: redundant twins (component already covered above) and plan-shape
     # demos — still oracled, still run in tests/test_oracle_parity.py.
-    "sample_stratified",
-    "mixture_epochs",
     "distinct_rows",
     "tpch_q3",
     "tpch_q6",
     "tpch_q5",
     "agg_median_disc",
-    "agg_cube",
     "text_lang_id",
     "text_quality",
     "text_fingerprint_md5",

@@ -594,37 +594,41 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "agg_rollup",
+    "agg_grouping_sets",
     """
-    SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n, sum(l_quantity) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
     """,
 )
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Grouping-set aggregation — absent in the reference (SURVEY.md §2.4);
-    # native DataFrame rollup here.
+    # native DataFrame groupingSets here. The four explicit sets are the
+    # superset of ROLLUP (first three) and exactly CUBE, so this one query
+    # covers rollup/cube/grouping-sets; `gid` (grouping_id, first column =
+    # most significant bit in both engines) disambiguates the sets without
+    # relying on the key columns being non-null. One Expand + one hash agg —
+    # no re-scan per set at any scale.
     return (
         _t(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+        .groupingSets(
+            [
+                ["l_returnflag", "l_linestatus"],
+                ["l_returnflag"],
+                ["l_linestatus"],
+                [],
+            ],
+            "l_returnflag",
+            "l_linestatus",
+        )
         .agg(
+            F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n"),
             F.sum("l_quantity").alias("qty"),
         )
-    )
-
-
-@q(
-    "agg_cube",
-    """
-    SELECT l_returnflag, l_linestatus, count(*) AS n
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

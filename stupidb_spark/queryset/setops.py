@@ -52,7 +52,7 @@ def _tagged(op: str, df: DataFrame) -> DataFrame:
 
 
 @q(
-    "setop_distinct_trio",
+    "setop_six",
     f"""
     SELECT 'union' AS op, * FROM
         (SELECT * FROM ({_LEFT_SQL}) UNION SELECT * FROM ({_RIGHT_SQL}))
@@ -62,24 +62,7 @@ def _tagged(op: str, df: DataFrame) -> DataFrame:
     UNION ALL
     SELECT 'except' AS op, * FROM
         (SELECT * FROM ({_LEFT_SQL}) EXCEPT SELECT * FROM ({_RIGHT_SQL}))
-    """,
-)
-def setop_distinct_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three distinct set operations over the same two sides, tagged and
-    stacked — one hard-signal correctness row covering ``union`` /
-    ``intersect`` / ``difference`` (stupidb/core.py:416-425,437-450,479-490)
-    in a single query."""
-    left, right = _sides(spark, sf_dir)
-    return (
-        _tagged("union", left >> union(right))
-        >> union_all(_tagged("intersect", left >> intersect(right)))
-        >> union_all(_tagged("except", left >> difference(right)))
-    )
-
-
-@q(
-    "setop_bag_trio",
-    f"""
+    UNION ALL
     SELECT 'union_all' AS op, * FROM
         (SELECT * FROM ({_LEFT_SQL}) UNION ALL SELECT * FROM ({_RIGHT_SQL}))
     UNION ALL
@@ -90,13 +73,18 @@ def setop_distinct_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT * FROM ({_LEFT_SQL}) EXCEPT ALL SELECT * FROM ({_RIGHT_SQL}))
     """,
 )
-def setop_bag_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three bag (ALL) set operations, tagged and stacked — one row
-    covering ``union_all`` / ``intersect_all`` / ``difference_all`` with SQL
-    multiset semantics (quirk Q4 deviation from the reference)."""
+def setop_six(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six set operations over the same two sides, tagged and stacked —
+    one hard-signal correctness row covering ``union`` / ``intersect`` /
+    ``difference`` (stupidb/core.py:416-425,437-450,479-490) and their bag
+    (ALL) variants with SQL multiset semantics (quirk Q4 deviation from the
+    reference for ``intersect_all`` / ``difference_all``)."""
     left, right = _sides(spark, sf_dir)
     return (
-        _tagged("union_all", left >> union_all(right))
+        _tagged("union", left >> union(right))
+        >> union_all(_tagged("intersect", left >> intersect(right)))
+        >> union_all(_tagged("except", left >> difference(right)))
+        >> union_all(_tagged("union_all", left >> union_all(right)))
         >> union_all(_tagged("intersect_all", left >> intersect_all(right)))
         >> union_all(_tagged("except_all", left >> difference_all(right)))
     )

@@ -244,7 +244,9 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_value(maybe_value IGNORE NULLS) OVER running   AS last_ok,
            nth_value(value, 3) OVER running                    AS third_value,
            list_extract(list(value) OVER running, -1)          AS last_in_frame,
-           list_extract(list(value) OVER running, -2)          AS second_last
+           list_extract(list(value) OVER running, -2)          AS second_last,
+           lag(value, CAST(event_id % 3 AS INTEGER), CAST(-1.0 AS DOUBLE))
+               OVER w                                          AS dyn_prev
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
            running AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -258,7 +260,11 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nth_value(..., 3). last_in_frame/second_last pin the reference's
     # Python-style NEGATIVE nth indices (quirk Q7,
     # stupidb/functions/navigation/__init__.py:113-159). All outputs are
-    # passthrough source values.
+    # passthrough source values. dyn_prev pins the reference's per-row
+    # CALLABLE offsets (quirk Q7, stupidb/api.py:841-888): Spark has no
+    # dynamic lag, so it takes the documented collect_list slow path
+    # (stupidb_spark/functions/navigation.py); DuckDB's native dynamic lag is
+    # the oracle.
     e = _t(spark, sf_dir, "events").withColumn(
         "maybe_value",
         F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
@@ -281,27 +287,9 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         third_value=nav.nth("value", 2, w=running),
         last_in_frame=nav.nth("value", -1, w=running),
         second_last=nav.nth("value", -2, w=running),
-    )
-
-
-@q(
-    "win_dynamic_lag",
-    """
-    SELECT event_id,
-           lag(value, CAST(event_id % 3 AS INTEGER), CAST(-1.0 AS DOUBLE))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dyn_prev
-    FROM events
-    """,
-)
-def win_dynamic_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Quirk Q7: per-row callable offsets (stupidb/api.py:841-888). Spark has
-    # no dynamic lag → documented collect_list slow path
-    # (stupidb_spark/functions/navigation.py). DuckDB's native dynamic lag is
-    # the oracle.
-    w = partition_window("user_id", order_by=("ts", "event_id"))
-    return _t(spark, sf_dir, "events") >> select(
-        "event_id",
-        dyn_prev=nav.lag("value", (F.col("event_id") % 3).cast("int"), F.lit(-1.0), w=w),
+        dyn_prev=nav.lag(
+            "value", (F.col("event_id") % 3).cast("int"), F.lit(-1.0), w=w
+        ),
     )
 
 
