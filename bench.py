@@ -67,6 +67,11 @@ HEADLINE = [
     "text_metrics",
     "text_lang_id",
     "pipeline_prep",
+    "chunk_documents",
+    "contamination_ngram",
+    "pii_redact",
+    "shuffle_deterministic",
+    "terms_topk",
 ]
 
 

@@ -112,3 +112,27 @@ def rolling_hash_py(text: str) -> int:
     for ch in norm:
         acc = (acc * 31 + ord(ch)) % _ROLLING_MOD
     return acc
+
+
+# PII regexes — deliberately the common Java-regex/RE2 subset so the Spark
+# expression and the DuckDB oracle compile the same pattern text. Redaction
+# order matters: emails first (their domains contain dots that the IPv4
+# pattern must never see pre-masked).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(c: ColumnLike) -> tuple[Column, Column]:
+    """(email_count, ipv4_count) over the raw text — counted BEFORE any
+    redaction so audits see the true incidence."""
+    return (
+        F.regexp_count(_col(c), F.lit(EMAIL_RE)),
+        F.regexp_count(_col(c), F.lit(IPV4_RE)),
+    )
+
+
+def redact_pii(c: ColumnLike) -> Column:
+    """Mask emails then IPv4 addresses — a pure codegen'd expression pair
+    (regexp_replace), zero-shuffle at any scale."""
+    masked = F.regexp_replace(_col(c), EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(masked, IPV4_RE, "<IP>")

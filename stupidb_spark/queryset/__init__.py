@@ -40,6 +40,7 @@ from stupidb_spark.queryset import similarity  # noqa: E402,F401
 from stupidb_spark.queryset import multimodal  # noqa: E402,F401
 from stupidb_spark.queryset import udaf  # noqa: E402,F401
 from stupidb_spark.queryset import sampling  # noqa: E402,F401
+from stupidb_spark.queryset import prep  # noqa: E402,F401
 
 # Registration priority. The driver's correctness gate records rows for the
 # first N (observed: 50) registered queries, so the first 50 positions below
@@ -73,9 +74,10 @@ PRIORITY: tuple[str, ...] = (
     "pack_sequences",
     "sample_stratified",
     "mixture_epochs",
+    "chunk_documents",
+    "contamination_ngram",
     # 20-50: one query per remaining §2 component (round-1 green).
     "project_scalar",
-    "project_datetime",
     "mutate_derived",
     "filter_compound",
     "join_cross",
@@ -89,7 +91,6 @@ PRIORITY: tuple[str, ...] = (
     "join_anti_not_exists",
     "agg_computed_key",
     "agg_global_all12",
-    "agg_grouped_stats",
     "agg_count_distinct",
     "agg_having",
     "agg_grouping_sets",
@@ -104,6 +105,11 @@ PRIORITY: tuple[str, ...] = (
     "sort_topk",
     # 51+: redundant twins (component already covered above) and plan-shape
     # demos — still oracled, still run in tests/test_oracle_parity.py.
+    "shuffle_deterministic",
+    "terms_topk",
+    "pii_redact",
+    "project_datetime",
+    "agg_grouped_stats",
     "distinct_rows",
     "tpch_q3",
     "tpch_q6",

@@ -1,0 +1,250 @@
+"""Training-data prep queries: chunking, benchmark contamination, PII
+redaction, seeded corpus shuffle, vocabulary statistics.
+
+Extension surface (SURVEY.md §7) — the operations between "raw crawl" and
+"tokenizer input" that the reference has no analogue for. Everything here
+is pure Column expressions over ``documents``; the only shuffles are the
+aggregations that the semantics require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from stupidb_spark.functions.text import (
+    EMAIL_RE,
+    IPV4_RE,
+    pii_counts,
+    redact_pii,
+    words,
+)
+from stupidb_spark.operators.chunking import chunk_text
+from stupidb_spark.operators.dedup import doc_shingles
+from stupidb_spark.operators.ordering import seeded_positions
+from stupidb_spark.queryset import q
+from stupidb_spark.sources import load_table
+
+CHUNK_SIZE, CHUNK_STRIDE = 200, 150
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 plays the "benchmark" holdout
+TOPK_TERMS = 20
+
+# 5-word-gram sets per document, mirrored exactly by operators/dedup.py::
+# doc_shingles(k=5) (posexplode + lead window on the Spark side — see that
+# docstring for why NOT an array comprehension there).
+_DUCK_GRAMS5 = """
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3] || ' ' || w[i+4]
+                              for i in range(1, len(w) - 3)]) AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 t -> t != '') AS w
+              FROM documents)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@q(
+    "chunk_documents",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(floor(greatest(length(text) - 1, 0) / {CHUNK_STRIDE})
+                    AS BIGINT) + 1 AS n_chunks
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM d
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * {CHUNK_STRIDE} AS chunk_start,
+           substr(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INTEGER),
+                  {CHUNK_SIZE}) AS chunk_text,
+           CAST(length(substr(text,
+                              CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INTEGER),
+                              {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+    FROM e
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overlapping fixed-size chunks (size 200, stride 150): a generator
+    # inside the scan stage — zero shuffles at any corpus size.
+    return chunk_text(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        size=CHUNK_SIZE,
+        stride=CHUNK_STRIDE,
+    )
+
+
+@q(
+    "contamination_ngram",
+    f"""
+    WITH sh AS ({_DUCK_GRAMS5}),
+    bench AS (
+        SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, s FROM sh
+        WHERE doc_id % {BENCH_MOD} != 0 AND len(s) > 0
+    ),
+    cg AS (SELECT doc_id, unnest(s) AS gram FROM corpus),
+    hits AS (
+        SELECT cg.doc_id, count(*) AS n_hits
+        FROM cg JOIN bench USING (gram) GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(len(c.s) AS BIGINT)  AS n_grams,
+           coalesce(h.n_hits, 0)     AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, how many of its
+    distinct 5-word-grams also appear in the benchmark holdout.
+
+    The benchmark gram set is small by construction → broadcast to the
+    corpus-gram join; the corpus side is the same exploded (doc, gram)
+    stream the dedup operators use, so at 100 TB this is one map-side join
+    plus one groupBy(doc) shuffle — never a doc×doc comparison.
+    """
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_grams = (
+        doc_shingles(docs.filter(is_bench), id_col="doc_id", text_col="text", k=5)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus_grams = doc_shingles(
+        docs.filter(~is_bench), id_col="doc_id", text_col="text", k=5
+    )
+    # single pass: broadcast-left-join the hit marker onto the gram stream,
+    # then ONE groupBy(doc) computes both counts — the corpus shingle
+    # pipeline appears exactly once in the plan and no doc-aligning shuffle
+    # join exists at all
+    per_doc = (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc").alias("doc_id"),
+        "n_grams",
+        "n_hits",
+        (F.col("n_hits") > 0).alias("contaminated"),
+    )
+
+
+# The fixture corpus is synthetic word-salad with no literal PII, so the
+# query plants a deterministic contact string per row (both engines, same
+# expression) and then redacts it — the regex path is genuinely exercised
+# and the counts are verifiably nonzero.
+_DUCK_SYNTH = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' "
+    "|| CAST(doc_id % 250 AS VARCHAR)"
+)
+
+
+@q(
+    "pii_redact",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_SYNTH} AS text2 FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text2, '{EMAIL_RE}'))  AS n_emails,
+           len(regexp_extract_all(text2, '{IPV4_RE}'))   AS n_ips,
+           regexp_replace(regexp_replace(text2, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{IPV4_RE}', '<IP>', 'g')      AS redacted
+    FROM t
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Counts are taken pre-redaction; masking order (emails, then IPv4) is
+    # part of the contract — see functions/text.py. Pure regexp_replace /
+    # regexp_count expressions: codegen'd, zero-shuffle.
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+    )
+    n_emails, n_ips = pii_counts(text2)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        redact_pii(text2).alias("redacted"),
+    )
+
+
+@q(
+    "shuffle_deterministic",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                ORDER BY md5('s1:' || CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seeded global shuffle positions WITHOUT a global sort: md5-prefix
+    # bucketing + per-bucket row_number + 256-row offset agg
+    # (operators/ordering.py). The oracle is the naive single-partition
+    # formulation — the point of the test is that the sort-free plan
+    # reproduces it exactly.
+    return seeded_positions(
+        _docs(spark, sf_dir).select("doc_id"), id_col="doc_id", seed="s1"
+    )
+
+
+@q(
+    "terms_topk",
+    f"""
+    WITH t AS (
+        SELECT lang,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  w -> w != '')) AS term
+        FROM documents
+    ),
+    c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY 1, 2),
+    r AS (
+        SELECT lang, term, n,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term)
+                    AS BIGINT) AS rnk
+        FROM c
+    )
+    SELECT lang, term, n, rnk FROM r WHERE rnk <= {TOPK_TERMS}
+    """,
+)
+def terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-language top-k vocabulary: explode → two-phase hash agg (map-side
+    # partial combine collapses the token stream before the shuffle) →
+    # per-lang window rank. Tiebreak on term keeps the cut deterministic.
+    counts = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rnk = F.row_number().over(W.partitionBy("lang").orderBy(F.desc("n"), "term"))
+    return (
+        counts.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= TOPK_TERMS)
+    )

@@ -12,7 +12,9 @@ from pyspark.sql.window import Window
 
 import stupidb_spark.functions.navigation as nav_mod
 import stupidb_spark.functions.ranking as rank_mod
+import stupidb_spark.operators.chunking as chunk_mod
 import stupidb_spark.operators.dedup as dedup_mod
+import stupidb_spark.operators.ordering as order_mod
 import stupidb_spark.operators.packing as pack_mod
 import stupidb_spark.operators.similarity as sim_mod
 import stupidb_spark.operators.skew as skew_mod
@@ -100,3 +102,5 @@ def test_operator_doctests(spark):
     _run(sim_mod, {"spark": spark, "F": F, "vecs": vecs}, 2)
     _run(skew_mod, {"spark": spark, "F": F, "ticks": _ticks(spark)}, 1)
     _run(pack_mod, {"spark": spark, "F": F, "seqs": seqs}, 2)
+    _run(chunk_mod, {"spark": spark, "F": F}, 1)
+    _run(order_mod, {"spark": spark, "F": F}, 1)

@@ -123,6 +123,18 @@ EXCHANGE_BUDGETS = {
     "sample_stratified": 1,
     # epoch fan-out is a generator in the scan stage: NO shuffle at all
     "mixture_epochs": 0,
+    # chunk fan-out is likewise a scan-stage generator: NO shuffle
+    "chunk_documents": 0,
+    # PII counting + masking are codegen'd regex expressions: NO shuffle
+    "pii_redact": 0,
+    # per-doc gram windows + dedup (bench + corpus sides) + the single
+    # combined groupBy; bench grams broadcast, no doc-aligning join
+    "contamination_ngram": 5,
+    # bucket offsets agg + tiny offset window + per-bucket rank window
+    # (the broadcast join back adds no exchange)
+    "shuffle_deterministic": 3,
+    # two-phase term count + per-lang rank window
+    "terms_topk": 2,
 }
 
 
