@@ -37,6 +37,11 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q17",
     "tpch_q18",
+    "tpch_q4",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q19",
+    "tpch_q22",
     "agg_grouped_stats",
     "agg_grouping_sets",
     "agg_udaf_sum_sq",

@@ -114,6 +114,11 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q3",
     "tpch_q6",
     "tpch_q5",
+    "tpch_q4",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q19",
+    "tpch_q22",
     "agg_median_disc",
     "text_lang_id",
     "text_quality",
@@ -123,6 +128,8 @@ PRIORITY: tuple[str, ...] = (
     "win_multiple",
     "win_stat_frames",
     "events_sliding",
+    "text_fingerprint_rolling",
+    "agg_approx_sketch",
 )
 
 

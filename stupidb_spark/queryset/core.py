@@ -1033,3 +1033,233 @@ def agg_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         >> sift(F.col("rn") == F.floor((F.col("n") + 1) / 2))
         >> select("l_returnflag", median_price=F.col("l_extendedprice"))
     )
+
+
+# ---------------------------------------------------------------------------
+# more TPC-H plan shapes (Q4/Q12/Q14/Q19/Q22, adapted to fixture columns) —
+# correlated EXISTS, conditional aggregation, promo ratio, disjunctive join
+# predicates, scalar-subquery filter + anti join
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > TIMESTAMP '1996-10-01')
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-priority-checking shape: correlated EXISTS decorrelated to a
+    # LEFT SEMI join — the fact side is pre-filtered by the pushed-down date
+    # range, the lineitem side by its own shipdate predicate, and the semi
+    # join never widens rows (no dedup needed, unlike an inner join +
+    # distinct). The fixture has no l_commitdate/l_receiptdate, so "late"
+    # is l_shipdate past the window end. (TPC-H Q4 shape.)
+    orders = _t(spark, sf_dir, "orders") >> sift(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late_lines = _t(spark, sf_dir, "lineitem") >> sift(
+        F.col("l_shipdate") > F.lit("1996-10-01").cast("timestamp")
+    )
+    return (
+        orders
+        >> semi_join(late_lines, F.col("l_orderkey") == F.col("o_orderkey"))
+        >> group_by("o_orderpriority")
+        >> aggregate(order_count=F.count(F.lit(1)))
+    )
+
+
+@q(
+    "tpch_q12",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_prio_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_prio_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shipping-mode shape (l_returnflag stands in for the fixture's missing
+    # l_shipmode): one fact-fact join, then CONDITIONAL aggregation — the
+    # two priority classes are CASE sums inside a single hash agg, not two
+    # scans or a pivot shuffle. (TPC-H Q12 shape.)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = _t(spark, sf_dir, "lineitem") >> sift(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li
+        >> inner_join(
+            _t(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        >> group_by("l_returnflag")
+        >> aggregate(
+            high_prio_count=F.sum(F.when(high, 1).otherwise(0)),
+            low_prio_count=F.sum(F.when(~high, 1).otherwise(0)),
+        )
+    )
+
+
+@q(
+    "tpch_q14",
+    f"""
+    SELECT 100.00 * {X.sql_dsum(
+        "CASE WHEN p_type = 'PROMO' THEN " + _DISC_PRICE_SQL + " ELSE 0 END", 4
+    )} / {X.sql_dsum(_DISC_PRICE_SQL, 4)} AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Promotion-effect shape: broadcast dim join + a ratio of two
+    # conditional exact sums in ONE aggregate (a naive plan computes the
+    # numerator and denominator as separate subqueries and scans twice).
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    li = _t(spark, sf_dir, "lineitem") >> sift(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    return (
+        li
+        >> inner_join(
+            _t(spark, sf_dir, "part") >> select("p_partkey", "p_type"),
+            F.col("p_partkey") == F.col("l_partkey"),
+            broadcast=True,
+        )
+        >> aggregate(
+            promo_revenue=F.lit(100.0) * X.dsum(promo, 4) / X.dsum(disc_price, 4)
+        )
+    )
+
+
+@q(
+    "tpch_q19",
+    f"""
+    SELECT {X.sql_dsum(_DISC_PRICE_SQL, 4)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Discounted-revenue shape: disjunction of brand/size/quantity
+    # conjunctions across BOTH join sides. The part-only prefix of the
+    # disjunction (brand+size) is applied to the dim before the broadcast
+    # join — shrinking the build side — and the full mixed predicate after;
+    # Catalyst cannot split an OR across tables itself, so deriving the
+    # dim-side filter by hand is the 100 TB move. (TPC-H Q19 shape.)
+    part_pred = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    full_pred = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        >> inner_join(
+            _t(spark, sf_dir, "part")
+            >> sift(part_pred)
+            >> select("p_partkey", "p_brand", "p_size"),
+            F.col("p_partkey") == F.col("l_partkey"),
+            broadcast=True,
+        )
+        >> sift(full_pred)
+        >> aggregate(
+            revenue=X.dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            )
+        )
+    )
+
+
+@q(
+    "tpch_q22",
+    f"""
+    WITH cutoff AS (
+        SELECT {X.sql_davg('c_acctbal', 2)} AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           {X.sql_dsum('c_acctbal', 2)} AS totacctbal
+    FROM customer, cutoff
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        AND o_orderdate >= TIMESTAMP '1997-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global-market-opportunity shape (c_nationkey stands in for the
+    # fixture's missing phone country code): an uncorrelated scalar
+    # subquery (global average balance) becomes a 1-row broadcast
+    # cross join — every executor compares against the same cutoff, no
+    # second scan per row — and NOT EXISTS becomes a LEFT ANTI join
+    # against orders. Every fixture customer has ≥1 order, so the anti
+    # join is against a filtered subset (no recent high-priority order)
+    # to keep the result non-vacuous. The exact davg/dsum forms keep the
+    # cutoff comparison bit-identical across engines. (TPC-H Q22 shape.)
+    cust = _t(spark, sf_dir, "customer")
+    cutoff = (
+        cust
+        >> sift(F.col("c_acctbal") > 0.0)
+        >> aggregate(avg_bal=X.davg("c_acctbal", 2))
+    )
+    return (
+        cust
+        >> cross_join(F.broadcast(cutoff))
+        >> sift(F.col("c_acctbal") > F.col("avg_bal"))
+        >> anti_join(
+            _t(spark, sf_dir, "orders")
+            >> sift(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            )
+            >> select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        >> group_by("c_nationkey")
+        >> aggregate(
+            numcust=F.count(F.lit(1)),
+            totacctbal=X.dsum("c_acctbal", 2),
+        )
+    )

@@ -367,11 +367,30 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("text_fingerprint_rolling")  # no SQL oracle: custom fold, verified in tests
+@q(
+    "text_fingerprint_rolling",
+    """
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            [CAST(ascii(t[i]) AS BIGINT)
+                             for i in range(1, len(t) + 1)]),
+               (acc, c) -> (acc * 31 + c) % 2147483647
+           ) AS fp_roll
+    FROM n
+    """,
+)
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Polynomial rolling hash as a pure Catalyst fold (F.aggregate) — the
-    # document-fingerprinting shape from SURVEY.md §7; cross-checked against
-    # a Python reference implementation in tests/test_text.py.
+    # document-fingerprinting shape from SURVEY.md §7. The modulus 2^31-1
+    # keeps every intermediate < 2^36, so the 64-bit fold never wraps and
+    # the DuckDB list_reduce oracle (and the Python reference in
+    # tests/test_text.py) reproduce it bit-exactly.
     return _docs(spark, sf_dir) >> select(
         "doc_id", fp_roll=T.fingerprint_rolling("text")
     )

@@ -71,3 +71,32 @@ def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         >> group_by("p_brand")
         >> aggregate(geo_price=udaf_column(GeometricMean, "p_retailprice"))
     )
+
+
+@q("agg_approx_sketch")  # approximate sketches — no SQL oracle (HLL++ /
+# KLL internals differ per engine); error bounds pinned in tests/test_udaf.py
+def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per return flag: HyperLogLog++ distinct-part
+    estimate and approximate median price.
+
+    The 100 TB rationale: exact count-distinct shuffles every distinct key
+    (`agg_count_distinct`'s Expand doubles the stream), while an HLL sketch
+    is a few KB of mergeable state per group — partial aggregation sends
+    sketches, not keys. Same story for `percentile_approx` (a mergeable
+    quantile sketch) vs the exact window-rank median (`agg_median_disc`,
+    which needs a full per-group sort). The exact twins in this inventory
+    are the correctness baseline the error-bound tests compare against.
+    """
+    from stupidb_spark.sources import load_table
+
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+                "approx_median_price"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -163,3 +163,35 @@ def test_tpch_q18_aggregates_before_join(spark):
     plan = formatted_plan(QUERIES["tpch_q18"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q4_semi_join_no_dedup(spark):
+    # EXISTS must decorrelate to LeftSemi — no inner-join + distinct shape
+    df = QUERIES["tpch_q4"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    # the only aggregate is the final priority rollup (partial+final pair);
+    # a dedup-based plan would add a third distinct-aggregate node
+    import re
+
+    agg_nodes = set(re.findall(r"\((\d+)\) HashAggregate", plan))
+    assert len(agg_nodes) <= 2, agg_nodes
+
+
+def test_tpch_q19_prefilters_dim_and_broadcasts(spark):
+    df = QUERIES["tpch_q19"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the brand/size prefix of the disjunction reaches the part scan
+    assert any("p_brand" in f for f in pushed_filters(df))
+
+
+def test_tpch_q22_broadcast_scalar_and_anti(spark):
+    df = QUERIES["tpch_q22"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the 1-row cutoff is broadcast (nested-loop over a single row), the
+    # NOT EXISTS is a LeftAnti, and nothing plans a cartesian product
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -71,3 +71,33 @@ def test_empty_group_yields_null(spark):
     df = spark.createDataFrame([(1, None)], "k int, x double")
     out = df.groupBy("k").agg(udaf_column(SumOfSquares, "x").alias("v")).collect()
     assert out[0].v is None
+
+
+def test_approx_sketch_error_bounds(spark):
+    """HLL++ estimate within its configured rsd (with slack) of the exact
+    distinct count; the quantile sketch's median lands between the exact
+    45th and 55th percentiles per group."""
+    from stupidb_spark.queryset import QUERIES
+
+    approx = {
+        r.l_returnflag: r
+        for r in QUERIES["agg_approx_sketch"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in (
+            load_table(spark, SF_DIR, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("n_parts"),
+                F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+                F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+            )
+            .collect()
+        )
+    }
+    assert approx.keys() == exact.keys()
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_parts - e.n_parts) <= max(0.05 * e.n_parts, 2.0)
+        assert e.p45 <= a.approx_median_price <= e.p55
