@@ -63,7 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_udaf_sum_sq",
     "agg_udaf_salted",
     "text_metrics",
-    "text_token_stats",
+    "pii_redact",
     "win_dynamic_frame",
     "tpch_q17",
     "tpch_q18",
@@ -83,7 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "join_cross",
     "join_inner_star",
     "join_theta",
-    "join_fact_fact",
+    "terms_topk",
     "join_left_nullpad",
     "join_right",
     "join_full_outer",
@@ -92,7 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_computed_key",
     "agg_global_all12",
     "agg_count_distinct",
-    "agg_having",
+    "agg_median_disc",
     "agg_grouping_sets",
     "agg_salted_skew",
     "win_running_sum",
@@ -106,8 +106,9 @@ PRIORITY: tuple[str, ...] = (
     # 51+: redundant twins (component already covered above) and plan-shape
     # demos — still oracled, still run in tests/test_oracle_parity.py.
     "shuffle_deterministic",
-    "terms_topk",
-    "pii_redact",
+    "text_token_stats",
+    "join_fact_fact",
+    "agg_having",
     "project_datetime",
     "agg_grouped_stats",
     "distinct_rows",
@@ -119,7 +120,6 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q14",
     "tpch_q19",
     "tpch_q22",
-    "agg_median_disc",
     "text_lang_id",
     "text_quality",
     "text_fingerprint_md5",

@@ -183,8 +183,16 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                length(text)                                        AS n_chars_raw,
                length(text) - length(regexp_replace(text,
                    '[.,;:!?''"()\\[\\]-]', '', 'g'))               AS n_punct,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        FROM documents
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                [CAST(ascii(t[i]) AS BIGINT)
+                                 for i in range(1, len(t) + 1)]),
+                   (acc, c) -> (acc * 31 + c) % 2147483647
+               ) AS fp_roll
+        FROM (SELECT *,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents)
     )
     SELECT doc_id,
            CASE WHEN score_en + score_fr + score_de + score_es = 0 THEN 'und'
@@ -198,16 +206,16 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
            {X.sql_dround('CAST(score_en AS DOUBLE) / n_tokens')}   AS stop_ratio,
            (n_tokens >= 5 AND n_tokens <= 10000
             AND CAST(n_punct AS DOUBLE) / n_chars_raw < 0.2) AS passes_quality,
-           fp
+           fp, fp_roll
     FROM m
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-document text profile: language ID + quality heuristics
-    + content fingerprint — the combined form of ``text_lang_id`` /
-    ``text_quality`` / ``text_fingerprint_md5`` (single scan, single
-    projection; the three metric families a pretraining pipeline computes
-    together before filtering).
+    + content fingerprints — the combined form of ``text_lang_id`` /
+    ``text_quality`` / ``text_fingerprint_md5`` / ``text_fingerprint_rolling``
+    (single scan, single projection; the metric families a pretraining
+    pipeline computes together before filtering).
 
     All pure Column expressions inside one whole-stage-codegen projection —
     at 100 TB this runs at scan speed with zero shuffles.
@@ -231,6 +239,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (n_punct.cast("double") / n_chars_raw < 0.2)
         ),
         fp=T.fingerprint_md5("text"),
+        fp_roll=T.fingerprint_rolling("text"),
     )
 
 
