@@ -164,6 +164,46 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "events_attribution",
+    """
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id, v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON c.user_id = v.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 4 HOUR
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval self-join: each click attributed to the same user's views in
+    # the preceding 4 hours. The equi key (user_id) carries the shuffle —
+    # the time range is a post-join filter on co-located rows, never a
+    # cartesian pair explosion. Batch twin of
+    # ``streaming.attribution_stream`` (same join condition; the streaming
+    # form adds watermarks so the buffered state is horizon-bounded).
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 4 HOURS")),
+        )
+        .select("view_id", "click_id", "user_id", "view_ts", "click_ts")
+    )
+
+
+@q(
     "range_join_buckets",
     f"""
     SELECT b.bucket_name,

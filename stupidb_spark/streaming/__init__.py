@@ -10,6 +10,7 @@ transfers to the stream, and adds a custom stateful operator built on
 """
 
 from stupidb_spark.streaming.events import (
+    attribution_stream,
     deduped_stream,
     run_to_memory,
     sessionized_stream,
@@ -24,6 +25,7 @@ __all__ = [
     "tumbling_stream",
     "sliding_stream",
     "sessionized_stream",
+    "attribution_stream",
     "deduped_stream",
     "user_running_totals",
     "run_to_memory",

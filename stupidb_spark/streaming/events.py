@@ -160,6 +160,49 @@ def deduped_stream(
     )
 
 
+def attribution_stream(
+    events: DataFrame,
+    *,
+    horizon: str = "4 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click attributed to the same user's
+    views in the preceding ``horizon``. Streaming twin of
+    ``events_attribution``.
+
+    Both sides carry a watermark and the join condition bounds ``click_ts``
+    relative to ``view_ts`` — together these let Spark evict buffered rows
+    once the event-time high-water-mark passes ``view_ts + horizon +
+    watermark``, so join state is O(events per horizon window), independent
+    of stream length. Without the time-range condition a stream-stream inner
+    join must buffer BOTH streams forever.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("view_id", "click_id", "user_id", "view_ts", "click_ts")
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator — the reference's step/combine/finalize shape,
 # re-expressed as Arrow-batched grouped-map-with-state

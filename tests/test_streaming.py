@@ -58,6 +58,20 @@ def test_session_stream_equals_batch(spark, staged_events):
     _assert_same(result, QUERIES["events_session"](spark, SF_DIR))
 
 
+def test_attribution_stream_equals_batch(spark, staged_events):
+    """Stream-stream interval join (views ⋈ clicks within the horizon) must
+    produce exactly the batch twin's pairs."""
+    from stupidb_spark.streaming import attribution_stream
+
+    stream = attribution_stream(stream_events(spark, str(staged_events)))
+    ckpt = str(staged_events) + "-ckpt"
+    result = run_to_memory(
+        stream, "t_attribution", output_mode="append", checkpoint_dir=ckpt
+    )
+    _assert_same(result, QUERIES["events_attribution"](spark, SF_DIR))
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_deduped_stream_drops_cross_batch_duplicates(spark, staged_events):
     """Stage the fixture twice (two micro-batches of identical events —
     an at-least-once redelivery); the deduped stream must equal the batch
