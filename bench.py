@@ -58,9 +58,12 @@ HEADLINE = [
     "setop_six",
     "events_sliding",
     "events_session",
+    "events_attribution",
+    "events_props_json",
     "asof_join_orders",
     "range_join_buckets",
     "dedup_exact",
+    "dedup_components",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

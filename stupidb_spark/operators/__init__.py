@@ -6,6 +6,7 @@ surface a large-scale training-data pipeline needs, built Spark-first.
 """
 
 from stupidb_spark.operators.asof import asof_join, range_join
+from stupidb_spark.operators.components import connected_components
 from stupidb_spark.operators.ivf import (
     build_ivf_index,
     ivf_index,
@@ -41,6 +42,7 @@ from stupidb_spark.operators.skew import replicate_join, salted_aggregate, with_
 __all__ = [
     "asof_join",
     "range_join",
+    "connected_components",
     "ivf_topk",
     "ivf_train",
     "ivf_index",

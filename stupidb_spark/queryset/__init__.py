@@ -105,7 +105,9 @@ PRIORITY: tuple[str, ...] = (
     "sort_topk",
     # 51+: redundant twins (component already covered above) and plan-shape
     # demos — still oracled, still run in tests/test_oracle_parity.py.
+    "dedup_components",
     "events_attribution",
+    "events_props_json",
     "shuffle_deterministic",
     "text_token_stats",
     "join_fact_fact",

@@ -81,6 +81,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", X.dround("jaccard").alias("jaccard"))
 
 
+@q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT q.node, e.dst FROM reach q JOIN edges e ON e.src = q.r
+    )
+    SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairs → clusters: min-label propagation over the near-dup pair graph
+    # (operators/components.py) resolves the transitive closure that pair
+    # emitters can't express — A~B and B~C cluster all three. The DuckDB
+    # oracle computes the same closure with a recursive CTE; every doc
+    # appears (singletons are their own component).
+    from stupidb_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, id_col="doc_id", text_col="text", k=3, threshold=0.5)
+    labels = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=docs.select("doc_id")
+    )
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 @q("dedup_minhash_lsh")  # approximate — no SQL oracle; verified in tests
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash(32) + LSH(8 bands × 4) candidates, verified with exact Jaccard.

@@ -17,7 +17,7 @@ from stupidb_spark.operators.asof import asof_join, range_join
 from stupidb_spark.functions import exact as X
 from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
-from stupidb_spark.verbs import select
+from stupidb_spark.verbs import aggregate, group_by, select
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +161,41 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left",
     )
     return joined.select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+@q(
+    "events_props_json",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_keys,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+               / count(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-structured extraction: the ``props`` column is a JSON payload;
+    # ``from_json`` with a *typed* schema parses it JVM-side inside codegen
+    # (never a Python UDF), after which the extracted field is an ordinary
+    # long column — predicate pushdown and whole-stage codegen both apply.
+    # At 100 TB the parse cost is one pass at scan speed; the single exact
+    # int division makes avg_k bit-identical across engines.
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        _events(spark, sf_dir)
+        .withColumn("k", k)
+        >> group_by("event_type")
+        >> aggregate(
+            n_events=F.count(F.lit(1)),
+            n_keys=F.count_distinct(F.col("k")),
+            sum_k=F.sum("k"),
+            avg_k=F.sum("k").cast("double") / F.count(F.lit(1)),
+        )
+    )
 
 
 @q(
