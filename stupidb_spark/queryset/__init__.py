@@ -108,6 +108,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_components",
     "events_attribution",
     "events_props_json",
+    "agg_pivot_priority",
+    "agg_unpivot_measures",
     "shuffle_deterministic",
     "text_token_stats",
     "join_fact_fact",

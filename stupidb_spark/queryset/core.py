@@ -1210,6 +1210,87 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_pivot_priority",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+               AS n_urgent,
+           count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+               AS n_high,
+           count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+               AS n_medium,
+           count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+               AS n_notspec,
+           count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot (long → wide): order counts per year × priority class. The
+    # pivot values are PINNED — with an explicit value list Spark compiles
+    # the pivot to conditional aggregates in ONE hash agg pass (same
+    # physical plan as the oracle's CASE sums); omitting the list adds a
+    # full extra scan just to discover the distinct values, which at 100 TB
+    # doubles the query.
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    names = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    return wide.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(n)
+            for p, n in zip(prios, names)
+        ],
+    )
+
+
+@q(
+    "agg_unpivot_measures",
+    f"""
+    WITH w AS (
+        SELECT l_returnflag,
+               {X.sql_dsum('l_quantity', 2)}      AS sum_qty,
+               {X.sql_dsum('l_extendedprice', 2)} AS sum_price,
+               {X.sql_dsum('l_discount', 2)}      AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+    """,
+)
+def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unpivot (wide → long), the dual of agg_pivot_priority: per-flag sums
+    # melted into (measure, value) rows. ``unpivot`` compiles to a single
+    # Expand node over the aggregated (tiny) relation — the fact table is
+    # scanned and aggregated ONCE, unlike the oracle's 3-way UNION which
+    # DuckDB must CSE itself.
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        >> group_by("l_returnflag")
+        >> aggregate(
+            sum_qty=X.dsum("l_quantity", 2),
+            sum_price=X.dsum("l_extendedprice", 2),
+            sum_disc=X.dsum("l_discount", 2),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
+@q(
     "tpch_q22",
     f"""
     WITH cutoff AS (

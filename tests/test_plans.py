@@ -187,6 +187,23 @@ def test_tpch_q19_prefilters_dim_and_broadcasts(spark):
     assert any("p_brand" in f for f in pushed_filters(df))
 
 
+def test_pivot_is_single_pass(spark):
+    # pinned pivot values compile to conditional aggs in ONE scan+agg —
+    # no distinct-value discovery job, no second scan
+    import re
+
+    plan = formatted_plan(QUERIES["agg_pivot_priority"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_unpivot_is_single_scan_expand(spark):
+    import re
+
+    plan = formatted_plan(QUERIES["agg_unpivot_measures"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+
+
 def test_tpch_q22_broadcast_scalar_and_anti(spark):
     df = QUERIES["tpch_q22"](spark, SF_DIR)
     plan = formatted_plan(df)
