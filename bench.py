@@ -78,6 +78,7 @@ HEADLINE = [
     "chunk_documents",
     "contamination_ngram",
     "pii_redact",
+    "prep_winsorize",
     "shuffle_deterministic",
     "terms_topk",
 ]

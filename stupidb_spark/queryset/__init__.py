@@ -110,6 +110,7 @@ PRIORITY: tuple[str, ...] = (
     "events_props_json",
     "agg_pivot_priority",
     "agg_unpivot_measures",
+    "prep_winsorize",
     "shuffle_deterministic",
     "text_token_stats",
     "join_fact_fact",

@@ -248,3 +248,76 @@ def terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", rnk.cast("long"))
         .filter(F.col("rnk") <= TOPK_TERMS)
     )
+
+
+@q(
+    "prep_winsorize",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    cuts AS (
+        SELECT event_type,
+               min(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                        THEN value END) AS lo,
+               min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                        THEN value END) AS hi
+        FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS n_clipped_low,
+           sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+           CAST(floor(sum(floor(least(greatest(e.value, c.lo), c.hi) * 10000
+                                + 0.5))) AS BIGINT) AS total_clamped_e4
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def prep_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantile winsorization — the outlier-clipping stage of a feature/
+    # reward-signal pipeline. Cutoffs are percentile_disc-style ACTUAL data
+    # values (row at rank ceil(q*n) under a deterministic tiebreak), so the
+    # clamp bound is bit-identical across engines — interpolated percentiles
+    # would route through engine-specific float paths. The 5-row cutoff
+    # table broadcast-joins back onto the fact side: two shuffles total
+    # (rank window + final agg) regardless of data size; the clamp itself
+    # is a codegen'd least/greatest at scan speed.
+    events = load_table(spark, sf_dir, "events")
+    w_rank = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    at = lambda q: F.min(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("value"),
+        )
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        at(0.05).alias("lo"), at(0.95).alias("hi")
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("value") < F.col("lo"), 1).otherwise(0)
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("hi"), 1).otherwise(0)
+            ).alias("n_clipped_high"),
+            F.floor(
+                F.sum(F.floor(clamped * 10000 + F.lit(0.5)))
+            ).cast("long").alias("total_clamped_e4"),
+        )
+    )
