@@ -130,6 +130,7 @@ PRIORITY: tuple[str, ...] = (
     "text_quality",
     "text_fingerprint_md5",
     "win_rows_bounded",
+    "win_running_distinct",
     "win_whole_partition",
     "win_multiple",
     "win_stat_frames",

@@ -423,3 +423,33 @@ def win_stat_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sd=sd_pop,
         frame_n=n,
     )
+
+
+@q(
+    "win_running_distinct",
+    """
+    SELECT event_id, user_id,
+           count(DISTINCT event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_types_seen
+    FROM events
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distinct aggregate over a running frame — Spark windows don't accept
+    # COUNT(DISTINCT), so the idiomatic form is size(collect_set(...)):
+    # the set state is bounded by the distinct-value cardinality (5 event
+    # types here), NOT the frame length, so the per-row state stays tiny
+    # even over an unbounded frame at 100 TB. For high-cardinality columns
+    # this becomes approx HLL territory (agg_approx_sketch's trade-off).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _t(spark, sf_dir, "events") >> select(
+        "event_id",
+        "user_id",
+        n_types_seen=F.size(F.collect_set("event_type").over(w)).cast("long"),
+    )
