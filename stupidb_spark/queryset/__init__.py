@@ -106,6 +106,7 @@ PRIORITY: tuple[str, ...] = (
     # 51+: redundant twins (component already covered above) and plan-shape
     # demos — still oracled, still run in tests/test_oracle_parity.py.
     "dedup_components",
+    "dedup_canonical",
     "events_attribution",
     "events_props_json",
     "agg_pivot_priority",

@@ -119,6 +119,64 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
+@q(
+    "dedup_canonical",
+    f"""
+    WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT q.node, e.dst FROM reach q JOIN edges e ON e.src = q.r
+    ),
+    labels AS (
+        SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+    )
+    SELECT d.source,
+           count(*)                                        AS n_docs,
+           count(CASE WHEN l.component = d.doc_id THEN 1 END) AS n_kept,
+           CAST(sum(CASE WHEN l.component = d.doc_id
+                         THEN d.n_chars END) AS BIGINT)    AS kept_chars
+    FROM documents d JOIN labels l USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The dedup capstone: pairs → clusters → ONE canonical doc per cluster
+    # (the min doc_id), reported as surviving-corpus stats per source. This
+    # is the query a pretraining pipeline actually ships — "how much corpus
+    # survives near-dedup" — composing jaccard_pairs + connected_components
+    # + a broadcast-sized label join back onto the corpus.
+    from stupidb_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, id_col="doc_id", text_col="text", k=3, threshold=0.5)
+    labels = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=docs.select("doc_id")
+    )
+    kept = F.col("component") == F.col("doc_id")
+    return (
+        docs.join(
+            labels.withColumnRenamed("node", "doc_id"), "doc_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+        )
+    )
+
+
 @q("dedup_minhash_lsh")  # approximate — no SQL oracle; verified in tests
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash(32) + LSH(8 bands × 4) candidates, verified with exact Jaccard.
