@@ -111,6 +111,7 @@ PRIORITY: tuple[str, ...] = (
     "events_props_json",
     "agg_pivot_priority",
     "agg_unpivot_measures",
+    "join_null_safe",
     "prep_winsorize",
     "shuffle_deterministic",
     "text_token_stats",

@@ -1344,3 +1344,39 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             totacctbal=X.dsum("c_acctbal", 2),
         )
     )
+
+
+@q(
+    "join_null_safe",
+    """
+    WITH l AS (SELECT nullif(event_type, 'error') AS type_key FROM events),
+    r AS (SELECT type_key, count(*) AS n_type FROM l GROUP BY type_key)
+    SELECT l.type_key,
+           count(*)      AS n_rows,
+           min(r.n_type) AS n_type
+    FROM l JOIN r ON l.type_key IS NOT DISTINCT FROM r.type_key
+    GROUP BY l.type_key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL-keyed
+    # rows (here: 'error' events nullified) MATCH each other instead of
+    # silently dropping as they would under plain `=`. eqNullSafe is still
+    # a hashable equi-key — Spark plans a real hash/sort-merge join, not a
+    # nested loop, so the null-safe form costs nothing extra at 100 TB.
+    left = _t(spark, sf_dir, "events").select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_key")
+    )
+    right = (
+        left.groupBy("type_key")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+        .withColumnRenamed("type_key", "r_key")
+    )
+    return (
+        left.join(right, F.col("type_key").eqNullSafe(F.col("r_key")))
+        .groupBy("type_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n_type").alias("n_type"),
+        )
+    )

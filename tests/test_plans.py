@@ -204,6 +204,15 @@ def test_unpivot_is_single_scan_expand(spark):
     assert "Expand" in plan
 
 
+def test_null_safe_join_is_hashable(spark):
+    # eqNullSafe must stay a hash-join key — a planner that demotes it to a
+    # nested loop would be quadratic at scale
+    plan = formatted_plan(QUERIES["join_null_safe"](spark, SF_DIR))
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q22_broadcast_scalar_and_anti(spark):
     df = QUERIES["tpch_q22"](spark, SF_DIR)
     plan = formatted_plan(df)
