@@ -107,6 +107,7 @@ PRIORITY: tuple[str, ...] = (
     # demos — still oracled, still run in tests/test_oracle_parity.py.
     "dedup_components",
     "dedup_canonical",
+    "fuzzy_match_names",
     "events_attribution",
     "events_props_json",
     "agg_pivot_priority",

@@ -223,3 +223,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.4
     )
     return out.select("id_a", "id_b", X.dround("cosine_sim").alias("cosine_sim"))
+
+
+@q(
+    "fuzzy_match_names",
+    """
+    SELECT a.p_brand,
+           count(*)                              AS n_pairs,
+           CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist,
+           CAST(max(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS max_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY a.p_brand
+    """,
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocked fuzzy string matching: candidate pairs form only WITHIN a
+    # blocking key (p_brand) — the standard way to keep edit-distance
+    # matching from going corpus-quadratic; within a block, levenshtein is
+    # a codegen'd JVM expression. Both engines implement classic
+    # Levenshtein, so the distance (and the pair set it gates) is exact.
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 2)
+        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(dist).cast("long").alias("min_dist"),
+            F.max(dist).cast("long").alias("max_dist"),
+        )
+    )
