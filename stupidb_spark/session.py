@@ -95,8 +95,11 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # events.parquet stores TIMESTAMP(NANOS); see sources/catalog.py
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # events.parquet is physically timestamp[us]; read natively. Only
+        # load_table's footer-sniffed ns fallback may flip nanosAsLong on
+        # (sources/catalog.py) — a blanket "true" here would corrupt a µs
+        # fixture read as raw longs.
+        "spark.sql.legacy.parquet.nanosAsLong": "false",
     }.items():
         try:
             spark.conf.set(key, value)

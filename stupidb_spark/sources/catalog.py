@@ -80,13 +80,14 @@ FIXTURE_SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampType()),
     ),
-    # events.ts is physically TIMESTAMP(NANOS) in parquet, which Spark's
-    # vectorized reader rejects as TimestampType; we read it as raw
-    # nanoseconds (legacy.parquet.nanosAsLong) and convert to microsecond
-    # TimestampType in load_table — the same ns→µs truncation DuckDB applies.
+    # events.ts is physically timestamp[us] in the current fixtures, which
+    # Spark's vectorized reader handles natively as TimestampType. If a
+    # future regeneration writes TIMESTAMP(NANOS) instead (which the
+    # vectorized reader rejects), load_table sniffs the footer and falls back
+    # to the legacy nanosAsLong read + ns→µs truncation (what DuckDB does).
     "events": _st(
         ("event_id", LongType()),
-        ("ts", LongType()),
+        ("ts", TimestampType()),
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),
@@ -112,18 +113,61 @@ TABLE_NAMES = tuple(FIXTURE_SCHEMAS)
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+# Cache of footer sniffs: path -> True iff events.ts is physically
+# TIMESTAMP(NANOS). One pyarrow footer read per directory per process — the
+# 100 TB analogue is a metastore lookup, not a data scan.
+_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+
+
+def parquet_ts_is_nanos(path: str) -> bool:
+    """True iff ``path`` stores ``ts`` as physical TIMESTAMP(NANOS).
+
+    Checks the parquet *physical+logical* type, not pyarrow's arrow-mapped
+    type: Spark-written INT96 timestamps also map to arrow ``timestamp[ns]``
+    but Spark reads INT96 natively as TimestampType — only a true INT64
+    nanosecond column needs the legacy ``nanosAsLong`` fallback.
+    """
+    import pyarrow.parquet as pq
+
+    schema = pq.ParquetFile(path).schema
+    for i in range(len(schema)):
+        col = schema.column(i)
+        if col.name == "ts":
+            return (
+                col.physical_type == "INT64"
+                and "nanoseconds" in str(col.logical_type)
+            )
+    return False
+
+
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """Cached footer sniff for ``{sf_dir}/events.parquet``."""
+    path = f"{sf_dir}/events.parquet"
+    cached = _EVENTS_TS_IS_NANOS.get(path)
+    if cached is None:
+        cached = _EVENTS_TS_IS_NANOS[path] = parquet_ts_is_nanos(path)
+    return cached
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its pinned schema."""
     from stupidb_spark.session import ensure_worker_pythonpath
 
     ensure_worker_pythonpath(spark)
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(
-            f"{sf_dir}/{name}.parquet"
-        )
+    if name == "events" and events_ts_is_nanos(sf_dir):
+        # Legacy fixture shape: Spark's vectorized reader rejects
+        # TIMESTAMP(NANOS) as TimestampType, so read raw nanos and truncate
+        # to µs (matching DuckDB's ns→µs cast).
         from pyspark.sql import functions as F
 
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ns_schema = StructType(
+            [
+                StructField(f.name, LongType() if f.name == "ts" else f.dataType, True)
+                for f in FIXTURE_SCHEMAS[name].fields
+            ]
+        )
+        df = spark.read.schema(ns_schema).parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 

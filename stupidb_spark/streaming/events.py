@@ -49,18 +49,40 @@ def stream_events(
 ) -> DataFrame:
     """File-source stream of events parquet files dropped into ``source_dir``.
 
-    Mirrors ``sources.catalog.load_table('events')``: the fixture stores
-    ``ts`` as TIMESTAMP(NANOS), which we read as raw nanos and truncate to
-    microsecond timestamps. ``max_files_per_trigger=1`` makes each staged
-    file its own micro-batch (used by tests to prove state carries across
-    batches).
+    Mirrors ``sources.catalog.load_table('events')``: the current fixture
+    stores ``ts`` as timestamp[us], read natively as TimestampType. A
+    footer-sniffed fallback handles a TIMESTAMP(NANOS) regeneration (raw
+    nanos + ns→µs truncation), keeping both ingestion paths in lockstep.
+    ``max_files_per_trigger=1`` makes each staged file its own micro-batch
+    (used by tests to prove state carries across batches).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import glob
+
+    from pyspark.sql.types import LongType as _Long, StructField as _SF, StructType as _ST
+
+    from stupidb_spark.sources.catalog import parquet_ts_is_nanos
+
+    first = sorted(glob.glob(f"{source_dir}/*.parquet")) or sorted(
+        glob.glob(f"{source_dir}/**/*.parquet", recursive=True)
+    )
+    is_nanos = bool(first) and parquet_ts_is_nanos(first[0])
+    if is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ns_schema = _ST(
+            [
+                _SF(f.name, _Long() if f.name == "ts" else f.dataType, True)
+                for f in FIXTURE_SCHEMAS["events"].fields
+            ]
+        )
+        reader = spark.readStream.schema(ns_schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        df = reader.parquet(source_dir)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     reader = spark.readStream.schema(FIXTURE_SCHEMAS["events"])
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(source_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(source_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -65,3 +65,52 @@ def test_partitioned_write_prunes(spark, outdir):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert one.count() == src.filter(F.col("o_orderstatus") == "F").count()
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus=F" in plan
+
+
+# ---------------------------------------------------------------------------
+# fixture physical-schema guard: the driver regenerates /root/testdata between
+# rounds, and a silent physical-type change (e.g. events.ts flipping between
+# TIMESTAMP(NANOS) and timestamp[us]) must fail HERE, loudly, instead of
+# corrupting every timestamp-arithmetic query downstream.
+# ---------------------------------------------------------------------------
+
+# Spark catalog type -> acceptable pyarrow types in the fixture footer.
+_ARROW_OK = {
+    "LongType()": {"int64"},
+    "IntegerType()": {"int32", "int64"},
+    "DoubleType()": {"double"},
+    "StringType()": {"string", "large_string"},
+    "TimestampType()": {"timestamp[us]", "timestamp[ns]", "timestamp[ms]"},
+    "ArrayType(FloatType(), True)": {"list<element: float>", "list<item: float>"},
+}
+
+
+def test_fixture_footers_match_catalog():
+    import pyarrow.parquet as pq
+
+    from stupidb_spark.sources.catalog import FIXTURE_SCHEMAS
+
+    for name, schema in FIXTURE_SCHEMAS.items():
+        arrow = pq.ParquetFile(f"{SF_DIR}/{name}.parquet").schema_arrow
+        assert set(arrow.names) == {f.name for f in schema.fields}, name
+        for field in schema.fields:
+            got = str(arrow.field(field.name).type)
+            ok = _ARROW_OK[repr(field.dataType)]
+            assert got in ok, (
+                f"{name}.{field.name}: fixture is physically {got}, catalog "
+                f"expects one of {ok} — the driver regenerated testdata with "
+                f"a new physical schema; update sources/catalog.py ingestion"
+            )
+
+
+def test_events_ts_ingests_into_fixture_epoch(spark):
+    """End-to-end canary for the r2 corruption: a broken unit conversion
+    lands every event in 1970; the fixture generator writes 2024 data."""
+    import datetime
+
+    bounds = load_table(spark, SF_DIR, "events").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    assert bounds.lo.year >= 2000, f"events.ts min={bounds.lo} — unit corruption"
+    span = bounds.hi - bounds.lo
+    assert span >= datetime.timedelta(days=1), f"span {span} — scale corruption"

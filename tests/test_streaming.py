@@ -80,12 +80,8 @@ def test_deduped_stream_drops_cross_batch_duplicates(spark, staged_events):
     from pyspark.sql import functions as F
 
     from stupidb_spark.sources import load_table
-    from stupidb_spark.sources.catalog import FIXTURE_SCHEMAS
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(FIXTURE_SCHEMAS["events"]).parquet(
-        f"{SF_DIR}/events.parquet"
-    )
+    raw = load_table(spark, SF_DIR, "events")
     for f in staged_events.iterdir():
         f.unlink()
     # keep the replay small: 500 events, delivered twice
@@ -117,15 +113,11 @@ def test_stateful_running_totals_across_batches(spark, staged_events):
 
     from stupidb_spark.functions import exact as X
     from stupidb_spark.sources import load_table
-    from stupidb_spark.sources.catalog import FIXTURE_SCHEMAS
 
     batch = load_table(spark, SF_DIR, "events")
-    # restage as two files split by event_id parity, keeping ts as raw nanos
-    # (stream_events' schema) — the converted batch ts would not round-trip
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(FIXTURE_SCHEMAS["events"]).parquet(
-        f"{SF_DIR}/events.parquet"
-    )
+    # restage as two files split by event_id parity; the native timestamp[us]
+    # ts round-trips through the staged parquet exactly
+    raw = batch
     for f in staged_events.iterdir():
         f.unlink()
     raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(
