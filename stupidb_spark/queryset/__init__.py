@@ -50,8 +50,8 @@ from stupidb_spark.queryset import prep  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # 1-19: flagship + every query that had no CORRECTNESS row in round 1,
-    # or is new this round — front-loaded against any early snapshot.
+    # 1-24: flagship + pipeline capstones — front-loaded against any early
+    # snapshot.
     "tpch_q1",
     "asof_join_orders",
     "range_join_buckets",
@@ -76,45 +76,55 @@ PRIORITY: tuple[str, ...] = (
     "mixture_epochs",
     "chunk_documents",
     "contamination_ngram",
-    # 20-50: one query per remaining §2 component (round-1 green).
+    # 25-31: round-2 components rotated into the gate, incl. combo rows
+    # (setop_six pattern: one oracled query per component group).
+    "dedup_components",
+    "dedup_canonical",
+    "events_props_running",  # combo: events_props_json + win_running_distinct
+    "join_extras",  # combo: join_null_safe + fuzzy_match_names
+    "agg_pivot_unpivot",  # combo: agg_pivot_priority + agg_unpivot_measures
+    "prep_winsorize",
+    "shuffle_deterministic",
+    # 32-50: one row per remaining §2 component; outer joins, sort variants
+    # and distinct/grouping-set aggs consolidated into combo rows.
     "project_scalar",
     "mutate_derived",
     "filter_compound",
-    "join_cross",
     "join_inner_star",
-    "join_theta",
-    "terms_topk",
-    "join_left_nullpad",
-    "join_right",
-    "join_full_outer",
+    "join_outer_trio",  # combo: join_left_nullpad + join_right + join_full_outer
     "join_semi_exists",
     "join_anti_not_exists",
     "agg_computed_key",
     "agg_global_all12",
-    "agg_count_distinct",
-    "agg_median_disc",
-    "agg_grouping_sets",
+    "agg_distinct_sets",  # combo: agg_count_distinct + agg_grouping_sets
     "agg_salted_skew",
+    "terms_topk",
     "win_running_sum",
     "win_range_numeric",
     "win_range_temporal",
     "win_rank",
     "win_navigation",
-    "sort_nulls_first",
-    "sort_limit_offset",
+    "sort_nulls_offset",  # combo: sort_nulls_first + sort_limit_offset
     "sort_topk",
     # 51+: redundant twins (component already covered above) and plan-shape
     # demos — still oracled, still run in tests/test_oracle_parity.py.
-    "dedup_components",
-    "dedup_canonical",
+    "join_cross",
+    "join_theta",
+    "join_left_nullpad",
+    "join_right",
+    "join_full_outer",
+    "agg_count_distinct",
+    "agg_median_disc",
+    "agg_grouping_sets",
+    "sort_nulls_first",
+    "sort_limit_offset",
     "fuzzy_match_names",
     "events_attribution",
     "events_props_json",
     "agg_pivot_priority",
     "agg_unpivot_measures",
     "join_null_safe",
-    "prep_winsorize",
-    "shuffle_deterministic",
+    "win_running_distinct",
     "text_token_stats",
     "join_fact_fact",
     "agg_having",
@@ -133,7 +143,6 @@ PRIORITY: tuple[str, ...] = (
     "text_quality",
     "text_fingerprint_md5",
     "win_rows_bounded",
-    "win_running_distinct",
     "win_whole_partition",
     "win_multiple",
     "win_stat_frames",

@@ -1380,3 +1380,277 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_type").alias("n_type"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# gate combos — one oracled query per *group* of components, so every
+# component keeps a hard-signal CORRECTNESS row within the driver's 50-row
+# gate (the setop_six pattern). Each branch is the same expression as the
+# standalone query it consolidates; the standalone stays registered (51+)
+# and oracle-tested locally.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "join_outer_trio",
+    """
+    SELECT 'left' AS side, c_custkey AS k1, o_orderkey AS k2,
+           o_totalprice AS metric
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'right', o_orderkey, c_custkey, c_acctbal
+    FROM orders RIGHT JOIN customer
+      ON o_custkey = c_custkey AND o_totalprice > 300000
+    UNION ALL
+    SELECT 'full', c_custkey, o_orderkey, coalesce(c_acctbal, o_totalprice)
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 4000) rich
+    FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+                     WHERE o_totalprice > 400000) big
+      ON c_custkey = o_custkey
+    """,
+)
+def join_outer_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Left / right / full outer joins tagged into one relation: each branch
+    # null-pads its unmatched side (the reference pads with dict.fromkeys,
+    # stupidb/core.py:382; full_join is declared-but-NotImplementedError
+    # there, stupidb/api.py:261-265). All three are hashable equi-joins with
+    # residual filters — same shuffle story as the standalone queries.
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    left_part = (
+        customer
+        >> left_join(
+            orders >> sift(F.col("o_orderstatus") == "F"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+    ).select(
+        F.lit("left").alias("side"),
+        F.col("c_custkey").alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("metric"),
+    )
+    right_part = (
+        orders
+        >> right_join(
+            customer,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_totalprice") > 300000),
+        )
+    ).select(
+        F.lit("right").alias("side"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("c_custkey").alias("k2"),
+        F.col("c_acctbal").alias("metric"),
+    )
+    rich = customer >> sift(F.col("c_acctbal") > 4000) >> select(
+        "c_custkey", "c_acctbal"
+    )
+    big = orders >> sift(F.col("o_totalprice") > 400000) >> select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    full_part = (
+        rich >> full_join(big, F.col("c_custkey") == F.col("o_custkey"))
+    ).select(
+        F.lit("full").alias("side"),
+        F.col("c_custkey").alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        F.coalesce("c_acctbal", "o_totalprice").alias("metric"),
+    )
+    return left_part.unionByName(right_part).unionByName(full_part)
+
+
+@q(
+    "sort_nulls_offset",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS maybe_price
+    FROM orders
+    ORDER BY maybe_price ASC NULLS FIRST, o_orderkey
+    LIMIT 50 OFFSET 10
+    """,
+)
+def sort_nulls_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nulls-first ordering (the reference default, stupidb/aggregation.py:
+    # 43-48) combined with limit+offset (islice semantics, stupidb/api.py:
+    # 718-737) in one gate row; unique o_orderkey tiebreak keeps the
+    # windowed LIMIT deterministic.
+    maybe = F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("double")).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        >> select("o_orderkey", maybe_price=maybe)
+        >> order_by("maybe_price", F.col("o_orderkey").asc(), nulls=Nulls.FIRST)
+        >> limit(50, offset=10)
+    )
+
+
+@q(
+    "agg_distinct_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           sum(l_quantity) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
+    """,
+)
+def agg_distinct_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distinct aggregates *inside* grouping sets — both absent in the
+    # reference (SURVEY.md §2.4). One Expand feeds a two-phase distinct
+    # agg; the four explicit sets are the superset of ROLLUP and exactly
+    # CUBE, so this single gate row covers distinct-agg + rollup + cube +
+    # grouping-sets.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [
+                ["l_returnflag", "l_linestatus"],
+                ["l_returnflag"],
+                ["l_linestatus"],
+                [],
+            ],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+
+
+@q(
+    "agg_pivot_unpivot",
+    """
+    WITH w AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                   AS n_urgent,
+               count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+                   AS n_high,
+               count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+                   AS n_medium,
+               count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+                   AS n_notspec,
+               count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+        FROM orders GROUP BY 1
+    )
+    SELECT order_year, 'n_urgent' AS priority, n_urgent AS n FROM w
+    UNION ALL SELECT order_year, 'n_high', n_high FROM w
+    UNION ALL SELECT order_year, 'n_medium', n_medium FROM w
+    UNION ALL SELECT order_year, 'n_notspec', n_notspec FROM w
+    UNION ALL SELECT order_year, 'n_low', n_low FROM w
+    """,
+)
+def agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot (long→wide, pinned value list → ONE conditional-agg pass, no
+    # value-discovery scan) composed with its dual unpivot (wide→long, a
+    # single Expand over the tiny aggregated relation). The fact table is
+    # scanned exactly once; the oracle's CTE + 5-way UNION is the same
+    # long-format result.
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    names = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            *[
+                F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(n)
+                for p, n in zip(prios, names)
+            ],
+        )
+    )
+    return wide.unpivot(["order_year"], names, "priority", "n")
+
+
+@q(
+    "join_extras",
+    """
+    WITH l AS (SELECT nullif(event_type, 'error') AS type_key FROM events),
+         r AS (SELECT type_key, count(*) AS n_type FROM l GROUP BY type_key),
+         ns AS (
+             SELECT l.type_key, count(*) AS n_rows, min(r.n_type) AS n_type
+             FROM l JOIN r ON l.type_key IS NOT DISTINCT FROM r.type_key
+             GROUP BY l.type_key),
+         fz AS (
+             SELECT a.p_brand, count(*) AS n_pairs,
+                    CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT)
+                        AS min_dist,
+                    CAST(max(levenshtein(a.p_name, b.p_name)) AS BIGINT)
+                        AS max_dist
+             FROM part a JOIN part b
+               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             WHERE levenshtein(a.p_name, b.p_name) <= 2
+             GROUP BY a.p_brand)
+    SELECT 'nullsafe' AS section, coalesce(type_key, '<null>') AS grp_key,
+           n_rows AS n, n_type AS lo, n_type AS hi
+    FROM ns
+    UNION ALL
+    SELECT 'fuzzy', p_brand, n_pairs, min_dist, max_dist FROM fz
+    """,
+)
+def join_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null-safe equality join (eqNullSafe stays a hashable equi-key — a real
+    # hash join, not a nested loop) + brand-blocked fuzzy Levenshtein
+    # matching (candidate pairs only within the blocking key; codegen'd
+    # distance), tagged into one gate relation.
+    events_l = _t(spark, sf_dir, "events").select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_key")
+    )
+    events_r = (
+        events_l.groupBy("type_key")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+        .withColumnRenamed("type_key", "r_key")
+    )
+    nullsafe = (
+        events_l.join(events_r, F.col("type_key").eqNullSafe(F.col("r_key")))
+        .groupBy("type_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n_type").alias("n_type"),
+        )
+        .select(
+            F.lit("nullsafe").alias("section"),
+            F.coalesce("type_key", F.lit("<null>")).alias("grp_key"),
+            F.col("n_rows").alias("n"),
+            F.col("n_type").alias("lo"),
+            F.col("n_type").alias("hi"),
+        )
+    )
+    parts = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = parts.alias("a"), parts.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    fuzzy = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 2)
+        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(dist).cast("long").alias("min_dist"),
+            F.max(dist).cast("long").alias("max_dist"),
+        )
+        .select(
+            F.lit("fuzzy").alias("section"),
+            F.col("p_brand").alias("grp_key"),
+            F.col("n_pairs").alias("n"),
+            F.col("min_dist").alias("lo"),
+            F.col("max_dist").alias("hi"),
+        )
+    )
+    return nullsafe.unionByName(fuzzy)

@@ -270,3 +270,37 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.dsum("value", 4).alias("total_value"),
         )
     )
+
+
+@q(
+    "events_props_running",
+    """
+    SELECT event_id, user_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           count(DISTINCT event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_types_seen
+    FROM events
+    """,
+)
+def events_props_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gate combo: typed JSON extraction (``from_json`` parses JVM-side in
+    # codegen — never a Python UDF) + a running distinct-count window
+    # (size(collect_set) — per-row state bounded by the event-type
+    # cardinality, not the frame length, so the unbounded frame stays tiny
+    # at 100 TB). Consolidates events_props_json + win_running_distinct
+    # into one hard-signal row.
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
+    )
