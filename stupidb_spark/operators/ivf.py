@@ -46,7 +46,6 @@ from pyspark.sql.window import Window
 
 from stupidb_spark.operators.similarity import (
     collect_query_matrix,
-    query_lookup_cosine,
     spread_small_scan,
 )
 
@@ -154,44 +153,67 @@ def ivf_probe(
     """Probe a prebuilt index: each query fans out to its ``n_probe``
     nearest cells (computed driver-side on the collected query matrix —
     queries are the small, broadcastable side), and only those cells' index
-    rows are scored, with the query matrix embedded in the scorer so no
-    vector rides the join. No training, no full scan, no k-means jobs.
+    rows are scored. The scorer is the same ``mapInPandas`` shape as
+    :func:`~stupidb_spark.operators.similarity.brute_force_topk` — query
+    matrix embedded, one matmul per Arrow batch, a per-query cell-membership
+    mask instead of a probe-pair join, batch-local top-k — so no vector ever
+    rides a join or shuffle and the merge exchange carries only
+    ``partitions × nq × k`` id+double rows. No training, no full scan.
 
     Returns: query_id, neighbor_id, cosine_sim, rk (≤ k rows per query).
     """
+    from stupidb_spark.operators.similarity import QUANT_SCALE, _qdot, _quant_sims
+
+    # ONE collect: the same (ids, matrix) drives cell selection and the
+    # scorer — the query side never touches Spark again.
     q_ids, Q = collect_query_matrix(queries, id_col, vec_col)
     cells = _probe_cells(Q, centroids, n_probe)
-    spark = queries.sparkSession
-    probe_pairs = spark.createDataFrame(
-        [
-            (qid.item() if hasattr(qid, "item") else qid, int(c))
-            for qid, row in zip(q_ids, cells)
-            for c in row
-        ],
-        schema=queries.select(F.col(id_col).alias("query_id")).schema.add(
-            "cell", "integer"
-        ),
-    )
+    qnorms = np.sqrt(_qdot(Q, Q).astype(np.float64) / QUANT_SCALE)
+    # (nq, n_centroids) membership mask: does query j probe cell c?
+    probe_mask = np.zeros((len(q_ids), len(centroids)), dtype=bool)
+    for j, row in enumerate(cells):
+        probe_mask[j, row] = True
+
+    id_type = dict(indexed.dtypes)["neighbor_id"]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.stack(pdf["b_vec"].to_numpy()).astype(np.float64)
+            ids = pdf["neighbor_id"].to_numpy()
+            cell_v = pdf["cell"].to_numpy()
+            sims = _quant_sims(B, Q, qnorms)
+            frames = []
+            for j, qid in enumerate(q_ids):
+                mask = probe_mask[j, cell_v] & (ids != qid)
+                cid, csim = ids[mask], sims[mask, j]
+                order = np.lexsort((cid, -csim))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cid[order],
+                            "cosine_sim": csim[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
     # The probed cell set is known driver-side — filter it STATICALLY so a
     # cell-partitioned index scans only probed partitions (partition pruning
     # at plan time, not dynamic pruning at run time).
     probed = sorted({int(c) for row in cells for c in row})
-    scored = (
-        indexed.filter(F.col("cell").isin(probed))
-        .join(F.broadcast(probe_pairs), on="cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            query_lookup_cosine(queries, id_col, vec_col)(
-                F.col("query_id"), F.col("b_vec")
-            ),
-        )
+    partials = indexed.filter(F.col("cell").isin(probed)).mapInPandas(
+        score, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        partials.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rk")
     )

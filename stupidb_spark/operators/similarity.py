@@ -332,12 +332,12 @@ def lsh_topk(
     )
 
 
-def query_lookup_cosine(queries: DataFrame, id_col: str, vec_col: str):
-    """Pandas UDF factory: (query_id, vector) → quantized cosine against the
-    embedded query matrix (collected once; gather per batch). The per-row
-    companion to :func:`_quant_sims` for post-join scoring where each row
-    already names its query."""
-    q_ids, Q = collect_query_matrix(queries, id_col, vec_col)
+def lookup_cosine_from_matrix(q_ids: np.ndarray, Q: np.ndarray):
+    """Pandas UDF factory over an ALREADY-collected query matrix:
+    (query_id, vector) → quantized cosine against the embedded matrix
+    (gather per batch). Callers that also need the ids/matrix driver-side
+    (e.g. IVF cell probing) collect once and share it here — never a second
+    Spark job for the same handful of vectors."""
     qnorms = np.sqrt(_qdot(Q, Q).astype(np.float64) / QUANT_SCALE)
     index = {qid: i for i, qid in enumerate(q_ids)}
 
@@ -350,6 +350,15 @@ def query_lookup_cosine(queries: DataFrame, id_col: str, vec_col: str):
         return pd.Series(d / (bn * nsel))
 
     return F.pandas_udf(fn, "double")
+
+
+def query_lookup_cosine(queries: DataFrame, id_col: str, vec_col: str):
+    """Pandas UDF factory: (query_id, vector) → quantized cosine against the
+    embedded query matrix (collected once; gather per batch). The per-row
+    companion to :func:`_quant_sims` for post-join scoring where each row
+    already names its query."""
+    q_ids, Q = collect_query_matrix(queries, id_col, vec_col)
+    return lookup_cosine_from_matrix(q_ids, Q)
 
 
 def embedding_near_dup_pairs(

@@ -123,3 +123,31 @@ def test_ivf_index_save_load_prunes(spark):
         assert len(probed) < n_cells_on_disk
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_probe_collects_queries_once(spark, monkeypatch):
+    """The probe path must run exactly ONE Spark job over the query side:
+    a single collect_query_matrix shared by cell selection and the scorer
+    (r2 regression: ivf_probe + query_lookup_cosine each collected)."""
+    from stupidb_spark.operators import ivf as ivf_mod
+    from stupidb_spark.operators import similarity as sim_mod
+    from stupidb_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    calls = {"n": 0}
+    real = sim_mod.collect_query_matrix
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ivf_mod, "collect_query_matrix", counting)
+    monkeypatch.setattr(sim_mod, "collect_query_matrix", counting)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = ivf_mod.build_ivf_index(emb, n_centroids=8, cache_key=None)
+    calls["n"] = 0
+    out = ivf_mod.ivf_probe(idx.indexed, idx.centroids, queries, k=5, n_probe=4)
+    assert out.count() > 0
+    assert calls["n"] == 1
