@@ -107,3 +107,33 @@ def range_join(
     interval list with zero shuffle of the fact side.
     """
     return left.join(F.broadcast(ranges), on=(value >= lo) & (value < hi), how=how)
+
+
+def bucketize(
+    df: DataFrame,
+    buckets: list[tuple[str, float, float]],
+    *,
+    value: Column,
+    out: str = "bucket_name",
+) -> DataFrame:
+    """Band rows into STATIC, NON-OVERLAPPING ``[lo, hi)`` buckets via a
+    chained CASE expression — the degenerate range join.
+
+    When the interval list is a compile-time constant and intervals don't
+    overlap, a join (even a broadcast one) is pure overhead: the BNLJ
+    evaluates every row against every interval and materializes a joined
+    row per match, where a CASE column is one codegen'd expression inside
+    the scan stage — one pass, zero extra operators, and the downstream
+    groupBy is the query's only shuffle. Rows outside every bucket get NULL
+    (drop them for inner-join semantics). Use :func:`range_join` when the
+    intervals are data (a real dimension table) or may overlap (a row can
+    land in several).
+    """
+    expr = F.lit(None).cast("string")
+    # build right-to-left so the first matching bucket wins, as in a CASE
+    for name, b_lo, b_hi in reversed(buckets):
+        expr = (
+            F.when((value >= F.lit(b_lo)) & (value < F.lit(b_hi)), F.lit(name))
+            .otherwise(expr)
+        )
+    return df.withColumn(out, expr)

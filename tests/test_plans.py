@@ -86,10 +86,40 @@ def test_minhash_never_plans_cartesian(spark):
 
 
 def test_range_join_is_broadcast_nested_loop(spark):
-    # banding against a literal interval table: broadcast-NLJ of the tiny
-    # ranges side is the intended strategy (zero shuffle of the fact side)
+    # the general operator (data-driven / overlapping intervals): broadcast-
+    # NLJ of the tiny ranges side is the intended strategy (zero shuffle of
+    # the fact side), and an overlapping row lands in BOTH buckets
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.operators.asof import range_join
+    from stupidb_spark.sources import load_table
+
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 60.0), ("b", 40.0, 100.0)],  # overlap on [40, 60)
+        "bucket_name string, lo double, hi double",
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    joined = range_join(
+        ev, ranges, value=F.col("value"), lo=F.col("lo"), hi=F.col("hi")
+    )
+    assert has_node(joined, "BroadcastNestedLoopJoin")
+    both = (
+        joined.groupBy("event_id")
+        .count()
+        .filter(F.col("count") == 2)
+        .count()
+    )
+    overlap_rows = ev.filter((F.col("value") >= 40.0) & (F.col("value") < 60.0)).count()
+    assert both == overlap_rows > 0
+
+
+def test_static_banding_has_no_join(spark):
+    # the degenerate case (static non-overlapping buckets) must compile to a
+    # CASE column — zero join operators, and the groupBy is the only exchange
     df = QUERIES["range_join_buckets"](spark, SF_DIR)
-    assert has_node(df, "BroadcastNestedLoopJoin")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert exchange_count(df) <= 1
 
 
 # --------------------------------------------------------------------------
