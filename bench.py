@@ -120,18 +120,30 @@ def main() -> None:
         exchanges[name] = exchange_count(QUERIES[name](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "exchanges": exchanges,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "exchanges": exchanges,
+        "sf": sf,
+    }
+    # Durable copy first: BENCH_r02's stdout line was truncated by the
+    # driver's tail capture, losing the round's headline number. The file is
+    # the record; stdout is the interface.
+    with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(payload, f)
+        f.write("\n")
+    # Quiesce Spark BEFORE printing so executor/teardown chatter can't land
+    # after (or interleave with) the JSON line, then emit ONE compact line
+    # (no exchanges dict — it lives in the file) as the very last stdout.
+    spark.stop()
+    line = json.dumps(
+        {k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")},
+        separators=(",", ":"),
     )
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
