@@ -139,6 +139,11 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q14",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q15",
     "text_lang_id",
     "text_quality",
     "text_fingerprint_md5",

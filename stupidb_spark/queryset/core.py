@@ -1654,3 +1654,261 @@ def join_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return nullsafe.unionByName(fuzzy)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes, round 3 batch: q7 / q9 / q10 / q13 / q15 adapted to the
+# fixture schema (no partsupp table; p_retailprice is the q9 cost proxy;
+# nation names are NATION_<k>). Exact decimal sums keep every revenue
+# comparison bit-identical to the oracle.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q7",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {X.sql_dsum('volume', 4)} AS revenue
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+           OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Volume-shipping shape (TPC-H Q7): trade between two nations by year.
+    # Both nation dims broadcast; the only real shuffles are the fact-fact
+    # joins on their keys and the final 3-key rollup. The OR-of-pairs filter
+    # evaluates post-join on broadcast-joined columns — no blow-up.
+    nation = _t(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        _t(spark, sf_dir, "lineitem")
+        >> inner_join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            broadcast=True,
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"),
+            broadcast=True,
+        )
+        >> inner_join(ns, F.col("s_nationkey") == F.col("s_nk"), broadcast=True)
+        >> inner_join(nc, F.col("c_nationkey") == F.col("c_nk"), broadcast=True)
+        >> sift(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined
+        >> group_by(
+            "supp_nation",
+            "cust_nation",
+            l_year=F.year("l_shipdate").cast("int"),
+        )
+        >> aggregate(
+            revenue=X.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        )
+    )
+
+
+@q(
+    "tpch_q9",
+    f"""
+    SELECT nation, o_year,
+           {X.sql_dsum('amount', 4)} AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity
+                   AS amount
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-type-profit shape (TPC-H Q9; p_retailprice stands in for the
+    # fixture's missing ps_supplycost). The p_name filter prunes part BEFORE
+    # it broadcasts, so the lineitem join discards non-matching rows at the
+    # hash probe — the big fact is filtered by the cheapest dim first.
+    part = _t(spark, sf_dir, "part") >> sift(F.col("p_name").like("%red%"))
+    joined = (
+        _t(spark, sf_dir, "lineitem")
+        >> inner_join(part, F.col("p_partkey") == F.col("l_partkey"), broadcast=True)
+        >> inner_join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            broadcast=True,
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            broadcast=True,
+        )
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        joined
+        >> group_by(
+            nation=F.col("n_name"), o_year=F.year("o_orderdate").cast("int")
+        )
+        >> aggregate(sum_profit=X.dsum(amount, 4))
+    )
+
+
+@q(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, {X.sql_dsum(_DISC_PRICE_SQL, 4)} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Returned-item-reporting shape (TPC-H Q10): one quarter of orders,
+    # returned lines only, top-20 customers by lost revenue. The returnflag
+    # and date filters push into both fact scans; top-20 fuses to
+    # TakeOrderedAndProject.
+    orders = _t(spark, sf_dir, "orders") >> sift(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem") >> sift(F.col("l_returnflag") == "R")
+    return (
+        orders
+        >> inner_join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        >> inner_join(
+            _t(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            broadcast=True,
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            broadcast=True,
+        )
+        >> group_by("c_custkey", "c_name", "c_acctbal", "n_name")
+        >> aggregate(
+            revenue=X.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        )
+        >> order_by(F.col("revenue").desc(), F.col("c_custkey").asc())
+        >> limit(20)
+        >> select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@q(
+    "tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Customer-distribution shape (TPC-H Q13): two-level aggregation where
+    # the LEFT join keeps zero-order customers (count(o_orderkey) counts
+    # only non-null matches). First agg shuffles on custkey, second on the
+    # tiny count domain.
+    return (
+        _t(spark, sf_dir, "customer")
+        >> left_join(
+            _t(spark, sf_dir, "orders")
+            >> sift(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        >> group_by("c_custkey")
+        >> aggregate(c_count=agg.count("o_orderkey"))
+        >> group_by("c_count")
+        >> aggregate(custdist=F.count(F.lit(1)))
+    )
+
+
+@q(
+    "tpch_q15",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {X.sql_dsum(_DISC_PRICE_SQL, 4)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-supplier shape (TPC-H Q15): quarter revenue per supplier, keep the
+    # max. The scalar subquery becomes a 1-row broadcast cross join against
+    # the (already tiny, aggregated) revenue relation — lineitem is scanned
+    # once; exact decimal sums make the `= max` comparison safe.
+    revenue = (
+        _t(spark, sf_dir, "lineitem")
+        >> sift(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        >> group_by(supplier_no=F.col("l_suppkey"))
+        >> aggregate(
+            total_revenue=X.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        )
+    )
+    top = revenue >> aggregate(max_rev=F.max("total_revenue"))
+    return (
+        revenue
+        >> cross_join(F.broadcast(top))
+        >> sift(F.col("total_revenue") == F.col("max_rev"))
+        >> inner_join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("supplier_no"),
+            broadcast=True,
+        )
+        >> select("s_suppkey", "s_name", "total_revenue")
+    )
