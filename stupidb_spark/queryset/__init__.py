@@ -147,6 +147,9 @@ PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "text_quality",
     "text_fingerprint_md5",
+    "text_repetition",
+    "text_tfidf_topterm",
+    "events_sessionize_window",
     "win_rows_bounded",
     "win_whole_partition",
     "win_multiple",

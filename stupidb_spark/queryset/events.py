@@ -309,3 +309,61 @@ def events_props_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),
         F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
     )
+
+
+@q(
+    "events_sessionize_window",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           min(ts)  AS session_start,
+           max(ts)  AS session_end
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window-composed sessionization — the lag/cumsum idiom: mark a row as a
+    # session opener when its gap from the previous event exceeds 30min,
+    # running-sum the markers into session numbers, then aggregate. Same
+    # semantics as F.session_window (events_session proves that path); this
+    # form is what users reach for when they need the session MEMBERS, not
+    # just the window bounds. One user_id shuffle serves both window passes
+    # and the final groupBy — Spark reuses the partitioning, so the whole
+    # pipeline is a single exchange.
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ) <= 1800
+    marked = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_session"),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

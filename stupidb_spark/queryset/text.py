@@ -403,3 +403,110 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir) >> select(
         "doc_id", fp_roll=T.fingerprint_rolling("text")
     )
+
+
+@q(
+    "text_repetition",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_duck_words()}) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_words,
+           CAST(count(*) AS BIGINT) AS n_uniq,
+           CAST(count(*) AS DOUBLE) / sum(c) AS uniq_frac,
+           CAST(max(c) AS DOUBLE) / sum(c)   AS top_frac
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Repetition-based quality signals (the Gopher-rules family): unique-
+    # word fraction and most-frequent-word fraction per document — the
+    # standard filters for template/boilerplate junk in a pretraining
+    # corpus. Two partial-agg shuffles ((doc, word) then doc), each carrying
+    # only ids+counts; the single divisions are correctly-rounded IEEE ops
+    # so both engines agree bit-for-bit. Zero-token docs drop identically
+    # from both engines at the explode.
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("w")
+    )
+    counts = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_uniq"),
+            F.max("c").alias("top_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_uniq",
+            (F.col("n_uniq").cast("double") / F.col("n_words")).alias("uniq_frac"),
+            (F.col("top_cnt").cast("double") / F.col("n_words")).alias("top_frac"),
+        )
+    )
+
+
+@q(
+    "text_tfidf_topterm",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_duck_words()}) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.w,
+               CAST(tf.c * n.n_docs AS DOUBLE) / dfreq.df AS score
+        FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, w, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, w) AS rk
+        FROM scored
+    )
+    SELECT doc_id, w AS top_term, score FROM ranked WHERE rk = 1
+    """,
+)
+def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-document top tf-idf term (rational idf tf·N/df — products and ONE
+    # division stay bit-identical across engines, unlike log-based idf whose
+    # libm rounding may differ). Shuffle story: tf on (doc, word), document
+    # frequency on word, a word-keyed join (broadcastable only while the
+    # vocabulary is dim-sized — left as a shuffle join because at corpus
+    # scale the vocab is a fact), and the per-doc top-1 window. The N scalar
+    # rides a 1-row broadcast cross join, never a driver round-trip.
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    )
+    return (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            ((F.col("c") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), "score")
+    )
