@@ -86,23 +86,22 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("nbr").alias("nbr"))
         )
+        # The changed flag is computed in the SAME pass that derives the new
+        # label (new < old iff a neighbor brought a smaller component), so
+        # convergence detection is a filter over the checkpointed result —
+        # not a second old-vs-new join per round.
+        new_component = F.least(F.col("component"), F.coalesce("nbr", "component"))
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr", "component")
-                ).alias("component"),
+                new_component.alias("component"),
+                (new_component < F.col("component")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        labels = new_labels.drop("_changed")
+        if new_labels.filter(F.col("_changed")).isEmpty():
             break
 
     if nodes is not None:
