@@ -244,40 +244,6 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def _table_buckets(
-    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int
-) -> Column:
-    """Array of per-table bucket ids: table t's bucket tagged with t in the
-    high bits so one equi-join key covers all tables.
-
-    Computed as ONE vectorized numpy matmul per Arrow batch
-    ((batch, dim) @ (dim, n_tables·n_planes) → sign bits → bucket ids): the
-    expression-level fold evaluates interpreted per plane per element —
-    measured ~10× slower at 16 tables. A dense matrix product is exactly the
-    case where a pandas UDF beats Catalyst expressions."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    planes_rows = []
-    for t in range(n_tables):
-        planes_rows.extend(hyperplanes(dim, n_planes, seed + 1000 * t))
-    P = np.array(planes_rows, dtype=np.float64)  # (n_tables*n_planes, dim)
-    bit_weights = np.tile(1 << np.arange(n_planes, dtype=np.int64), n_tables)
-
-    def _buckets(v):
-        M = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
-        signs = (M @ P.T) >= 0.0  # (batch, n_tables*n_planes)
-        weighted = signs * bit_weights  # per-plane bucket bits
-        per_table = weighted.reshape(len(M), n_tables, n_planes).sum(axis=2)
-        tagged = per_table + (np.arange(n_tables, dtype=np.int64) << 32)
-        return pd.Series(list(tagged))
-
-    # explicit returnType form: `from __future__ import annotations` makes
-    # pep-563 string hints, which pandas_udf's hint inspection rejects
-    return pandas_udf(_buckets, "array<long>")(vec)
-
-
 def lsh_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -298,67 +264,72 @@ def lsh_topk(
     1 − (1 − (1 − θ/π)^n_planes)^n_tables — at cosine 0.5 with 4×8 ≈ 0.83,
     versus 0.2 for a single table (measured 0.12 on the fixture).
 
-    Scale shape: candidates are generated as (table|bucket) equi-joins of
-    ids only — the wide vector arrays never ride the candidate shuffle; the
-    scoring join fetches only the NEIGHBOR vector per surviving candidate
-    (the query matrix is embedded in the scorer,
-    :func:`query_lookup_cosine`), so one array per candidate crosses Arrow.
+    Scale shape: the same embedded-matrix ``mapInPandas`` scorer as
+    :func:`brute_force_topk` / the IVF probe — each Arrow batch computes its
+    vectors' per-table buckets with one matmul, compares them against the
+    (driver-precomputed) query bucket matrix for the candidate mask, scores
+    masked candidates, and emits batch-local top-k. The base is scanned
+    once; no candidate join, no dedup shuffle, and the single merge exchange
+    carries only ``partitions × nq × k`` id+double rows. (An earlier
+    bucket-equi-join formulation shipped a vector array per candidate and
+    ran a dedup + join + window pipeline — measured ~2.5× slower at sf0.1.)
     """
-    bcol = _table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
-    b_ids = spread_small_scan(base).select(
-        F.col(id_col).alias("neighbor_id"), F.explode(bcol).alias("tb")
+    q_ids, Q = collect_query_matrix(queries, id_col, vec_col)
+    qnorms = np.sqrt(_qdot(Q, Q).astype(np.float64) / QUANT_SCALE)
+
+    planes_rows = []
+    for t in range(n_tables):
+        planes_rows.extend(hyperplanes(dim, n_planes, seed + 1000 * t))
+    P = np.array(planes_rows, dtype=np.float64)  # (n_tables*n_planes, dim)
+    bit_weights = np.tile(1 << np.arange(n_planes, dtype=np.int64), n_tables)
+
+    def buckets_of(M: np.ndarray) -> np.ndarray:
+        signs = (M @ P.T) >= 0.0
+        return (signs * bit_weights).reshape(len(M), n_tables, n_planes).sum(axis=2)
+
+    q_buckets = buckets_of(Q)  # (nq, n_tables)
+    id_type = dict(base.dtypes)[id_col]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.stack(pdf["b_vec"].to_numpy()).astype(np.float64)
+            ids = pdf["neighbor_id"].to_numpy()
+            b_buckets = buckets_of(B)  # (batch, n_tables)
+            # candidate iff the pair shares a bucket in >= 1 table
+            shared = (b_buckets[:, None, :] == q_buckets[None, :, :]).any(axis=2)
+            sims = _quant_sims(B, Q, qnorms)
+            frames = []
+            for j, qid in enumerate(q_ids):
+                mask = shared[:, j] & (ids != qid)
+                cid, csim = ids[mask], sims[mask, j]
+                order = np.lexsort((cid, -csim))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cid[order],
+                            "cosine_sim": csim[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    b = spread_small_scan(
+        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
     )
-    q_ids = queries.select(F.col(id_col).alias("query_id"), F.explode(bcol).alias("tb"))
-    candidates = (
-        b_ids.join(F.broadcast(q_ids), on="tb")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    b_vec = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
-    scored = candidates.join(b_vec, "neighbor_id").withColumn(
-        "cosine_sim",
-        query_lookup_cosine(queries, id_col, vec_col)(
-            F.col("query_id"), F.col("b_vec")
-        ),
-    )
+    partials = b.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        partials.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rk")
     )
-
-
-def lookup_cosine_from_matrix(q_ids: np.ndarray, Q: np.ndarray):
-    """Pandas UDF factory over an ALREADY-collected query matrix:
-    (query_id, vector) → quantized cosine against the embedded matrix
-    (gather per batch). Callers that also need the ids/matrix driver-side
-    (e.g. IVF cell probing) collect once and share it here — never a second
-    Spark job for the same handful of vectors."""
-    qnorms = np.sqrt(_qdot(Q, Q).astype(np.float64) / QUANT_SCALE)
-    index = {qid: i for i, qid in enumerate(q_ids)}
-
-    def fn(qid: pd.Series, bv: pd.Series) -> pd.Series:
-        B = np.stack(bv.to_numpy()).astype(np.float64)
-        rows = qid.map(index).to_numpy()
-        Qsel, nsel = Q[rows], qnorms[rows]
-        d = _qdot(B, Qsel).astype(np.float64) / QUANT_SCALE
-        bn = np.sqrt(_qdot(B, B).astype(np.float64) / QUANT_SCALE)
-        return pd.Series(d / (bn * nsel))
-
-    return F.pandas_udf(fn, "double")
-
-
-def query_lookup_cosine(queries: DataFrame, id_col: str, vec_col: str):
-    """Pandas UDF factory: (query_id, vector) → quantized cosine against the
-    embedded query matrix (collected once; gather per batch). The per-row
-    companion to :func:`_quant_sims` for post-join scoring where each row
-    already names its query."""
-    q_ids, Q = collect_query_matrix(queries, id_col, vec_col)
-    return lookup_cosine_from_matrix(q_ids, Q)
 
 
 def embedding_near_dup_pairs(
