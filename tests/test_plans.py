@@ -165,6 +165,24 @@ EXCHANGE_BUDGETS = {
     "shuffle_deterministic": 3,
     # two-phase term count + per-lang rank window
     "terms_topk": 2,
+    # static CASE banding: the groupBy is the ONLY exchange (no join)
+    "range_join_buckets": 1,
+    # spread + ids-only partial-topk merge (mask scorer — no candidate join)
+    "ann_topk_lsh": 2,
+    # (doc, word) counts then per-doc rollup
+    "text_repetition": 2,
+    # tf + df + word-keyed join (both sides) + doc window + 1-row N agg
+    "text_tfidf_topterm": 6,
+    # ONE user_id exchange serves both window passes and the rollup
+    "events_sessionize_window": 1,
+    # three outer joins (broadcast sides) + the union: left/full shuffle once
+    "join_outer_trio": 2,
+    # Expand + two-phase distinct agg
+    "agg_distinct_sets": 2,
+    # pivot hash agg + unpivot Expand over the tiny wide relation
+    "agg_pivot_unpivot": 2,
+    # JSON extraction fuses into the scan; user_id window is the one shuffle
+    "events_props_running": 1,
 }
 
 
