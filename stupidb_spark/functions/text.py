@@ -43,20 +43,28 @@ def punct_count(c: ColumnLike) -> Column:
     return F.length(_col(c)) - F.length(F.regexp_replace(_col(c), PUNCT_CLASS, ""))
 
 
+def _stopword_pattern(lang: str) -> str:
+    """Regex matching a token of :func:`words` that IS a stopword: the
+    alternation must cover a maximal [a-z] run (lookarounds), which is
+    exactly token equality under the ``[^a-z]+`` split."""
+    return f"(?<![a-z])(?:{'|'.join(STOPWORDS[lang])})(?![a-z])"
+
+
 def stopword_count(c: ColumnLike, lang: str = "en") -> Column:
-    """Number of tokens that are stopwords of ``lang``."""
-    stop = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-    return F.size(F.filter(words(c), lambda t: F.array_contains(stop, t)))
+    """Number of tokens that are stopwords of ``lang``.
+
+    Counted with a codegen'd ``regexp_count`` over the lowercased raw
+    string — one pass, no array materialization. Count-equivalent to
+    filtering :func:`words` through the stopword list (the interpreted HOF
+    form this replaces, measured slower in bulk), and the DuckDB oracles
+    keep using the list form: both count the same tokens.
+    """
+    return F.regexp_count(F.lower(_col(c)), F.lit(_stopword_pattern(lang)))
 
 
 def lang_scores(c: ColumnLike) -> dict[str, Column]:
     """Stopword-hit count per candidate language."""
-    w = words(c)
-    out: dict[str, Column] = {}
-    for lang, stops in STOPWORDS.items():
-        stop = F.array(*[F.lit(s) for s in stops])
-        out[lang] = F.size(F.filter(w, lambda t: F.array_contains(stop, t)))
-    return out
+    return {lang: stopword_count(c, lang) for lang in STOPWORDS}
 
 
 def lang_id(c: ColumnLike) -> Column:
