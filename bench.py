@@ -70,6 +70,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_pq",
     "multimodal_features",
     "text_token_stats",
     "text_metrics",

@@ -157,6 +157,7 @@ PRIORITY: tuple[str, ...] = (
     "events_sliding",
     "text_fingerprint_rolling",
     "agg_approx_sketch",
+    "ann_topk_pq",
 )
 
 

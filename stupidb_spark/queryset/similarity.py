@@ -84,3 +84,20 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", X.dround("cosine_sim").alias("cosine_sim"), "rk"
     )
+
+
+@q("ann_topk_pq")  # approximate (quantized codes) — no SQL oracle; recall
+# vs brute force pinned in tests/test_similarity.py
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ADC ranking: 8-byte codes instead of 256-byte
+    # vectors — the compression path for corpus-scale embedding search
+    # (operators/pq.py). Train/encode are the amortized steps; the scored
+    # scan touches only the code table.
+    from stupidb_spark.operators.pq import pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_search(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    return out.select(
+        "query_id", "neighbor_id", X.dround("pq_score").alias("pq_score"), "rk"
+    )

@@ -151,3 +151,34 @@ def test_ivf_probe_collects_queries_once(spark, monkeypatch):
     out = ivf_mod.ivf_probe(idx.indexed, idx.centroids, queries, k=5, n_probe=4)
     assert out.count() > 0
     assert calls["n"] == 1
+
+
+def test_pq_recall_and_compression(spark):
+    """PQ ADC ranking must (a) reproduce a decent fraction of the exact
+    top-k (recall floor), (b) encode deterministically, and (c) actually
+    compress: m int codes per vector versus dim floats."""
+    from stupidb_spark.operators.pq import pq_encode, pq_topk, pq_train
+    from stupidb_spark.operators.similarity import brute_force_topk
+    from stupidb_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    books = pq_train(emb, m=16, k=256)
+    assert books.shape == (16, 256, 4)  # 64-dim fixture → 16 subspaces of 4
+    codes = pq_encode(emb, books)
+    row = codes.first()
+    assert len(row.code) == 16 and all(0 <= c < 256 for c in row.code)
+    # deterministic: same codebooks, same codes
+    again = pq_encode(emb, books)
+    assert codes.orderBy("neighbor_id").collect() == again.orderBy(
+        "neighbor_id"
+    ).collect()
+
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = pq_topk(codes, books, queries, k=10)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"PQ recall@10 {recall:.2f} below floor"
