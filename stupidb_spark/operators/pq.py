@@ -81,14 +81,17 @@ def pq_train(
     for s in range(m):
         Xs = X[:, s * dsub : (s + 1) * dsub]
         cents = Xs[:k].copy()
+        x_sq = (Xs**2).sum(axis=1)
         for _ in range(iters):
-            # squared L2 to each centroid; argmin assignment
-            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # argmin of ||x-c||^2 = x² - 2x·c + c²; x² is rank-constant, the
+            # cross term is one matmul — no (n, k, dsub) tensor
+            d2 = x_sq[:, None] - 2.0 * (Xs @ cents.T) + (cents**2).sum(axis=1)[None, :]
             assign = np.argmin(d2, axis=1)
-            for c in range(k):
-                members = Xs[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+            sums = np.zeros((k, dsub))
+            np.add.at(sums, assign, Xs)
+            counts = np.bincount(assign, minlength=k)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
         books[s] = cents
     return books
 
@@ -115,7 +118,10 @@ def pq_encode(
             codes = np.empty((len(M), m), dtype=np.int32)
             for s in range(m):
                 Xs = M[:, s * dsub : (s + 1) * dsub]
-                d2 = ((Xs[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+                # x² is row-constant, so argmin needs only -2x·c + c²
+                d2 = (codebooks[s] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    Xs @ codebooks[s].T
+                )
                 codes[:, s] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
                 {"neighbor_id": pdf["_id"].to_numpy(), "code": list(codes)}
@@ -200,6 +206,12 @@ def pq_topk(
     )
 
 
+# Memoized (codebooks, persisted code table) per base table — the in-session
+# stand-in for the written-out code table a deployment probes repeatedly
+# (same contract as operators/ivf.py::_INDEX_CACHE).
+_PQ_CACHE: dict[tuple, tuple[np.ndarray, DataFrame]] = {}
+
+
 def pq_search(
     base: DataFrame,
     queries: DataFrame,
@@ -209,9 +221,18 @@ def pq_search(
     k: int = 10,
     m: int = 16,
     n_centroids: int = 256,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """One-shot train + encode + ADC top-k (the composed form; a deployment
-    trains/encodes once and calls :func:`pq_topk` per query batch)."""
-    books = pq_train(base, id_col=id_col, vec_col=vec_col, m=m, k=n_centroids)
-    codes = pq_encode(base, books, id_col=id_col, vec_col=vec_col)
+    trains/encodes once and calls :func:`pq_topk` per query batch).
+    ``cache_key`` (e.g. the source path) memoizes the trained codebooks and
+    the persisted code table; None disables memoization."""
+    key = (cache_key, id_col, vec_col, m, n_centroids)
+    if cache_key is not None and key in _PQ_CACHE:
+        books, codes = _PQ_CACHE[key]
+    else:
+        books = pq_train(base, id_col=id_col, vec_col=vec_col, m=m, k=n_centroids)
+        codes = pq_encode(base, books, id_col=id_col, vec_col=vec_col).persist()
+        if cache_key is not None:
+            _PQ_CACHE[key] = (books, codes)
     return pq_topk(codes, books, queries, id_col=id_col, vec_col=vec_col, k=k)

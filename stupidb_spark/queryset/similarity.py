@@ -97,7 +97,10 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = pq_search(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    out = pq_search(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10,
+        cache_key=f"{sf_dir}/embeddings",
+    )
     return out.select(
         "query_id", "neighbor_id", X.dround("pq_score").alias("pq_score"), "rk"
     )
