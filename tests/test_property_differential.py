@@ -166,3 +166,40 @@ def test_running_sum_window_matches_duckdb(spark, rows):
         )
     )
     assert got == want
+
+
+# non-overlapping interval list derived from sorted cut points; values land
+# in [0, 40) so some rows fall outside every bucket (must drop identically)
+_CUTS = st.lists(
+    st.integers(1, 39), min_size=2, max_size=6, unique=True
+).map(sorted)
+_VALS = st.lists(st.integers(0, 40), min_size=0, max_size=15)
+
+
+@given(cuts=_CUTS, vals=_VALS)
+@SLOW
+def test_bucketize_equals_range_join_on_disjoint_intervals(spark, cuts, vals):
+    """bucketize (chained CASE) and range_join (broadcast NLJ) are the same
+    operator when intervals don't overlap — every row must land in the same
+    bucket (or drop) under both, for arbitrary disjoint interval lists."""
+    from stupidb_spark.operators.asof import bucketize, range_join
+
+    buckets = [
+        (f"b{i}", float(lo), float(hi))
+        for i, (lo, hi) in enumerate(zip(cuts, cuts[1:]))
+    ]
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)], "id long, value double")
+
+    via_case = (
+        bucketize(df, buckets, value=F.col("value"))
+        .filter(F.col("bucket_name").isNotNull())
+        .select("id", "bucket_name")
+    )
+    ranges = spark.createDataFrame(buckets, "bucket_name string, lo double, hi double")
+    via_join = range_join(
+        df, ranges, value=F.col("value"), lo=F.col("lo"), hi=F.col("hi")
+    ).select("id", "bucket_name")
+
+    assert _r(tuple(r) for r in via_case.collect()) == _r(
+        tuple(r) for r in via_join.collect()
+    )
