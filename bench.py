@@ -71,6 +71,7 @@ HEADLINE = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "multimodal_features",
     "text_token_stats",
     "text_metrics",

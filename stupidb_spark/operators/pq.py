@@ -236,3 +236,160 @@ def pq_search(
         if cache_key is not None:
             _PQ_CACHE[key] = (books, codes)
     return pq_topk(codes, books, queries, id_col=id_col, vec_col=vec_col, k=k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed 100 TB layout — IVF cell pruning over PQ code scoring.
+# The stored table is (id, cell, code): 1 int + m uint8 per vector; a query
+# scans only its probed cells' partitions and never touches a float vector.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray, DataFrame]] = {}
+
+
+def ivfpq_build(
+    base: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 16,
+    k_codes: int = 256,
+    cache_key: str | None = None,
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """Train both quantizers (coarse cells + PQ codebooks, each on a bounded
+    driver-side sample) and produce the (id, cell, code) table in ONE
+    map-only pass — cell assignment and subspace encoding share the same
+    Arrow batch. Returns (cell_centroids, codebooks, table); memoized and
+    persisted per ``cache_key`` like the IVF and PQ caches."""
+    from stupidb_spark.operators.ivf import ivf_train
+
+    key = (cache_key, id_col, vec_col, n_cells, m, k_codes)
+    if cache_key is not None and key in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[key]
+    centroids = ivf_train(base, id_col=id_col, vec_col=vec_col, k=n_cells)
+    books = pq_train(base, id_col=id_col, vec_col=vec_col, m=m, k=k_codes)
+    mm, kk, dsub = books.shape
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    id_type = dict(base.dtypes)[id_col]
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax(Mn @ Cn.T, axis=1).astype(np.int32)
+            codes = np.empty((len(M), mm), dtype=np.int32)
+            for s in range(mm):
+                Xs = M[:, s * dsub : (s + 1) * dsub]
+                d2 = (books[s] ** 2).sum(axis=1)[None, :] - 2.0 * (Xs @ books[s].T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["_id"].to_numpy(),
+                    "cell": cells,
+                    "code": list(codes),
+                }
+            )
+
+    table = (
+        spread_small_scan(
+            base.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        )
+        .mapInPandas(enc, f"neighbor_id {id_type}, cell int, code array<int>")
+        .persist()
+    )
+    built = (centroids, books, table)
+    if cache_key is not None:
+        _IVFPQ_CACHE[key] = built
+    return built
+
+
+def ivfpq_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    m: int = 16,
+    k_codes: int = 256,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k: statically prune to the query set's probed cells, then
+    ADC-score codes with the per-query cell-membership mask — the IVF probe
+    shape with PQ lookup tables instead of float dot products. Recall
+    compounds both approximations; pinned in tests."""
+    from stupidb_spark.operators.ivf import _probe_cells
+
+    centroids, books, table = ivfpq_build(
+        base,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        m=m,
+        k_codes=k_codes,
+        cache_key=cache_key,
+    )
+    mm, kk, dsub = books.shape
+    q_ids, Q = collect_query_matrix(queries, id_col, vec_col)
+    cells = _probe_cells(Q, centroids, n_probe)
+    probe_mask = np.zeros((len(q_ids), len(centroids)), dtype=bool)
+    for j, row in enumerate(cells):
+        probe_mask[j, row] = True
+    qnorms = np.linalg.norm(Q, axis=1)
+    qnorms[qnorms == 0] = 1.0
+    luts = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), mm, dsub), books)
+    cent_sq = (books**2).sum(axis=2)
+
+    id_type = dict(table.dtypes)["neighbor_id"]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, pq_score double"
+
+    def score(batches):
+        sub_idx = np.arange(mm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            ids = pdf["neighbor_id"].to_numpy()
+            cell_v = pdf["cell"].to_numpy()
+            rec_norm = np.sqrt(cent_sq[sub_idx[None, :], C].sum(axis=1))
+            rec_norm[rec_norm == 0] = 1.0
+            frames = []
+            for j, qid in enumerate(q_ids):
+                mask = probe_mask[j, cell_v] & (ids != qid)
+                if not mask.any():
+                    continue
+                dots = luts[j][sub_idx[None, :], C[mask]].sum(axis=1)
+                sims = dots / (rec_norm[mask] * qnorms[j])
+                cid = ids[mask]
+                order = np.lexsort((cid, -sims))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cid[order],
+                            "pq_score": sims[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    probed = sorted({int(c) for row in cells for c in row})
+    partials = table.filter(F.col("cell").isin(probed)).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "pq_score", "rk")
+    )

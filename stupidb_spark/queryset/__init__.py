@@ -158,6 +158,7 @@ PRIORITY: tuple[str, ...] = (
     "text_fingerprint_rolling",
     "agg_approx_sketch",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
 )
 
 

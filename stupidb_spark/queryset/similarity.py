@@ -104,3 +104,22 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", X.dround("pq_score").alias("pq_score"), "rk"
     )
+
+
+@q("ann_topk_ivfpq")  # approximate (pruning x quantization) — no SQL oracle;
+# recall vs brute force pinned in tests/test_similarity.py
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composed 100 TB layout: IVF cell pruning over a PQ code table —
+    # a probe scans only its cells' partitions and scores 16-byte codes,
+    # never a float vector (operators/pq.py::ivfpq_topk).
+    from stupidb_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10,
+        cache_key=f"{sf_dir}/embeddings",
+    )
+    return out.select(
+        "query_id", "neighbor_id", X.dround("pq_score").alias("pq_score"), "rk"
+    )

@@ -182,3 +182,20 @@ def test_pq_recall_and_compression(spark):
     got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.7, f"PQ recall@10 {recall:.2f} below floor"
+
+
+def test_ivfpq_recall_vs_brute_force(spark):
+    """The composed IVF-PQ path compounds both approximations (cell pruning
+    and code quantization); its recall floor is pinned below either alone
+    but must stay useful."""
+    from stupidb_spark.operators.pq import ivfpq_topk
+    from stupidb_spark.operators.similarity import brute_force_topk
+    from stupidb_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=10).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in ivfpq_topk(emb, queries, k=10).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF-PQ recall@10 {recall:.2f} below floor"
