@@ -20,6 +20,9 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -344,32 +347,44 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """64-bit SimHash per document as (doc, fp) — the distributed form.
 
-    Fingerprint via explode → 64 codegen'd SUM votes (the one-row
-    :func:`simhash64` fold is interpreted HOF evaluation — ~10× slower in
-    bulk); votes are left-joined back onto the full doc list so a doc with
-    no alphabetic tokens still fingerprints (as 0, matching the fold's
-    empty-array behavior) rather than vanishing at the explode.
+    Token hashes stay JVM-side (``xxhash64`` mapped over the token array in
+    codegen — bit-identical to :func:`simhash64`'s fold), then ONE scalar
+    pandas UDF folds the ±1 bit votes per document in vectorized numpy.
+    Zero shuffles: each document's fingerprint derives from its own row.
+    This replaces an explode → 64-column SUM aggregation → join-back
+    pipeline whose enormous generated method was at the mercy of JIT
+    compilation (measured 3-24s for the same input depending on C2 warmth);
+    the numpy fold is ~constant. A doc with no alphabetic tokens folds the
+    empty array to 0, matching :func:`simhash64`.
     """
-    docs = spread_small_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
-    toks = docs.select("doc", F.explode(words(F.col(text_col))).alias("t"))
-    h = F.xxhash64("t")
-    votes = toks.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
-    )
-    fp_col = F.lit(0).cast("long")
-    for b in range(64):
-        bit_val = F.lit(-(2**63) if b == 63 else (1 << b)).cast("long")
-        fp_col = fp_col.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
-        )
-    return docs.select("doc").join(
-        votes.select("doc", fp_col.alias("fp")), "doc", "left"
-    ).select("doc", F.coalesce(F.col("fp"), F.lit(0).cast("long")).alias("fp"))
+    token_hashes = F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t))
+
+    # no type hints: pep-563 string hints (from __future__ annotations) are
+    # rejected by pandas_udf's signature inspection; returnType is explicit
+    def fold(hs):
+        out = np.zeros(len(hs), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.int64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64)
+            # arithmetic >> matches Spark's shiftright; bit b of each hash
+            ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
+            fp_bits = (2 * ones) > len(h)  # vote sum > 0
+            val = int(
+                np.bitwise_or.reduce(
+                    (fp_bits[:63] << shifts[:63]).astype(np.int64), initial=0
+                )
+            )
+            if fp_bits[63]:
+                val |= -(2**63)  # sign bit of the signed long
+            out[i] = val
+        return pd.Series(out)
+
+    fp = F.pandas_udf(fold, "long")(token_hashes)
+    return spread_small_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ).select("doc", fp.alias("fp"))
 
 
 def simhash_pairs(
@@ -403,7 +418,9 @@ def simhash_pairs(
     base_w, extra = divmod(64, n_bands)
     widths = [base_w + 1 if b < extra else base_w for b in range(n_bands)]
     starts = [sum(widths[:b]) for b in range(n_bands)]
-    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    # materialize (doc, fp) once: both sides of the band self-join read the
+    # checkpointed 16-byte rows instead of re-hashing every token twice
+    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col).localCheckpoint()
     bands = fp.select(
         "doc",
         "fp",
