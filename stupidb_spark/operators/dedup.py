@@ -239,6 +239,9 @@ def minhash_lsh_pairs(
 
     # Signature via hash-agg min over the exploded rows: every expression
     # stays inside whole-stage codegen with map-side partial aggregation.
+    # NOT checkpointed: AQE exchange reuse already shares this aggregation
+    # between both band self-join sides (measured: an eager localCheckpoint
+    # here costs ~2× the warm query).
     sig = ex.groupBy("doc").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -418,9 +421,10 @@ def simhash_pairs(
     base_w, extra = divmod(64, n_bands)
     widths = [base_w + 1 if b < extra else base_w for b in range(n_bands)]
     starts = [sum(widths[:b]) for b in range(n_bands)]
-    # materialize (doc, fp) once: both sides of the band self-join read the
-    # checkpointed 16-byte rows instead of re-hashing every token twice
-    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col).localCheckpoint()
+    # NOT checkpointed: exchange reuse shares the fingerprint computation
+    # between both band self-join sides (an eager localCheckpoint measured
+    # worse cold and a wash warm)
+    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
     bands = fp.select(
         "doc",
         "fp",
