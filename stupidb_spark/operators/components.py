@@ -78,25 +78,28 @@ def connected_components(
     labels = node_df.select("node", F.col("node").alias("component"))
 
     for _ in range(max_iterations):
-        # min label among each node's neighbors (sym has both orientations,
-        # so joining on u and emitting v covers in- and out-edges)
-        nbr_min = (
-            sym.join(labels, sym["u"] == labels["node"])
-            .select(F.col("v").alias("node"), F.col("component").alias("nbr"))
-            .groupBy("node")
-            .agg(F.min("nbr").alias("nbr"))
+        # One round = one join + ONE groupBy: neighbor label candidates
+        # (sym has both orientations, so joining on u and emitting v covers
+        # in- and out-edges) union'd with each node's own labeled row; the
+        # per-node min is the new label, and since every node contributes
+        # exactly one is_old row, max(old) recovers the previous label — so
+        # the changed flag falls out of the same aggregation instead of a
+        # separate old-vs-new join.
+        candidates = sym.join(labels, sym["u"] == labels["node"]).select(
+            F.col("v").alias("node"),
+            "component",
+            F.lit(False).alias("is_old"),
         )
-        # The changed flag is computed in the SAME pass that derives the new
-        # label (new < old iff a neighbor brought a smaller component), so
-        # convergence detection is a filter over the checkpointed result —
-        # not a second old-vs-new join per round.
-        new_component = F.least(F.col("component"), F.coalesce("nbr", "component"))
+        own = labels.select("node", "component", F.lit(True).alias("is_old"))
         new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                new_component.alias("component"),
-                (new_component < F.col("component")).alias("_changed"),
+            own.unionByName(candidates)
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                (
+                    F.min("component")
+                    < F.max(F.when(F.col("is_old"), F.col("component")))
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
