@@ -32,10 +32,12 @@ def asof_join(
     right_time: str,
     how: str = "left",
     suffix: str = "",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_time <= left_time`` within the same key group (ASOF JOIN ...
-    ON left_on = right_on AND left_time >= right_time).
+    """For each left row, attach the nearest right row within the same key
+    group: ``direction='backward'`` (default) takes the greatest
+    ``right_time <= left_time`` (ASOF ... ON left_time >= right_time),
+    ``'forward'`` the smallest ``right_time >= left_time`` — both inclusive.
 
     ``how='left'`` keeps unmatched left rows null-padded; ``'inner'`` drops
     them. Right-side time ties are broken by keeping the lexicographically
@@ -44,6 +46,10 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join supports direction='backward'|'forward', got {direction!r}"
+        )
 
     right_cols = [c for c in right.columns]
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("__asof_payload")
@@ -71,10 +77,17 @@ def asof_join(
         allowMissingColumns=True,
     )
 
-    # tag 0 (right) sorts before tag 1 (left) at equal times → "<=" inclusive.
+    # tag 0 (right) sorts before tag 1 (left) at equal times → inclusive
+    # match in both directions; forward simply scans time in reverse, so the
+    # carried "most recent" right row is the nearest FUTURE one.
+    time_order = (
+        F.col("__asof_time").desc()
+        if direction == "forward"
+        else F.col("__asof_time").asc()
+    )
     w = (
         Window.partitionBy("__asof_key")
-        .orderBy("__asof_time", "__asof_tag")
+        .orderBy(time_order, F.col("__asof_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = combined.withColumn(

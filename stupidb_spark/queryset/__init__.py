@@ -150,6 +150,7 @@ PRIORITY: tuple[str, ...] = (
     "text_repetition",
     "text_tfidf_topterm",
     "events_sessionize_window",
+    "asof_join_forward",
     "win_rows_bounded",
     "win_whole_partition",
     "win_multiple",

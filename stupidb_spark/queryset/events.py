@@ -367,3 +367,38 @@ def events_sessionize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@q(
+    "asof_join_forward",
+    """
+    -- Next order at-or-after each event, per user (forward as-of). Right
+    -- side deduplicated exactly as the backward twin.
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # direction='forward': the union-merge scans time in reverse, carrying
+    # the nearest FUTURE right payload — same O(n+m), one shuffle + one
+    # sort, no pair explosion (operators/asof.py).
+    events = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        how="left",
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
