@@ -332,3 +332,41 @@ def run_to_memory(
     query = writer.start()
     query.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def run_to_parquet_idempotent(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    checkpoint_dir: str,
+) -> None:
+    """Run the currently-staged files into a parquet tree, exactly-once
+    under retries: each micro-batch OVERWRITES its own ``batch_id=<n>``
+    directory via ``foreachBatch``.
+
+    Structured Streaming guarantees at-least-once delivery to a sink — a
+    crash after writing but before committing the checkpoint replays the
+    batch. Keying the write by ``batchId`` with dynamic partition overwrite
+    makes the replay rewrite the same directory instead of appending
+    duplicates: idempotent writes + replayed source = effective
+    exactly-once, the same recipe a production job uses against any
+    non-transactional store. Readers see the union of batch directories
+    (``spark.read.parquet(path)``).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -150,3 +150,41 @@ def test_stateful_running_totals_across_batches(spark, staged_events):
     )
     _assert_same(final, expected)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_idempotent_parquet_sink_survives_batch_replay(spark, staged_events):
+    """foreachBatch keyed by batch_id must be replay-safe: delivering the
+    same micro-batch twice (the at-least-once failure mode) leaves exactly
+    one copy, and the streamed rowset equals the batch rowset."""
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.streaming.events import run_to_parquet_idempotent
+
+    out = str(staged_events) + "-out"
+    ckpt = str(staged_events) + "-ckpt"
+    stream = stream_events(spark, str(staged_events))
+    run_to_parquet_idempotent(stream, out, checkpoint_dir=ckpt)
+
+    written = spark.read.parquet(out)
+    batch = load_table(spark, SF_DIR, "events")
+    assert written.count() == batch.count()
+
+    # simulate the replay: re-run batch 0's write with the same batch_id
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+    # identical payload, identical batch id — must overwrite, not append
+    write_batch(batch, 0)
+    assert spark.read.parquet(out).count() == batch.count()
+    _assert_same(
+        spark.read.parquet(out).drop("batch_id"),
+        batch,
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
