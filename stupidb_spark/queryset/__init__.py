@@ -160,6 +160,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_sketch",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "emb_label_centroids",
 )
 
 

@@ -123,3 +123,49 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", X.dround("pq_score").alias("pq_score"), "rk"
     )
+
+
+@q(
+    "emb_label_centroids",
+    """
+    -- per-label prototype vector in long form (label, dim position, mean).
+    -- Elementwise mean via the quantized-int64 grid: the sum is an exact
+    -- integer (order-independent under any partitioning), the two closing
+    -- divisions are single correctly-rounded IEEE ops — bit-identical to
+    -- the Spark plan. Fixture dim is 64.
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (
+        SELECT label, i - 1 AS pos, v[i] AS val
+        FROM e CROSS JOIN generate_series(1, 64) AS t(i)
+    )
+    SELECT label, pos,
+           (CAST(sum(CAST(floor(val * 1099511627776.0 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1099511627776.0) / count(*) AS centroid,
+           count(*) AS n_vectors
+    FROM x GROUP BY label, pos
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mean pooling / class prototypes: the representation-side twin of a
+    # groupBy average. posexplode turns the array into (label, pos, val)
+    # rows so the aggregation is an ordinary two-key hash agg with map-side
+    # partials — one shuffle of (label, dim) cells, no vector ever rides a
+    # join. Long-form output (not re-assembled arrays) keeps downstream
+    # joins/pivots free to choose their own layout.
+    from stupidb_spark.operators.similarity import QUANT_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q40 = F.floor(F.col("val").cast("double") * QUANT_SCALE + F.lit(0.5)).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum(q40).alias("s"), F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "label",
+            "pos",
+            ((F.col("s").cast("double") / F.lit(QUANT_SCALE)) / F.col("n_vectors")).alias(
+                "centroid"
+            ),
+            "n_vectors",
+        )
+    )
