@@ -46,3 +46,40 @@ def test_partitioning_independent(spark):
     base = _labels(connected_components(e))
     shuffled = _labels(connected_components(e.repartition(7, F.col("dst"))))
     assert base == shuffled == {1: 1, 2: 1, 3: 1, 20: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_star_components_match_propagation_on_random_graphs(spark):
+    """Differential: the O(log n)-round star contraction must produce
+    exactly the min-label propagation's components on random graphs
+    (including self-loops, duplicate edges, both orientations)."""
+    import random
+
+    from stupidb_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    for _ in range(5):
+        n = rng.randint(2, 40)
+        rows = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 60))
+        ]
+        e = spark.createDataFrame(rows, "src long, dst long")
+        a = sorted(map(tuple, connected_components(e).collect()))
+        b = sorted(map(tuple, connected_components_star(e).collect()))
+        assert a == b, rows
+
+
+def test_star_components_collapse_long_chain(spark):
+    """A 64-node path graph (diameter 63) must fully resolve well inside
+    the iteration cap — the case star contraction exists for."""
+    from stupidb_spark.operators.components import connected_components_star
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    out = connected_components_star(e, max_iterations=10).collect()
+    assert len(out) == 64
+    assert {r.component for r in out} == {0}
