@@ -161,6 +161,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "emb_label_centroids",
+    "sample_weighted",
 )
 
 

@@ -109,3 +109,69 @@ def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("epoch"),
         )
     )
+
+
+# weighted-sampling mixing constants: Knuth multiplicative + LCG increment,
+# all intermediates < 2^63 for doc_id < ~4e9. Production swaps xxhash64 for
+# better mixing (Spark-side only — then the check degrades to rows-only).
+_WA, _WB, _WC, _WM = 1103515245, 2654435761, 12345, 2147483647
+
+# per-source integer weights: the mixture knob (first 5 sources 3 tickets,
+# next 5 two, the rest one)
+_W = (
+    "CASE WHEN CAST(substr(source, 4) AS BIGINT) < 5 THEN 3 "
+    "WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 2 ELSE 1 END"
+)
+
+
+@q(
+    "sample_weighted",
+    f"""
+    -- Weighted sampling WITHOUT replacement via best-of-w tickets: doc d
+    -- with weight w holds w lottery tickets; rank docs by their best
+    -- (minimum) ticket and keep the top 100. Winning probability is
+    -- proportional to ticket count, successive ranks sample without
+    -- replacement — the classic lottery scheme, in exact integer
+    -- arithmetic (same LCG on both engines), so the selected SET is
+    -- bit-reproducible under any partitioning.
+    WITH t AS (
+        SELECT doc_id, source, {_W} AS w,
+               min((doc_id * {_WA} + ticket.t * {_WB} + {_WC}) % {_WM})
+                   AS best_ticket
+        FROM documents
+        CROSS JOIN generate_series(1, 3) AS ticket(t)
+        WHERE ticket.t <= {_W}
+        GROUP BY doc_id, source, w
+    )
+    SELECT doc_id, source, w, best_ticket
+    FROM t
+    ORDER BY best_ticket, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mixture-weighted corpus selection: explode each doc into its w
+    # tickets inside the scan stage (sequence + explode — no join), take the
+    # per-doc min ticket in one hash agg, then a global top-100 that fuses
+    # to TakeOrderedAndProject (per-partition top-k + driver merge, no
+    # global sort). The deterministic tickets make a retried/resumed job
+    # select the identical sample — rand()-based sampling does not.
+    w = (
+        F.when(F.substring("source", 4, 10).cast("long") < 5, F.lit(3))
+        .when(F.substring("source", 4, 10).cast("long") < 10, F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "source", w.alias("w"))
+    ticket = (
+        F.col("doc_id") * _WA + F.col("t") * _WB + _WC
+    ) % _WM
+    return (
+        docs.select(
+            "doc_id", "source", "w", F.explode(F.sequence(F.lit(1), F.col("w"))).alias("t")
+        )
+        .select("doc_id", "source", "w", ticket.alias("ticket"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.min("ticket").alias("best_ticket"))
+        .orderBy("best_ticket", "doc_id")
+        .limit(100)
+    )

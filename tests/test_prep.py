@@ -126,3 +126,44 @@ def test_contamination_flags_planted_copy(spark):
     n_total = planted_grams.count()
     n_hit = planted_grams.join(F.broadcast(bench_grams), "shingle").count()
     assert n_total > 0 and n_hit == n_total
+
+
+def test_weighted_sample_overrepresents_heavy_sources(spark):
+    """Best-of-w-tickets sampling must tilt selection toward higher-weight
+    sources: the weight-3 group's selection rate (selected/corpus share)
+    must exceed the weight-1 group's, and the selected set must be exactly
+    reproducible run-to-run (deterministic tickets)."""
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.queryset import QUERIES
+    from stupidb_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    sel = QUERIES["sample_weighted"](spark, SF_DIR)
+    rows = sel.collect()
+    assert len(rows) == 100
+    again = QUERIES["sample_weighted"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    corpus = (
+        load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    corpus_n = {r.source: r["count"] for r in corpus}
+    picked = {}
+    weights = {}
+    for r in rows:
+        picked[r.source] = picked.get(r.source, 0) + 1
+        weights[r.source] = r.w
+    def rate(w):
+        s = [src for src in corpus_n if weights.get(src, _w_of(src)) == w]
+        tot = sum(corpus_n[src] for src in s)
+        hit = sum(picked.get(src, 0) for src in s)
+        return hit / tot
+    def _w_of(src):
+        i = int(src[3:])
+        return 3 if i < 5 else (2 if i < 10 else 1)
+    weights = {src: _w_of(src) for src in corpus_n}
+    assert rate(3) > rate(1), (rate(3), rate(1))
