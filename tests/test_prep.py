@@ -153,17 +153,17 @@ def test_weighted_sample_overrepresents_heavy_sources(spark):
     )
     corpus_n = {r.source: r["count"] for r in corpus}
     picked = {}
-    weights = {}
     for r in rows:
         picked[r.source] = picked.get(r.source, 0) + 1
-        weights[r.source] = r.w
-    def rate(w):
-        s = [src for src in corpus_n if weights.get(src, _w_of(src)) == w]
-        tot = sum(corpus_n[src] for src in s)
-        hit = sum(picked.get(src, 0) for src in s)
-        return hit / tot
-    def _w_of(src):
+
+    def w_of(src):
         i = int(src[3:])
         return 3 if i < 5 else (2 if i < 10 else 1)
-    weights = {src: _w_of(src) for src in corpus_n}
+
+    def rate(w):
+        group = [src for src in corpus_n if w_of(src) == w]
+        total = sum(corpus_n[src] for src in group)
+        hits = sum(picked.get(src, 0) for src in group)
+        return hits / total
+
     assert rate(3) > rate(1), (rate(3), rate(1))
