@@ -114,3 +114,29 @@ def test_events_ts_ingests_into_fixture_epoch(spark):
     assert bounds.lo.year >= 2000, f"events.ts min={bounds.lo} — unit corruption"
     span = bounds.hi - bounds.lo
     assert span >= datetime.timedelta(days=1), f"span {span} — scale corruption"
+
+
+def test_sql_entry_point_matches_dataframe_path(spark):
+    """register_views + spark.sql is a first-class query surface: the SQL
+    form of the flagship aggregation must produce exactly the DataFrame
+    verb pipeline's rows."""
+    from stupidb_spark.queryset import QUERIES
+    from stupidb_spark.sources.catalog import register_views
+
+    register_views(spark, SF_DIR)
+    sql_rows = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS count_order,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    df_rows = (
+        QUERIES["tpch_q1"](spark, SF_DIR)
+        .select("l_returnflag", "l_linestatus", "count_order", "sum_qty")
+        .collect()
+    )
+    assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, df_rows))
