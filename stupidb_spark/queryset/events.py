@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stupidb_spark.operators.asof import asof_join, range_join
+from stupidb_spark.operators.asof import asof_join
 from stupidb_spark.functions import exact as X
 from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
