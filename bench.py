@@ -113,12 +113,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     exchanges: dict[str, int] = {}
     for name in HEADLINE:
-        best = float("inf")
+        samples = []
         for _ in range(2):
             start = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - start)
+        # host CPU-steal on this box swings identical plans up to ~2×; when
+        # the two samples disagree by >1.5× the measurement is suspect, so
+        # buy ONE more sample for that query only (bounded extra cost)
+        if max(samples) > 1.5 * min(samples):
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(min(samples), 3)
         exchanges[name] = exchange_count(QUERIES[name](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
