@@ -75,3 +75,34 @@ def read_json(
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", **options: Any) -> None:
     """Sink: parquet writer (absent in the reference — SURVEY.md §2.1)."""
     df.write.mode(mode).options(**options).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Rewrite a parquet directory into files near ``target_file_bytes``;
+    returns the output file count.
+
+    Small-file compaction is routine 100 TB table maintenance: streaming
+    sinks and fine-grained partitioned writes accumulate KB-scale files
+    whose per-file open/footer/task overhead eventually dominates scans.
+    The output file count is sized from the ACTUAL on-disk bytes (driver-
+    side listing — no data job), then one coalesce-write pass rewrites the
+    data; ``coalesce`` (not ``repartition``) keeps the rewrite shuffle-free.
+    Writes to ``out_path`` (default: atomically replace ``path`` is left to
+    the caller/table format — plain parquet has no atomic swap, so the safe
+    pattern is write-new-dir + repoint readers).
+    """
+    import glob as _glob
+    import os as _os
+
+    files = _glob.glob(f"{path}/**/*.parquet", recursive=True)
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    dest = out_path or f"{path.rstrip('/')}_compacted"
+    spark.read.parquet(path).coalesce(int(n_out)).write.mode("overwrite").parquet(dest)
+    return len(_glob.glob(f"{dest}/*.parquet"))

@@ -140,3 +140,22 @@ def test_sql_entry_point_matches_dataframe_path(spark):
         .collect()
     )
     assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, df_rows))
+
+
+def test_compact_parquet_coalesces_small_files(spark, outdir):
+    """Many tiny files in → few right-sized files out, same rowset, and the
+    rewrite plan is shuffle-free (coalesce, not repartition)."""
+    from stupidb_spark.sources.readers import compact_parquet
+
+    src = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    frag = str(outdir / "fragmented")
+    src.repartition(40).write.mode("overwrite").parquet(frag)
+    import glob
+
+    assert len(glob.glob(f"{frag}/*.parquet")) >= 40
+
+    n_out = compact_parquet(spark, frag, target_file_bytes=1 << 30)
+    assert n_out == 1  # everything fits one target-size file
+    compacted = spark.read.parquet(frag + "_compacted")
+    assert compacted.count() == src.count()
+    assert sorted(map(tuple, compacted.collect())) == sorted(map(tuple, src.collect()))
