@@ -162,6 +162,8 @@ PRIORITY: tuple[str, ...] = (
     "ann_topk_ivfpq",
     "emb_label_centroids",
     "sample_weighted",
+    "dedup_keep_best",
+    "win_moving_median",
 )
 
 

@@ -263,3 +263,56 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(dist).cast("long").alias("max_dist"),
         )
     )
+
+
+@q(
+    "dedup_keep_best",
+    """
+    -- Exact dedup with a QUALITY keeper policy: within each content
+    -- fingerprint keep the longest document (doc_id tiebreak) instead of
+    -- the min-id row — the curation rule real pipelines use when duplicate
+    -- copies differ in truncation. arg-max via (n_chars, -doc_id) max.
+    WITH f AS (
+        SELECT doc_id, source, n_chars,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY fp) AS n_copies
+        FROM f
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           CAST(sum(n_copies - 1) AS BIGINT) AS n_dropped,
+           CAST(sum(n_chars) AS BIGINT)      AS kept_chars
+    FROM r WHERE rk = 1
+    GROUP BY source
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keeper-policy dedup: one fingerprint shuffle (max_by carries the
+    # winning id + copy count as two longs of agg state — never the text),
+    # then a semi-join back for the survivors' attributes and a per-source
+    # rollup. max_by over the (n_chars, -doc_id) struct makes the winner
+    # total-ordered, so the kept SET is deterministic on any engine.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", fingerprint_md5(F.col("text")).alias("fp")
+    )
+    keep = docs.groupBy("fp").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+        ).alias("kept_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        keep.join(docs, keep["kept_doc"] == docs["doc_id"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("n_copies") - 1).alias("n_dropped"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )

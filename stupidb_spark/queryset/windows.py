@@ -453,3 +453,50 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         n_types_seen=F.size(F.collect_set("event_type").over(w)).cast("long"),
     )
+
+
+@q(
+    "win_moving_median",
+    """
+    -- Discrete moving median over a bounded ROWS frame. Spark windows have
+    -- no median, so both engines build the frame's value list explicitly
+    -- (list agg over the identical frame), sort it, and index the lower
+    -- median — element selection, no interpolation, exact on any engine.
+    WITH w AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               list(o_totalprice) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS frame_vals
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           list_sort(frame_vals)[CAST(ceil(len(frame_vals) / 2.0) AS BIGINT)]
+               AS moving_median,
+           CAST(len(frame_vals) AS INT) AS frame_n
+    FROM w
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The one aggregate Spark's window engine genuinely lacks: median over
+    # a frame. collect_list over the BOUNDED frame keeps per-row state at
+    # frame-length values (7 here) — the scale knob is the frame, never the
+    # partition; array_sort + element_at pick the lower discrete median
+    # exactly. (An unbounded-frame median would need the two-heap/segment
+    # tree treatment — out of scope; bounded frames are the common case
+    # for smoothing.)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 3)
+    )
+    frame_vals = F.collect_list("o_totalprice").over(w)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.element_at(
+            F.array_sort(frame_vals),
+            F.ceil(F.size(frame_vals) / F.lit(2.0)).cast("int"),
+        ).alias("moving_median"),
+        F.size(frame_vals).alias("frame_n"),
+    )
