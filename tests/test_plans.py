@@ -278,3 +278,26 @@ def test_tpch_q22_broadcast_scalar_and_anti(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q10_fuses_topk_and_broadcasts_dims(spark):
+    # returned-item reporting: the LIMIT 20 must fuse to
+    # TakeOrderedAndProject (no global sort) and customer/nation ride
+    # broadcast joins
+    df = QUERIES["tpch_q10"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q13_left_join_keeps_zero_order_customers(spark):
+    # the distribution must include a c_count=0 bucket — the null-keeping
+    # left join is the point of the query shape
+    from pyspark.sql import functions as F
+
+    df = QUERIES["tpch_q13"](spark, SF_DIR)
+    zero = df.filter(F.col("c_count") == 0).collect()
+    assert len(zero) <= 1  # at most one bucket row
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
