@@ -190,6 +190,13 @@ EXCHANGE_BUDGETS = {
     "ann_topk_ivfpq": 3,
     # posexplode fuses into the scan; the (label, dim) agg is the one shuffle
     "emb_label_centroids": 1,
+    # the custkey window is the only exchange; frame list stays in-operator
+    "win_moving_median": 1,
+    # fingerprint agg + winner join-back rollup
+    "dedup_keep_best": 2,
+    # ticket explode fuses into the scan; per-doc min agg is the one
+    # exchange (top-k fuses to TakeOrderedAndProject)
+    "sample_weighted": 1,
     # union-merge as-of: one shuffle + the carry window, both directions
     "asof_join_forward": 2,
 }
