@@ -2,11 +2,19 @@
 """Driver-style correctness gate rehearsal: run the first N registered
 queries against their DuckDB oracles at sf0.01 and report row/hash matches.
 
-Usage: python scripts/gate_check.py [N] [sf_dir]
+Usage: python scripts/gate_check.py [N] [sf_dir] [--repeat R] [--only name,...]
+
+--repeat R re-executes each Spark query R times and diffs the value hashes
+between runs: a query whose hash varies across runs is nondeterministic
+(partition-order-sensitive float accumulation, unstable sorts, rand()),
+which is exactly the class of flake that shows up as a driver-side-only
+hash mismatch.
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import hashlib
 import os
 import sys
@@ -22,15 +30,45 @@ TABLES = (
 ).split()
 
 
+def _canon(v):
+    """Engine-neutral rendering: Decimal 1.5000 == float 1.5, datetime vs
+    Timestamp reprs collapse to isoformat, floats get repr (shortest
+    round-trip) after float()-normalizing Decimals."""
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
 def value_hash(rows, names, order):
     idx = [names.index(c) for c in order]
-    canon = sorted(tuple(str(r[i]) for i in idx) for r in rows)
+    canon = sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
     return hashlib.md5(str(canon).encode()).hexdigest()
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    repeat = 1
+    only = None
+    if "--repeat" in argv:
+        i = argv.index("--repeat")
+        repeat = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    n = int(argv[0]) if argv else 50
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
 
     import duckdb
 
@@ -45,32 +83,45 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    names = [q for q in list(QUERIES)[:n] if only is None or q in only]
     failures = []
-    for name in list(QUERIES)[:n]:
+    for name in names:
         try:
             sdf = QUERIES[name](spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             if name not in ORACLES:
-                status = f"rows-only {len(srows)}"
-                print(f"{name:28s} {status}")
+                print(f"{name:28s} rows-only {len(srows)}")
                 continue
+            cols = sorted(sdf.columns)
+            shash = value_hash(srows, sdf.columns, cols)
+            unstable = []
+            for k in range(repeat - 1):
+                rdf = QUERIES[name](spark, sf_dir)
+                rhash = value_hash(
+                    [tuple(r) for r in rdf.collect()], rdf.columns, cols
+                )
+                if rhash != shash:
+                    unstable.append((k + 2, rhash))
             res = con.execute(ORACLES[name])
             onames = [d[0] for d in res.description]
             orows = res.fetchall()
-            cols = sorted(sdf.columns)
             rows_ok = len(srows) == len(orows)
-            hash_ok = rows_ok and value_hash(srows, sdf.columns, cols) == value_hash(
-                orows, onames, cols
-            )
+            hash_ok = rows_ok and shash == value_hash(orows, onames, cols)
             status = "OK" if hash_ok else f"MISMATCH {len(srows)} vs {len(orows)}"
-            if not hash_ok:
+            if repeat > 1:
+                status += (
+                    f" UNSTABLE@runs{[u[0] for u in unstable]}"
+                    if unstable
+                    else f" stable x{repeat}"
+                )
+            if not hash_ok or unstable:
                 failures.append(name)
         except Exception as exc:  # present errors as gate rows, like the driver
             status = f"ERROR {type(exc).__name__}: {exc}"
             failures.append(name)
         print(f"{name:28s} {status}")
 
-    print(f"\n{n - len(failures)}/{n} green; failures: {failures}")
+    print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures}")
     return 1 if failures else 0
 
 

@@ -6,21 +6,26 @@ until a context-window budget is reached, start the next pack. Two
 strategies with different determinism/efficiency trade-offs:
 
 - :func:`pack_by_cumsum` — streaming chunk packing: documents in a fixed
-  global order, pack boundary every ``capacity`` cumulative tokens. A pure
-  window expression (one sort shuffle, no UDF), identical in ANSI SQL —
-  this is the oracled form. A document straddling a boundary goes to the
-  pack its *preceding* tokens filled into (packs may overflow by at most
-  one document — the standard streaming-packer behavior).
+  global order, pack boundary every ``capacity`` cumulative tokens. The
+  running token sum is computed two-phase (range-bucket the order key,
+  cumsum within buckets in parallel, add broadcast per-bucket offsets) so
+  NO single task ever sees the whole corpus — the naive ``sum() OVER
+  (ORDER BY id)`` plan funnels every row through one partition. Same
+  results as the ANSI-SQL global window, which is the DuckDB oracle form.
+  A document straddling a boundary goes to the pack its *preceding*
+  tokens filled into (packs may overflow by at most one document — the
+  standard streaming-packer behavior).
 - :func:`pack_greedy` — first-fit-decreasing bin packing within hash
   buckets via ``applyInPandas``: tighter packs (no overflow; fewer padding
   tokens), at the cost of a Python stage. Buckets pack independently, so
   the operator scales horizontally: quality of fit degrades only with
   bucket count, never correctness.
 
-Scale notes: both forms are a single shuffle of (id, n_tokens) longs —
-the document *text* never moves; join the assignment back to the corpus
-on the id. At 100 TB the text stays columnar in parquet and only the
-~16-byte assignment rows shuffle.
+Scale notes: both forms shuffle only (id, n_tokens) longs — the document
+*text* never moves; join the assignment back to the corpus on the id. At
+100 TB the text stays columnar in parquet and only the ~16-byte
+assignment rows shuffle, and no single task ever holds more than one
+range bucket's worth of them.
 """
 
 from __future__ import annotations
@@ -41,26 +46,76 @@ def pack_by_cumsum(
     order_col: str,
     capacity: int,
     pack_col: str = "pack_id",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Assign ``pack_col`` = the pack index under streaming chunk packing.
 
     ``pack_id = floor(tokens_before / capacity)`` where ``tokens_before``
     is the exclusive running token sum in ``order_col`` order — document i
-    starts in the pack its predecessors filled into.
+    starts in the pack its predecessors filled into. ``order_col`` must be
+    a numeric, unique ordering key (e.g. a doc id).
 
-    Single window over a global sort; everything stays in whole-stage
-    codegen. The equivalent SQL (the DuckDB oracle of ``pack_sequences``)::
+    The equivalent SQL (the DuckDB oracle of ``pack_sequences``)::
 
         floor((sum(n) OVER (ORDER BY id) - n) / capacity)
+
+    but the plan is NOT that global window (a SinglePartition sort that
+    serializes the corpus onto one task). Instead, the same two-phase
+    idiom as :func:`stupidb_spark.operators.ordering.seeded_positions`:
+
+    1. ``percentile_approx`` sketches ≤ ``n_buckets - 1`` range boundaries
+       of ``order_col`` — driver metadata bounded by contract (one slim
+       aggregate job; boundary precision only affects load balance, never
+       results, because the boundaries are baked in as literals).
+    2. a monotone codegen'd CASE assigns each row its range bucket, so
+       ordering by (bucket, order_col) equals ordering by order_col;
+    3. an ``n_buckets``-row aggregate + tiny window gives each bucket its
+       exclusive cumulative token offset (metadata-scale);
+    4. per-bucket cumsum window + broadcast offset join = exact global
+       running sum, each bucket processed in parallel.
 
     >>> out = pack_by_cumsum(seqs, token_col="n", order_col="id", capacity=100)
     >>> [(r.id, r.pack_id) for r in out.orderBy("id").collect()]
     [(1, 0), (2, 0), (3, 1), (4, 1)]
     """
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    tokens_before = F.sum(token_col).over(w) - F.col(token_col)
-    return df.withColumn(
-        pack_col, F.floor(tokens_before / F.lit(capacity)).cast("long")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_row = df.select(
+        F.percentile_approx(
+            F.col(order_col).cast("double"), probs, 1000
+        ).alias("b")
+    ).first()
+    bounds = sorted(set(bounds_row["b"] or [])) if bounds_row else []
+
+    # Monotone bucket id: number of boundaries strictly below the key.
+    # A sum of WHENs stays in whole-stage codegen (array HOFs would not).
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+    keyed = df.withColumn("__bucket", bucket.cast("int"))
+
+    totals = keyed.groupBy("__bucket").agg(F.sum(token_col).alias("__t"))
+    # ≤ n_buckets rows: the single-partition window here is metadata-scale
+    off_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__offset"),
+    )
+    in_w = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tokens_before = (
+        F.col("__offset") + F.sum(token_col).over(in_w) - F.col(token_col)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            pack_col, F.floor(tokens_before / F.lit(capacity)).cast("long")
+        )
+        .drop("__bucket", "__offset")
     )
 
 

@@ -272,8 +272,8 @@ def terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS n_clipped_low,
            sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS n_clipped_high,
-           CAST(floor(sum(floor(least(greatest(e.value, c.lo), c.hi) * 10000
-                                + 0.5))) AS BIGINT) AS total_clamped_e4
+           sum(CAST(floor(least(greatest(e.value, c.lo), c.hi) * 10000
+                          + 0.5) AS BIGINT)) AS total_clamped_e4
     FROM events e JOIN cuts c USING (event_type)
     GROUP BY e.event_type
     """,
@@ -316,8 +316,12 @@ def prep_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("value") > F.col("hi"), 1).otherwise(0)
             ).alias("n_clipped_high"),
-            F.floor(
-                F.sum(F.floor(clamped * 10000 + F.lit(0.5)))
-            ).cast("long").alias("total_clamped_e4"),
+            # Per-row floor to BIGINT *before* summing: long accumulation is
+            # exact and partition-order-independent, unlike a double sum,
+            # which past ~2^53 (a 100 TB reality) loses exactness and makes
+            # the result depend on reduction order.
+            F.sum(
+                F.floor(clamped * 10000 + F.lit(0.5)).cast("long")
+            ).alias("total_clamped_e4"),
         )
     )

@@ -147,8 +147,9 @@ EXCHANGE_BUDGETS = {
     "agg_salted_skew": 2,
     # prep pipeline: fingerprint-dedup shuffle + language rollup, nothing else
     "pipeline_prep": 2,
-    # packing: ONE global sort window (the rollup reuses its partitioning)
-    "pack_sequences": 1,
+    # packing two-phase cumsum: bucket totals agg + tiny offset window +
+    # per-bucket cumsum window + final pack rollup
+    "pack_sequences": 4,
     # sampling decision fuses into the scan; only the rate rollup shuffles
     "sample_stratified": 1,
     # epoch fan-out is a generator in the scan stage: NO shuffle at all
@@ -209,6 +210,18 @@ def test_exchange_budgets(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"exchange budget exceeded (got, budget): {over}"
+
+
+def test_pack_cumsum_two_phase_no_global_sort(spark):
+    # the corpus-side running sum must be a per-bucket window (hash
+    # partitioned on the range bucket), never a SinglePartition sort of the
+    # whole corpus; the only SinglePartition step allowed is the <=64-row
+    # bucket-offset window inside the broadcast (metadata) subtree
+    df = QUERIES["pack_sequences"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(__bucket" in plan
+    assert plan.count("SinglePartition") <= 1
+    assert "BroadcastExchange" in plan  # offsets ride a broadcast join
 
 
 def test_tpch_q17_single_fact_shuffle(spark):
