@@ -113,6 +113,7 @@ def jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (i < j, jaccard ≥ threshold).
 
@@ -120,9 +121,30 @@ def jaccard_pairs(
     bucket (so only docs sharing ≥1 shingle ever meet — never the full n²),
     count common shingles per pair, then jaccard = common / (|A|+|B|-common).
 
+    **Skew guard** (``max_doc_freq``): the per-shingle self-join is O(df²)
+    in a shingle's document frequency — one boilerplate shingle in 1% of a
+    10⁹-doc corpus would generate 10¹⁴ candidate pairs. With
+    ``max_doc_freq`` set, shingles whose document frequency exceeds the cap
+    are dropped from BOTH the inverted index and the per-doc shingle counts
+    (standard stop-shingle / prefix-filtering practice), so the result is
+    the exact Jaccard over the *informative*-shingle universe. Recall
+    contract: a pair similar only through capped (ultra-common) shingles is
+    missed — by design, since such overlap is boilerplate, not duplication;
+    pairs sharing any sub-cap shingle are still found with exact (capped-
+    universe) scores. Default None = uncapped classical Jaccard, the
+    oracled form; at corpus scale set a cap (or use MinHash-LSH, the
+    default scale path).
+
     Returns columns: id_a, id_b, jaccard.
     """
+    from pyspark.sql.window import Window as W
+
     ex = doc_shingles(df, id_col=id_col, text_col=text_col, k=k)
+    if max_doc_freq is not None:
+        dfreq = F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        ex = ex.withColumn("__df", dfreq).filter(
+            F.col("__df") <= max_doc_freq
+        ).drop("__df")
     n_sh = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")

@@ -332,6 +332,54 @@ def lsh_topk(
     )
 
 
+def salted_block_tasks(
+    work: DataFrame, *, max_block: int, counts_from: DataFrame | None = None
+) -> DataFrame:
+    """Split oversized blocks into bounded sub-block-pair tasks.
+
+    ``work`` has columns (block, id, vec). A block of b rows gets
+    s = ⌈b / max_block⌉ hash sub-blocks; each row is replicated to the s
+    task keys (block, min(sub, o), max(sub, o)) for o in 0..s-1 — all
+    distinct — so every within-block id pair appears under EXACTLY one
+    task key and no task holds more than ~2·(b/s) rows. Blocks at or
+    under ``max_block`` keep s = 1 and pass through untouched as task
+    (block, 0, 0).
+
+    Returns columns: block, __ka, __kb, id, vec, __sub.
+    """
+    counts = (counts_from if counts_from is not None else work).groupBy(
+        "block"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    keyed = (
+        work.join(F.broadcast(counts), "block")
+        .withColumn(
+            "__s", F.ceil(F.col("__n") / F.lit(max_block)).cast("int")
+        )
+        .withColumn(
+            "__sub", F.pmod(F.xxhash64(F.col("id")), F.col("__s")).cast("int")
+        )
+    )
+    task = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.col("__s") - F.lit(1)),
+            lambda o: F.struct(
+                F.least(F.col("__sub"), o).alias("ka"),
+                F.greatest(F.col("__sub"), o).alias("kb"),
+            ),
+        )
+    )
+    return keyed.select(
+        "block", "id", "vec", "__sub", task.alias("__t")
+    ).select(
+        "block",
+        F.col("__t.ka").alias("__ka"),
+        F.col("__t.kb").alias("__kb"),
+        "id",
+        "vec",
+        "__sub",
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
@@ -339,6 +387,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.9,
+    max_block: int = 2048,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -347,34 +396,59 @@ def embedding_near_dup_pairs(
     materializes. Scoring is block-local ``applyInPandas``: each block's
     vectors cross Arrow ONCE and all its pairs are scored as chunked numpy
     tensor ops — a pair self-join would instead ship two arrays per pair
-    through the shuffle (measured ~8× slower at 5k vectors). One shuffle
-    total, keyed by block; block size is the scale knob, exactly as in the
-    MinHash banding path.
+    through the shuffle (measured ~8× slower at 5k vectors).
 
-    Returns: id_a, id_b, cosine_sim.
+    **Oversized blocks are salted**: a block of b > ``max_block`` vectors
+    is hash-split into s = ⌈b / max_block⌉ sub-blocks, and each of the
+    s·(s+1)/2 sub-block combinations becomes its own task (a vector is
+    replicated to the s tasks it participates in). Every within-block pair
+    lands in exactly one task — (i, j) goes to task (min(subᵢ, subⱼ),
+    max(subᵢ, subⱼ)) — so results are identical to the unsalted plan, but
+    no single task ever does more than ~max_block² comparison work: one
+    giant label/bucket no longer serializes onto one core. Shuffles:
+    block-count agg + the task shuffle, both ids+vecs only.
+
+    Returns: id_a, id_b (id_a < id_b), cosine_sim.
     """
-    df = spread_small_scan(df)
     if block_col is not None:
-        work = df.select(
+        raw = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
             F.col(block_col).alias("block"),
         )
     else:
         planes = hyperplanes(64, 4)
-        work = df.select(
+        raw = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ).withColumn("block", lsh_bucket(F.col("vec"), planes))
+    work = spread_small_scan(raw)
 
     id_type = dict(work.dtypes)["id"]
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    # block sizes come from the UNspread scan: the counts subtree then
+    # prunes to the block column only and adds no repartition exchange
+    tasks = salted_block_tasks(work, max_block=max_block, counts_from=raw)
 
-    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+            {"cosine_sim": "float64"}
+        )
+
+    def finish(out_a: list, out_b: list, out_s: list) -> pd.DataFrame:
+        if not out_a:
+            return empty()
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
+            }
+        )
+
+    def within(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
-                {"cosine_sim": "float64"}
-            )
+            return empty()
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
         ids = pdf["id"].to_numpy()[order]
         V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)[order]
@@ -396,16 +470,41 @@ def embedding_near_dup_pairs(
                     out_a.append(np.full(len(hit), ids[i]))
                     out_b.append(ids[hit])
                     out_s.append(row[hit - i - 1])
-        if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
-                {"cosine_sim": "float64"}
-            )
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cosine_sim": np.concatenate(out_s),
-            }
-        )
+        return finish(out_a, out_b, out_s)
 
-    return work.groupBy("block").applyInPandas(per_block, out_schema)
+    def cross(A: pd.DataFrame, B: pd.DataFrame) -> pd.DataFrame:
+        if not len(A) or not len(B):
+            return empty()
+        ids_a = A["id"].to_numpy()
+        ids_b = B["id"].to_numpy()
+        VA = np.stack(A["vec"].to_numpy()).astype(np.float64)
+        VB = np.stack(B["vec"].to_numpy()).astype(np.float64)
+        na = np.sqrt(_qdot(VA, VA).astype(np.float64) / QUANT_SCALE)
+        nb = np.sqrt(_qdot(VB, VB).astype(np.float64) / QUANT_SCALE)
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, 2_000_000 // (len(B) * VA.shape[1]))
+        for s in range(0, len(A), chunk):
+            e = min(s + chunk, len(A))
+            prod = VA[s:e, None, :] * VB[None, :, :]  # (c, |B|, dim)
+            d = (
+                np.floor(prod * QUANT_SCALE + 0.5).astype(np.int64).sum(axis=2)
+            ).astype(np.float64) / QUANT_SCALE
+            sims = d / (na[s:e, None] * nb[None, :])
+            ii, jj = np.nonzero(sims >= threshold)
+            if len(ii):
+                xa, xb = ids_a[ii + s], ids_b[jj]
+                out_a.append(np.minimum(xa, xb))
+                out_b.append(np.maximum(xa, xb))
+                out_s.append(sims[ii, jj])
+        return finish(out_a, out_b, out_s)
+
+    def per_task(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ka, kb = int(key[1]), int(key[2])
+        if ka == kb:
+            return within(pdf)
+        sub = pdf["__sub"].to_numpy()
+        return cross(pdf[sub == ka], pdf[sub == kb])
+
+    return tasks.groupBy("block", "__ka", "__kb").applyInPandas(
+        per_task, out_schema
+    )

@@ -177,3 +177,33 @@ def test_word_shingles_short_doc_guard(spark):
     assert rows[1] == []  # < k words ⇒ no shingles (not garbage slices)
     assert rows[2] == ["one two three", "two three four"]
     assert rows[3] == []
+
+
+def test_jaccard_max_doc_freq_recall_contract(spark):
+    # the skew guard drops hot (boilerplate) shingles from both the index
+    # and the per-doc counts: planted near-dups sharing informative
+    # shingles are still found with exact capped-universe scores, while a
+    # pair related ONLY through the hot shingle is dropped by design
+    boiler = "terms of service apply"  # 4 words -> 2 hot 3-shingles
+    rows = [
+        (1, f"alpha beta gamma delta epsilon eta theta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon eta iota {boiler}"),  # near-dup
+        (3, f"one two three four five six seven {boiler}"),
+        (4, f"ten eleven twelve thirteen fourteen fifteen sixteen {boiler}"),
+        (5, f"red green blue cyan violet indigo amber {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(id_col="doc_id", text_col="text", k=3, threshold=0.1)
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, max_doc_freq=2, **kw).collect()
+    }
+    # planted pair survives; every boilerplate-only pair is gone
+    assert set(capped) == {(1, 2)}
+    # exact score over the informative universe: docs 1/2 keep 7 sub-cap
+    # shingles each (the two df=5 boilerplate shingles are dropped), 4 common
+    assert abs(capped[(1, 2)] - 4 / (7 + 7 - 4)) < 1e-12
+    # uncapped finds every boilerplate-only pair too (the skew the cap
+    # guards: all 5 docs meet through the 2 hot shingles)
+    uncapped = jaccard_pairs(docs, **kw).collect()
+    assert len(uncapped) == 10

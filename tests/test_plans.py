@@ -137,8 +137,8 @@ EXCHANGE_BUDGETS = {
     # spread + signature agg + band explode join + candidate dedup + the
     # shingle-verification joins (count/total per side)
     "dedup_minhash_lsh": 12,
-    # spread + block shuffle (applyInPandas)
-    "dedup_embedding_cosine": 2,
+    # spread + block-count agg (salting metadata) + salted task shuffle
+    "dedup_embedding_cosine": 3,
     # spread + partial-topk merge window
     "ann_topk_bruteforce": 2,
     # spread + the one union-merge window shuffle, no join

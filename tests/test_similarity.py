@@ -199,3 +199,45 @@ def test_ivfpq_recall_vs_brute_force(spark):
     got = {(r.query_id, r.neighbor_id) for r in ivfpq_topk(emb, queries, k=10).collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, f"IVF-PQ recall@10 {recall:.2f} below floor"
+
+
+def test_near_dup_salting_matches_unsalted(spark):
+    # skewed fixture: ONE giant block — exactly the shape that serialized
+    # onto one task before salting. Salted pairs must equal unsalted pairs.
+    from stupidb_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _emb(spark).withColumn("blk", F.lit("hot"))
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", block_col="blk", threshold=0.4
+    )
+    unsalted = embedding_near_dup_pairs(emb, max_block=10**9, **kw)
+    salted = embedding_near_dup_pairs(emb, max_block=100, **kw)
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    u = sorted(((r.id_a, r.id_b, round(r.cosine_sim, 9)) for r in unsalted.collect()))
+    s = sorted(((r.id_a, r.id_b, round(r.cosine_sim, 9)) for r in salted.collect()))
+    assert len(u) > 0
+    assert u == s
+
+
+def test_salted_tasks_bound_per_task_work(spark):
+    # every pair appears in exactly one task, and no task's input exceeds
+    # ~2 sub-blocks of rows — the property that bounds per-task O(b²) work
+    from stupidb_spark.operators.similarity import salted_block_tasks
+
+    max_block = 100
+    work = _emb(spark).select(
+        F.lit("hot").alias("block"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+    )
+    n = work.count()
+    s = -(-n // max_block)
+    assert s >= 3, "fixture too small to exercise salting"
+    tasks = salted_block_tasks(work, max_block=max_block)
+    rows = tasks.groupBy("__ka", "__kb").count().collect()
+    # all s*(s+1)/2 sub-block combinations appear, each bounded by two
+    # hash sub-blocks of ~n/s rows (2x slack for hash imbalance)
+    assert len(rows) == s * (s + 1) // 2
+    assert max(r["count"] for r in rows) <= 4 * (n // s)
+    # replication factor is exactly s
+    assert sum(r["count"] for r in rows) == n * s
