@@ -86,6 +86,18 @@ HEADLINE = [
 ]
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat. Steal is time the hypervisor
+    ran OTHER tenants — foreign load — so unlike loadavg it is not inflated
+    by this bench's own local[32] saturation."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -110,31 +122,52 @@ def main() -> None:
     # (did the plan change, or just the machine?).
     from stupidb_spark.plans import exchange_count
 
+    # Noise self-description: loadavg at start (foreign processes before we
+    # saturate the box ourselves) + per-query CPU-steal percentage. A run
+    # taken on a loaded host flags itself instead of reading as a code
+    # regression (the r3 driver bench was 3× a quiet run of the same commit).
+    loadavg_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     timings: dict[str, float] = {}
     exchanges: dict[str, int] = {}
+    steal_pct: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
+        s0, t0 = _cpu_ticks()
         for _ in range(2):
             start = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
+        s1, t1 = _cpu_ticks()
+        q_steal = 100.0 * (s1 - s0) / max(1, t1 - t0)
         # host CPU-steal on this box swings identical plans up to ~2×; when
-        # the two samples disagree by >1.5× the measurement is suspect, so
-        # buy ONE more sample for that query only (bounded extra cost)
-        if max(samples) > 1.5 * min(samples):
+        # the two samples disagree by >1.5×, or the hypervisor stole >3% of
+        # the window's CPU, the measurement is suspect — buy ONE more sample
+        # for that query only (bounded extra cost)
+        if max(samples) > 1.5 * min(samples) or q_steal > 3.0:
             start = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
         timings[name] = round(min(samples), 3)
+        steal_pct[name] = round(q_steal, 2)
         exchanges[name] = exchange_count(QUERIES[name](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
+    noise = {
+        "loadavg_start": round(loadavg_start, 2)
+        if loadavg_start is not None
+        else None,
+        "steal_pct_max": max(steal_pct.values()) if steal_pct else 0.0,
+        "noisy": (loadavg_start or 0) > 2.0
+        or max(steal_pct.values(), default=0.0) > 3.0,
+    }
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "exchanges": exchanges,
+        "steal_pct": steal_pct,
+        "noise": noise,
         "sf": sf,
     }
     # Durable copy first: BENCH_r02's stdout line was truncated by the
@@ -148,7 +181,10 @@ def main() -> None:
     # (no exchanges dict — it lives in the file) as the very last stdout.
     spark.stop()
     line = json.dumps(
-        {k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")},
+        {
+            k: payload[k]
+            for k in ("metric", "value", "unit", "queries", "noise", "sf")
+        },
         separators=(",", ":"),
     )
     sys.stdout.flush()

@@ -26,6 +26,7 @@ from stupidb_spark.operators.dedup import (
     spread_small_scan,
 )
 from stupidb_spark.operators.multimodal import (
+    decode_audio,
     decode_image,
     extract_features,
     frame_sample,
@@ -57,6 +58,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "spread_small_scan",
+    "decode_audio",
     "decode_image",
     "extract_features",
     "frame_sample",

@@ -72,6 +72,12 @@ def pq_train(
         .limit(n_train)
         .collect()
     )
+    if len(rows) < k:
+        raise ValueError(
+            f"pq_train needs at least k={k} training vectors; the table "
+            f"(capped at n_train={n_train}) yielded {len(rows)} — lower k "
+            "or train on more data"
+        )
     X = np.stack([np.array(r._v, dtype=np.float64) for r in rows])
     dim = X.shape[1]
     if dim % m:

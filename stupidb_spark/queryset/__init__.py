@@ -105,9 +105,14 @@ PRIORITY: tuple[str, ...] = (
     "win_rank",
     "win_navigation",
     "sort_nulls_offset",  # combo: sort_nulls_first + sort_limit_offset
-    "sort_topk",
+    # top-k slot: tpch_q10 is itself a TakeOrderedAndProject top-20 (plus
+    # returned-item join/agg shape with no prior driver row); the plain
+    # sort_topk twin rotates to 51+ — its fusion plan stays pinned in
+    # tests/test_plans.py and its oracle runs locally.
+    "tpch_q10",
     # 51+: redundant twins (component already covered above) and plan-shape
     # demos — still oracled, still run in tests/test_oracle_parity.py.
+    "sort_topk",
     "join_cross",
     "join_theta",
     "join_left_nullpad",
@@ -141,7 +146,6 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q22",
     "tpch_q7",
     "tpch_q9",
-    "tpch_q10",
     "tpch_q13",
     "tpch_q15",
     "text_lang_id",
@@ -164,6 +168,10 @@ PRIORITY: tuple[str, ...] = (
     "sample_weighted",
     "dedup_keep_best",
     "win_moving_median",
+    "multimodal_decode",
+    "multimodal_audio",
+    "multimodal_frames",
+    "multimodal_features",
 )
 
 

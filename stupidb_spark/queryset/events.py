@@ -348,9 +348,12 @@ def events_sessionize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap: the oracle's INTERVAL comparison is µs-precise,
+    # and ts.cast('long') truncates to whole seconds — a gap in
+    # (1800s, 1801s) would split sessions differently between engines
     gap_ok = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    ) <= 1800
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    ) <= 1800 * 1_000_000
     marked = _events(spark, sf_dir).select(
         "user_id",
         "event_id",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stupidb_spark.operators.multimodal import (
+    decode_audio,
     decode_image,
     extract_features,
     frame_sample,
@@ -28,7 +29,8 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("multimodal_decode")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode image payloads and aggregate pixel statistics per size class."""
+    """Decode BMP image payloads (real 24-bit BI_RGB byte parsing) and
+    aggregate pixel statistics per size class."""
     return (
         decode_image(_media(spark, sf_dir))
         .groupBy("width", "height")
@@ -48,6 +50,21 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
             F.sum(F.length("frame_bytes")).alias("sampled_bytes"),
+        )
+    )
+
+
+@q("multimodal_audio")
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode PCM WAV payloads (real RIFF chunk walk) and roll up duration
+    and RMS loudness per duration class."""
+    return (
+        decode_audio(_media(spark, sf_dir))
+        .groupBy("sample_rate_hz", "duration_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_samples").alias("total_samples"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
         )
     )
 

@@ -355,10 +355,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sequence packing to a 2048-token context budget
     (operators/packing.py::pack_by_cumsum), rolled up per pack.
 
-    One global sort-window plus one hash agg over (doc_id, n_tokens)
-    longs — the document text never shuffles. The greedy first-fit
-    variant (pack_greedy) is exercised in tests/test_packing.py; this
-    window form is the SQL-expressible oracle path.
+    The running sum is the two-phase bucketed cumsum — per-bucket windows
+    plus broadcast bucket offsets, never a single-partition global sort —
+    over (doc_id, n_tokens) longs; the document text never shuffles. The
+    greedy first-fit variant (pack_greedy) is exercised in
+    tests/test_packing.py; this form is the SQL-expressible oracle path.
     """
     from stupidb_spark.operators.packing import pack_by_cumsum
 

@@ -65,7 +65,16 @@ def stream_events(
     first = sorted(glob.glob(f"{source_dir}/*.parquet")) or sorted(
         glob.glob(f"{source_dir}/**/*.parquet", recursive=True)
     )
-    is_nanos = bool(first) and parquet_ts_is_nanos(first[0])
+    if not first:
+        # The sniff decides the whole stream's schema; guessing on an empty
+        # directory would silently misread TIMESTAMP(NANOS) files staged
+        # later. Stage at least one file before defining the stream.
+        raise FileNotFoundError(
+            f"stream_events: no parquet files in {source_dir} to sniff the "
+            "timestamp physical type from — stage at least one file before "
+            "defining the stream (the schema is fixed at definition time)"
+        )
+    is_nanos = parquet_ts_is_nanos(first[0])
     if is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ns_schema = _ST(

@@ -241,3 +241,13 @@ def test_salted_tasks_bound_per_task_work(spark):
     assert max(r["count"] for r in rows) <= 4 * (n // s)
     # replication factor is exactly s
     assert sum(r["count"] for r in rows) == n * s
+
+
+def test_pq_train_rejects_undersized_training_set(spark):
+    import pytest
+
+    from stupidb_spark.operators.pq import pq_train
+
+    tiny = _emb(spark).limit(10)
+    with pytest.raises(ValueError, match="at least k="):
+        pq_train(tiny, m=16, k=256)

@@ -188,3 +188,12 @@ def test_idempotent_parquet_sink_survives_batch_replay(spark, staged_events):
     )
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_events_refuses_empty_source_dir(spark, tmp_path):
+    import pytest
+
+    from stupidb_spark.streaming.events import stream_events
+
+    with pytest.raises(FileNotFoundError, match="sniff"):
+        stream_events(spark, str(tmp_path))
