@@ -218,9 +218,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/similarity.py:pair_cosine) — exact integer sums make the
     # Spark numpy path and the DuckDB fold bit-identical, so the threshold
     # cut is identical too.
+    # max_block=1024: at sf0.1 each of the 10 label blocks holds ~2k
+    # vectors, so salting splits every block in two — 30 bounded tasks
+    # instead of 10 unbounded ones (same pairs, pinned by test).
     emb = load_table(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.4
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        threshold=0.4,
+        max_block=1024,
     )
     return out.select("id_a", "id_b", X.dround("cosine_sim").alias("cosine_sim"))
 
