@@ -42,6 +42,8 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q8",
+    "tpch_q21",
     "agg_grouped_stats",
     "agg_grouping_sets",
     "agg_udaf_sum_sq",
@@ -73,6 +75,8 @@ HEADLINE = [
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "multimodal_features",
+    "multimodal_audio",
+    "pack_sequences",
     "text_token_stats",
     "text_metrics",
     "text_lang_id",

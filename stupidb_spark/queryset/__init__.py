@@ -145,8 +145,10 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q19",
     "tpch_q22",
     "tpch_q7",
+    "tpch_q8",
     "tpch_q9",
     "tpch_q13",
+    "tpch_q21",
     "tpch_q15",
     "text_lang_id",
     "text_quality",

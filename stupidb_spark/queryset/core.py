@@ -1912,3 +1912,183 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         >> select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes, round 4 batch: q8 / q21 — the last fixture-expressible
+# shapes (q2/q11/q16/q20 need the partsupp table, which the fixtures do not
+# carry). q21's lateness predicate is adapted to the fixture schema:
+# l_shipdate > o_orderdate + 60 days stands in for the missing
+# l_receiptdate > l_commitdate.
+# ---------------------------------------------------------------------------
+
+
+_Q8_NATIONAL_SQL = "CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END"
+_Q8_SHARE_SQL = X.sql_dround(
+    f"({X.sql_dsum(_Q8_NATIONAL_SQL, 4)} / {X.sql_dsum('volume', 4)})", 6
+)
+
+
+@q(
+    "tpch_q8",
+    f"""
+    SELECT o_year,
+           {_Q8_SHARE_SQL} AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               ns.n_name AS nation
+        FROM part
+        JOIN lineitem  ON p_partkey = l_partkey
+        JOIN supplier  ON s_suppkey = l_suppkey
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region    ON nc.n_regionkey = r_regionkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # National-market-share shape (TPC-H Q8): NATION_5's share of PROMO-part
+    # revenue sold into ASIA, by order year. Every dim (part-filtered,
+    # supplier, customer, both nation roles, region) broadcasts; the only
+    # fact-fact shuffle is lineitem⋈orders on the order key. The share is a
+    # ratio of two exact decimal sums divided in double — bit-identical on
+    # both engines, so dround is safe.
+    part = _t(spark, sf_dir, "part") >> sift(F.col("p_type") == "PROMO")
+    nation = _t(spark, sf_dir, "nation")
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    asia = _t(spark, sf_dir, "region") >> sift(F.col("r_name") == "ASIA")
+    orders = _t(spark, sf_dir, "orders") >> sift(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    joined = (
+        _t(spark, sf_dir, "lineitem")
+        >> inner_join(part, F.col("p_partkey") == F.col("l_partkey"), broadcast=True)
+        >> inner_join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        >> inner_join(
+            _t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            broadcast=True,
+        )
+        >> inner_join(nc, F.col("c_nationkey") == F.col("c_nk"), broadcast=True)
+        >> inner_join(
+            asia, F.col("c_rk") == F.col("r_regionkey"), broadcast=True
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            broadcast=True,
+        )
+        >> inner_join(ns, F.col("s_nationkey") == F.col("s_nk"), broadcast=True)
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("nation") == "NATION_5", volume).otherwise(F.lit(0.0))
+    return (
+        joined
+        >> group_by(o_year=F.year("o_orderdate").cast("int"))
+        >> aggregate(
+            mkt_share=X.dround(X.dsum(national, 4) / X.dsum(volume, 4), 6)
+        )
+    )
+
+
+@q(
+    "tpch_q21",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    WHERE n_name = 'NATION_3'
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Suppliers-who-kept-orders-waiting shape (TPC-H Q21, lateness adapted
+    # to the fixture: shipped >60 days after the order date). The classic
+    # decorrelation stress test: one EXISTS → hash LeftSemi, one NOT EXISTS
+    # → hash LeftAnti, both on the order key — never a per-row subquery.
+    # l3's lateness reuses l1's o_orderdate (same order), so orders joins
+    # once; supplier + nation broadcast; top-10 fuses to TakeOrdered.
+    li = _t(spark, sf_dir, "lineitem")
+    nation3 = _t(spark, sf_dir, "nation") >> sift(F.col("n_name") == "NATION_3")
+    orders_f = _t(spark, sf_dir, "orders") >> sift(
+        F.col("o_orderstatus") == "F"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        >> inner_join(
+            orders_f.select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        >> sift(late)
+        >> inner_join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            broadcast=True,
+        )
+        >> inner_join(
+            nation3, F.col("s_nationkey") == F.col("n_nationkey"), broadcast=True
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("ok3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("sd3"),
+    )
+    waited = (
+        l1
+        >> semi_join(
+            l2,
+            (F.col("ok2") == F.col("l_orderkey"))
+            & (F.col("sk2") != F.col("l_suppkey")),
+        )
+        >> anti_join(
+            l3,
+            (F.col("ok3") == F.col("l_orderkey"))
+            & (F.col("sk3") != F.col("l_suppkey"))
+            & (
+                F.col("sd3")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+    )
+    return (
+        waited
+        >> group_by("s_name")
+        >> aggregate(numwait=F.count(F.lit(1)))
+        >> order_by(F.col("numwait").desc(), "s_name")
+        >> limit(10)
+    )

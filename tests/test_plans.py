@@ -311,6 +311,28 @@ def test_tpch_q10_fuses_topk_and_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_tpch_q8_broadcasts_all_dims_single_fact_shuffle(spark):
+    # every dim (filtered part, supplier, customer, both nation roles,
+    # region) must broadcast; lineitem⋈orders is the only fact-fact join
+    df = QUERIES["tpch_q8"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_decorrelates_both_subqueries(spark):
+    # EXISTS → hash LeftSemi, NOT EXISTS → hash LeftAnti, top-10 fused —
+    # the per-row correlated form would be O(n·m)
+    df = QUERIES["tpch_q21"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_tpch_q13_left_join_keeps_zero_order_customers(spark):
     # the distribution must include a c_count=0 bucket — the null-keeping
     # left join is the point of the query shape
