@@ -3,7 +3,8 @@
 The reference's only source is an iterable of dicts
 (`stupidb/api.py:102-131`, `stupidb/core.py:77-91`). Spark gives us real
 connectors; we expose explicit-schema parquet readers for the driver's
-fixture star schema plus generic csv/json/parquet/rows entry points.
+fixture star schema plus generic csv/json/parquet/orc/text/rows entry
+points.
 """
 
 from stupidb_spark.sources.catalog import (
@@ -16,7 +17,9 @@ from stupidb_spark.sources.catalog import (
 from stupidb_spark.sources.readers import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
+    read_text,
     table_from_rows,
 )
 
@@ -28,6 +31,8 @@ __all__ = [
     "register_views",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
+    "read_text",
     "table_from_rows",
 ]

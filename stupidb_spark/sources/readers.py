@@ -72,9 +72,39 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC source — Spark-native columnar alternative to parquet, with the
+    same pushdown/pruning behavior (vectorized reader, predicate pushdown
+    via ORC row-group statistics)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, *, whole_file: bool = False
+) -> DataFrame:
+    """Raw text ingestion — the front door of a document pipeline.
+
+    Default: one row per line (column ``value``). ``whole_file=True``: one
+    row per file (the shape for document corpora staged as one doc per
+    file); at scale prefer many medium files — a single giant file is one
+    task under wholetext.
+    """
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", **options: Any) -> None:
     """Sink: parquet writer (absent in the reference — SURVEY.md §2.1)."""
     df.write.mode(mode).options(**options).parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options: Any) -> None:
+    """Sink: ORC writer (same contract as :func:`write_parquet`)."""
+    df.write.mode(mode).options(**options).orc(path)
 
 
 def compact_parquet(

@@ -54,6 +54,40 @@ def test_csv_json_parquet_round_trip(spark, outdir):
     assert sorted(map(tuple, got_json.collect())) == expected
 
 
+def test_orc_round_trip_with_pushdown(spark, outdir):
+    from stupidb_spark.sources.readers import read_orc, write_orc
+
+    src = load_table(spark, SF_DIR, "nation")
+    expected = sorted(map(tuple, src.collect()))
+    write_orc(src, str(outdir / "o"))
+    back = read_orc(spark, str(outdir / "o"), schema=src.schema)
+    assert sorted(map(tuple, back.collect())) == expected
+    # predicate pushdown reaches the ORC scan like parquet
+    plan = (
+        back.filter(F.col("n_nationkey") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "n_nationkey" in plan and "PushedFilters" in plan
+
+
+def test_text_reader_lines_and_whole_file(spark, outdir, tmp_path):
+    from stupidb_spark.sources.readers import read_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(d))
+    assert sorted(r.value for r in lines.collect()) == [
+        "line one", "line two", "solo",
+    ]
+    whole = read_text(spark, str(d), whole_file=True)
+    assert whole.count() == 2  # one row per file
+    assert any("line one\nline two" in r.value for r in whole.collect())
+
+
 def test_partitioned_write_prunes(spark, outdir):
     src = load_table(spark, SF_DIR, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
