@@ -153,7 +153,11 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, float]:
         cid = buf[pos : pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         chunk = buf[pos + 8 : pos + 8 + size]
+        if len(chunk) < size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
         elif cid == b"data":
             data = chunk

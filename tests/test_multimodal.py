@@ -175,3 +175,16 @@ def test_feature_vectors(spark, docs):
     norm = F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x))
     off = feats.select(norm.alias("n")).filter(F.abs(F.col("n") - 1.0) > 1e-5)
     assert off.count() == 0
+
+
+def test_codecs_fail_loudly_on_truncated_payloads():
+    rgb = bytes(range(12))
+    bmp = encode_bmp(2, 2, rgb)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bmp[:-5])
+    wav = encode_wav(8000, [1, 2, 3, 4])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav[:20])
+    y4m = encode_y4m(8, 8, [bytes(64)])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(y4m[:-10])

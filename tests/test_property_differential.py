@@ -203,3 +203,57 @@ def test_bucketize_equals_range_join_on_disjoint_intervals(spark, cuts, vals):
     assert _r(tuple(r) for r in via_case.collect()) == _r(
         tuple(r) for r in via_join.collect()
     )
+
+
+@given(left=ROWS, right=ROWS)
+@SLOW
+def test_join_family_matches_duckdb(spark, left, right):
+    # equi joins across the four families the reference exposes; null keys
+    # never match (SQL semantics), null-padding on the outer sides
+    from stupidb_spark.verbs import anti_join, inner_join, left_join, semi_join
+
+    l = _sdf(spark, left).withColumnRenamed("v", "lv")
+    r = _sdf(spark, right).withColumnRenamed("v", "rv")
+    r = r.withColumnRenamed("k", "rk")
+    lp, rp = _pdf(left), _pdf(right)
+    on = F.col("k") == F.col("rk")
+
+    got = _r(tuple(x) for x in (l >> inner_join(r, on)).collect())
+    want = _r(
+        _duck(
+            "SELECT a.k, a.v AS lv, b.k AS rk, b.v AS rv"
+            " FROM a JOIN b ON a.k = b.k",
+            a=lp, b=rp,
+        )
+    )
+    assert got == want, "inner"
+
+    got = _r(tuple(x) for x in (l >> left_join(r, on)).collect())
+    want = _r(
+        _duck(
+            "SELECT a.k, a.v AS lv, b.k AS rk, b.v AS rv"
+            " FROM a LEFT JOIN b ON a.k = b.k",
+            a=lp, b=rp,
+        )
+    )
+    assert got == want, "left"
+
+    got = _r(tuple(x) for x in (l >> semi_join(r, on)).collect())
+    want = _r(
+        _duck(
+            "SELECT a.k, a.v AS lv FROM a"
+            " WHERE EXISTS (SELECT 1 FROM b WHERE b.k = a.k)",
+            a=lp, b=rp,
+        )
+    )
+    assert got == want, "semi"
+
+    got = _r(tuple(x) for x in (l >> anti_join(r, on)).collect())
+    want = _r(
+        _duck(
+            "SELECT a.k, a.v AS lv FROM a"
+            " WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.k = a.k)",
+            a=lp, b=rp,
+        )
+    )
+    assert got == want, "anti"
