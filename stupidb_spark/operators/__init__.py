@@ -32,6 +32,7 @@ from stupidb_spark.operators.multimodal import (
     frame_sample,
     synthesize_media,
 )
+from stupidb_spark.operators.bloom import NumpyBloom, bloom_contamination
 from stupidb_spark.operators.packing import pack_by_cumsum, pack_greedy
 from stupidb_spark.operators.similarity import (
     brute_force_topk,
@@ -66,6 +67,8 @@ __all__ = [
     "brute_force_topk",
     "embedding_near_dup_pairs",
     "lsh_topk",
+    "NumpyBloom",
+    "bloom_contamination",
     "pack_by_cumsum",
     "pack_greedy",
     "replicate_join",

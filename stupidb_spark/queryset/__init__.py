@@ -174,6 +174,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_audio",
     "multimodal_frames",
     "multimodal_features",
+    "contamination_bloom",
 )
 
 

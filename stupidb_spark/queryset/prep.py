@@ -325,3 +325,18 @@ def prep_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_clamped_e4"),
         )
     )
+
+
+@q("contamination_bloom")  # approximate (no SQL oracle): zero-false-negative
+# contract vs contamination_ngram pinned in tests/test_prep.py
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter twin of contamination_ngram (operators/bloom.py): MBs of
+    bits instead of GBs of broadcast grams at benchmark-suite scale, never a
+    false negative, fpp-bounded over-count."""
+    from stupidb_spark.operators.bloom import bloom_contamination
+
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    return bloom_contamination(
+        docs.filter(~is_bench), docs.filter(is_bench), fpp=1e-4
+    )

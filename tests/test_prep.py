@@ -167,3 +167,43 @@ def test_weighted_sample_overrepresents_heavy_sources(spark):
         return hits / total
 
     assert rate(3) > rate(1), (rate(3), rate(1))
+
+
+def test_bloom_contamination_never_misses_exact_hits(spark):
+    # one-sided error contract: every exact hit is a bloom hit (no false
+    # negatives), bloom counts only ever over-count, and at fpp=1e-4 the
+    # fixture-sized gram universe should see (almost) no over-count at all
+    from stupidb_spark.queryset.prep import contamination_bloom, contamination_ngram
+
+    exact = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in contamination_ngram(spark, SF_DIR).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in contamination_bloom(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(bloom)
+    over = 0
+    for doc_id, (n_grams, n_hits, contaminated) in exact.items():
+        bg, bh, bc = bloom[doc_id]
+        assert bg == n_grams
+        assert bh >= n_hits, f"false negative on doc {doc_id}"
+        assert bc or not contaminated
+        over += bh - n_hits
+    total_grams = sum(v[0] for v in exact.values())
+    assert over <= max(5, total_grams * 1e-3)  # fpp=1e-4 with slack
+
+
+def test_numpy_bloom_basics():
+    import numpy as np
+
+    from stupidb_spark.operators.bloom import NumpyBloom
+
+    items = np.arange(10_000, dtype=np.uint64) * np.uint64(2654435761)
+    bloom = NumpyBloom.build(items, fpp=1e-3)
+    assert bloom.contains(items).all()  # zero false negatives by definition
+    probe = np.arange(1, 50_001, dtype=np.uint64) * np.uint64(0x9E3779B9) + np.uint64(7)
+    fp = bloom.contains(probe).sum() / len(probe)
+    assert fp < 0.01  # ~1e-3 nominal; order-of-magnitude slack
+    assert bloom.n_bytes < 64 * 1024  # 10k items at 1e-3 ≈ 18 KB of bits
