@@ -150,6 +150,10 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q13",
     "tpch_q21",
     "tpch_q15",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
     "text_lang_id",
     "text_quality",
     "text_fingerprint_md5",

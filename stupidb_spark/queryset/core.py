@@ -2092,3 +2092,276 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         >> order_by(F.col("numwait").desc(), "s_name")
         >> limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes, round 4 second batch: q2 / q11 / q16 / q20 over a DERIVED
+# partsupp. The fixtures carry no partsupp table, so both engines derive the
+# identical relation from lineitem — per (partkey, suppkey):
+# ps_supplycost = min(extendedprice/quantity) (same IEEE divide + exact min
+# on both engines), ps_availqty = exact decimal sum of quantities. With it,
+# every one of the 22 TPC-H query shapes exists in the inventory.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost,
+               (CAST(CAST(sum(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS DOUBLE) / 100) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        >> group_by(
+            ps_partkey=F.col("l_partkey"), ps_suppkey=F.col("l_suppkey")
+        )
+        >> aggregate(
+            ps_supplycost=F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ),
+            ps_availqty=X.dsum(F.col("l_quantity"), 2),
+        )
+    )
+
+
+@q(
+    "tpch_q2",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    costs AS (
+        SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, ps_supplycost,
+               min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+        FROM part
+        JOIN partsupp ON p_partkey = ps_partkey
+        JOIN eu       ON s_suppkey = ps_suppkey
+        WHERE p_size = 15 AND p_type = 'PROMO'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM costs WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Minimum-cost-supplier shape (TPC-H Q2): the correlated scalar
+    # subquery (min cost per part among region suppliers) becomes a window
+    # min over the already-joined relation — ONE pass over derived
+    # partsupp, no re-scan, no per-row subquery. part + supplier/nation/
+    # region broadcast; top-100 fuses to TakeOrdered.
+    part = _t(spark, sf_dir, "part") >> sift(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        >> inner_join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            broadcast=True,
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "region") >> sift(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            broadcast=True,
+        )
+        >> select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        _partsupp(spark, sf_dir)
+        >> inner_join(part, F.col("p_partkey") == F.col("ps_partkey"), broadcast=True)
+        >> inner_join(eu, F.col("s_suppkey") == F.col("ps_suppkey"), broadcast=True)
+        >> mutate(
+            min_cost=F.min("ps_supplycost").over(
+                partition_window("p_partkey")
+            )
+        )
+    )
+    return (
+        costs
+        >> sift(F.col("ps_supplycost") == F.col("min_cost"))
+        >> select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        >> order_by(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        >> limit(100)
+    )
+
+
+@q(
+    "tpch_q11",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    nat AS (
+        SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    ),
+    tot AS (SELECT {X.sql_dsum('v', 2)} AS total FROM nat)
+    SELECT ps_partkey, {X.sql_dsum('v', 2)} AS value
+    FROM nat CROSS JOIN tot
+    GROUP BY ps_partkey, tot.total
+    HAVING {X.sql_dsum('v', 2)} > 0.001 * tot.total
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Important-stock shape (TPC-H Q11): per-part inventory value for one
+    # nation's suppliers, kept when above a fraction of the nation total.
+    # The scalar subquery (total) is a 1-row broadcast cross join (the q15
+    # idiom); both the per-part and total values are exact decimal sums, so
+    # the HAVING comparison is bit-identical cross-engine. One groupBy of
+    # the derived partsupp — the nation filter rides broadcast joins.
+    nat = (
+        _partsupp(spark, sf_dir)
+        >> inner_join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            broadcast=True,
+        )
+        >> inner_join(
+            _t(spark, sf_dir, "nation") >> sift(F.col("n_name") == "NATION_7"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            broadcast=True,
+        )
+        >> select(
+            "ps_partkey", v=F.col("ps_supplycost") * F.col("ps_availqty")
+        )
+    )
+    tot = nat >> aggregate(total=X.dsum(F.col("v"), 2))
+    return (
+        nat
+        >> group_by("ps_partkey")
+        >> aggregate(value=X.dsum(F.col("v"), 2))
+        >> cross_join(F.broadcast(tot))
+        >> sift(F.col("value") > F.lit(0.001) * F.col("total"))
+        >> select("ps_partkey", "value")
+    )
+
+
+@q(
+    "tpch_q16",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'BRAND_1' AND p_type <> 'PROMO'
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Parts/supplier-relationship shape (TPC-H Q16): NOT IN over an
+    # excluded-supplier set (negative balances stand in for the original's
+    # complaints-comment filter) planned as a broadcast LeftAnti, then a
+    # distinct-count per (brand, type, size). The brand/type predicates
+    # push into the part scan before it broadcasts.
+    part = _t(spark, sf_dir, "part") >> sift(
+        (F.col("p_brand") != "BRAND_1") & (F.col("p_type") != "PROMO")
+    )
+    excluded = _t(spark, sf_dir, "supplier") >> sift(F.col("s_acctbal") < 0)
+    return (
+        _partsupp(spark, sf_dir)
+        >> inner_join(part, F.col("p_partkey") == F.col("ps_partkey"), broadcast=True)
+        >> anti_join(
+            excluded.select("s_suppkey"),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            broadcast=True,
+        )
+        >> group_by("p_brand", "p_type", "p_size")
+        >> aggregate(
+            supplier_cnt=F.countDistinct("ps_suppkey").cast("long")
+        )
+    )
+
+
+@q(
+    "tpch_q20",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               {X.sql_dsum('l_quantity', 2)} AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    surplus AS (
+        SELECT DISTINCT ps_suppkey
+        FROM partsupp
+        JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'large%'
+              )
+          AND ps_availqty > 0.5 * qty
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (SELECT ps_suppkey FROM surplus)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Excess-stock shape (TPC-H Q20): the nested IN (parts by name) +
+    # per-(part, supplier) scalar threshold (half the year's shipped
+    # quantity) decorrelates to: broadcast-semi partsupp against the name-
+    # filtered parts, equi-join the per-pair shipped aggregate, compare,
+    # then semi-join suppliers against the surviving supplier set. Both
+    # sides of the availqty > 0.5*qty comparison are exact decimal sums, so
+    # the cut is bit-identical cross-engine.
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = (
+        li
+        >> sift(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        >> group_by("l_partkey", "l_suppkey")
+        >> aggregate(qty=X.dsum(F.col("l_quantity"), 2))
+    )
+    named_parts = (
+        _t(spark, sf_dir, "part")
+        >> sift(F.col("p_name").like("large%"))
+        >> select("p_partkey")
+    )
+    surplus = (
+        _partsupp(spark, sf_dir)
+        >> semi_join(
+            named_parts, F.col("p_partkey") == F.col("ps_partkey"), broadcast=True
+        )
+        >> inner_join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        >> sift(F.col("ps_availqty") > F.lit(0.5) * F.col("qty"))
+        >> select("ps_suppkey")
+        >> distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        >> inner_join(
+            _t(spark, sf_dir, "nation") >> sift(F.col("n_name") == "NATION_1"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            broadcast=True,
+        )
+        >> semi_join(surplus, F.col("ps_suppkey") == F.col("s_suppkey"))
+        >> select("s_name", "s_acctbal")
+        >> order_by("s_name")
+    )

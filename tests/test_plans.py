@@ -333,6 +333,25 @@ def test_tpch_q21_decorrelates_both_subqueries(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tpch_q2_window_min_and_fused_topk(spark):
+    # the correlated min-cost subquery must be a window over the joined
+    # relation (one partsupp pass), with the top-100 fused
+    df = QUERIES["tpch_q2"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q20_decorrelates_nested_in(spark):
+    # part-name IN → broadcast LeftSemi; supplier IN surplus → LeftSemi;
+    # the per-pair threshold is an equi-join, never a correlated subquery
+    plan = formatted_plan(QUERIES["tpch_q20"](spark, SF_DIR))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_tpch_q13_left_join_keeps_zero_order_customers(spark):
     # the distribution must include a c_count=0 bucket — the null-keeping
     # left join is the point of the query shape
