@@ -44,6 +44,10 @@ HEADLINE = [
     "tpch_q22",
     "tpch_q8",
     "tpch_q21",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
     "agg_grouped_stats",
     "agg_grouping_sets",
     "agg_udaf_sum_sq",
