@@ -33,6 +33,7 @@ from stupidb_spark.operators.multimodal import (
     synthesize_media,
 )
 from stupidb_spark.operators.bloom import NumpyBloom, bloom_contamination
+from stupidb_spark.operators.heavyhitters import top_terms_approx
 from stupidb_spark.operators.packing import pack_by_cumsum, pack_greedy
 from stupidb_spark.operators.similarity import (
     brute_force_topk,
@@ -69,6 +70,7 @@ __all__ = [
     "lsh_topk",
     "NumpyBloom",
     "bloom_contamination",
+    "top_terms_approx",
     "pack_by_cumsum",
     "pack_greedy",
     "replicate_join",

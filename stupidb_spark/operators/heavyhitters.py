@@ -1,0 +1,104 @@
+"""Two-pass heavy hitters — approximate top-k terms at corpus scale.
+
+The exact top-k vocabulary (``queryset/prep.py::terms_topk``) shuffles
+every distinct (group, term) pair to the final aggregation. Correct, and
+the right plan while the vocabulary fits a shuffle comfortably — but a
+100 TB web corpus has billions of distinct tokens, most of them junk seen
+once, and the shuffle is dominated by keys that can never reach the top-k.
+
+The classic fix is two passes:
+
+1. **Candidate pass** — each partition runs a SpaceSaving summary (Metwally
+   et al., "Efficient computation of frequent and top-k elements in data
+   streams") of capacity c over its token stream and emits only its ≤ c
+   candidate terms. By the pigeonhole over ratios, any term with global
+   frequency > n/c is a local heavy hitter (count_p/n_p ≥ count/n) in at
+   least one partition, so the candidate union **cannot miss** a term of
+   global share > 1/c. Output size is c × partitions — KBs, not the
+   vocabulary.
+2. **Recount pass** — the candidate set broadcasts back onto the token
+   stream as a semi filter and surviving terms are counted EXACTLY, so the
+   final top-k ranks true counts, not sketch estimates. The shuffle now
+   carries only candidate terms.
+
+Guarantee: recall 1.0 for every term with share > 1/capacity (and exact
+final counts for everything emitted); terms below that share may be missed
+— choose capacity ≫ k (default 32×).
+
+No reference parity (the reference has no sketches) and no SQL oracle
+(partition-dependent candidate sets); the containment + exact-count
+contracts are pinned differentially against ``terms_topk``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_terms_approx(
+    df: DataFrame,
+    *,
+    group_col: str,
+    term_col: str,
+    k: int = 20,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Top-k terms per group over an exploded ``(group, term)`` stream.
+
+    Returns (group_col, term, n, rnk) with EXACT counts — identical schema
+    and, for every term of share > 1/capacity, identical rows to the exact
+    groupBy+rank plan — while shuffling only candidate terms.
+    """
+    capacity = capacity or 32 * k
+    group_type = dict(df.dtypes)[group_col]
+
+    def candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one SpaceSaving summary (Metwally et al.) per (partition, group):
+        # the iterator spans the whole partition, so state accumulates
+        # across Arrow batches; on overflow the minimum counter is
+        # reassigned to the new term and inherits its count — the
+        # overestimate that makes the recall guarantee work
+        summaries: dict[object, dict[str, int]] = {}
+        for pdf in batches:
+            for g, t in zip(pdf[group_col], pdf[term_col]):
+                counters = summaries.setdefault(g, {})
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    victim = min(counters, key=counters.get)
+                    counters[t] = counters.pop(victim) + 1
+        rows = [
+            (g, t) for g, counters in summaries.items() for t in counters
+        ]
+        yield pd.DataFrame(rows, columns=[group_col, "term"])
+
+    cand = (
+        df.select(group_col, F.col(term_col).alias(term_col))
+        .mapInPandas(candidates, f"{group_col} {group_type}, term string")
+        .distinct()
+    )
+    exact = (
+        df.join(
+            F.broadcast(cand),
+            (df[group_col] == cand[group_col])
+            & (df[term_col] == cand["term"]),
+            "left_semi",
+        )
+        .groupBy(group_col, term_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.desc("n"), term_col)
+    )
+    return (
+        exact.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(group_col, F.col(term_col).alias("term"), "n", "rnk")
+    )

@@ -179,6 +179,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_frames",
     "multimodal_features",
     "contamination_bloom",
+    "terms_heavy_hitters",
 )
 
 

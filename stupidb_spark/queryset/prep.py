@@ -340,3 +340,20 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_contamination(
         docs.filter(~is_bench), docs.filter(is_bench), fpp=1e-4
     )
+
+
+@q("terms_heavy_hitters")  # approximate candidate pass (partition-dependent
+# sketches) — no SQL oracle; containment + exact-count contracts pinned in
+# tests/test_prep.py against the exact terms_topk
+def terms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass SpaceSaving top-terms (operators/heavyhitters.py): per-
+    partition candidate summaries then an exact broadcast-semi recount —
+    the corpus-scale plan that never shuffles the full vocabulary."""
+    from stupidb_spark.operators.heavyhitters import top_terms_approx
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(words(F.col("text"))).alias("term")
+    )
+    return top_terms_approx(
+        toks, group_col="lang", term_col="term", k=TOPK_TERMS
+    )

@@ -207,3 +207,21 @@ def test_numpy_bloom_basics():
     fp = bloom.contains(probe).sum() / len(probe)
     assert fp < 0.01  # ~1e-3 nominal; order-of-magnitude slack
     assert bloom.n_bytes < 64 * 1024  # 10k items at 1e-3 ≈ 18 KB of bits
+
+
+def test_heavy_hitters_match_exact_topk(spark):
+    # two-pass SpaceSaving contract: candidate recall covers every term the
+    # exact plan ranks into the top-k (their shares far exceed 1/capacity
+    # on the fixture), and recounted counts are EXACT — so the approximate
+    # plan's top-k rows equal the exact plan's rows outright
+    from stupidb_spark.queryset.prep import terms_heavy_hitters, terms_topk
+
+    exact = sorted(
+        (r.lang, r.term, r.n, r.rnk) for r in terms_topk(spark, SF_DIR).collect()
+    )
+    approx = sorted(
+        (r.lang, r.term, r.n, r.rnk)
+        for r in terms_heavy_hitters(spark, SF_DIR).collect()
+    )
+    assert len(exact) > 0
+    assert approx == exact
