@@ -62,7 +62,10 @@ def top_terms_approx(
         # the iterator spans the whole partition, so state accumulates
         # across Arrow batches; on overflow the minimum counter is
         # reassigned to the new term and inherits its count — the
-        # overestimate that makes the recall guarantee work
+        # overestimate that makes the recall guarantee work. (A pandas
+        # value_counts pre-reduction was measured SLOWER here: at realistic
+        # batch distinct-ratios the per-batch groupby overhead exceeds the
+        # dict-update savings.)
         summaries: dict[object, dict[str, int]] = {}
         for pdf in batches:
             for g, t in zip(pdf[group_col], pdf[term_col]):
