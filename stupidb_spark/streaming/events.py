@@ -299,6 +299,15 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     state lives in the state store keyed by ``user_id``, the function sees
     Arrow-batched pandas frames (never row-at-a-time Python), and output mode
     ``update`` emits one row per user per micro-batch that touched it.
+
+    Spark 4's successor API (``transformWithStateInPandas`` — typed state
+    handles on a RocksDB store) expresses the same operator, but its
+    Python↔JVM state protocol needs ``google.protobuf``, which this
+    environment does not provide (verified: the pre-init driver worker
+    crashes on the protobuf import) — so this proven API is the shipped
+    one. The migration is mechanical: ``init`` takes
+    ``handle.getValueState("totals", _RUNNING_STATE)`` and
+    ``handleInputRows`` is this function's body.
     """
     return (
         events.groupBy("user_id")
@@ -379,3 +388,4 @@ def run_to_parquet_idempotent(
         .start()
         .awaitTermination()
     )
+

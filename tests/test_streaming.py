@@ -197,3 +197,4 @@ def test_stream_events_refuses_empty_source_dir(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="sniff"):
         stream_events(spark, str(tmp_path))
+
