@@ -33,13 +33,17 @@ TABLES = (
 def _canon(v):
     """Engine-neutral rendering: Decimal 1.5000 == float 1.5, datetime vs
     Timestamp reprs collapse to isoformat, floats get repr (shortest
-    round-trip) after float()-normalizing Decimals."""
+    round-trip). A Decimal bridges to float ONLY when the double round-trips
+    exactly — otherwise it keeps its exact normalized form, so precision
+    beyond double surfaces as a loud mismatch instead of being masked."""
     if v is None:
         return "\0NULL"
     if isinstance(v, bool):
         return "T" if v else "F"
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        if decimal.Decimal(repr(float(v))) == v.normalize():
+            return repr(float(v))
+        return str(v.normalize())
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, datetime.datetime):
@@ -83,7 +87,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    names = [q for q in list(QUERIES)[:n] if only is None or q in only]
+    # --only selects from the FULL registry (not the first-N gate slice):
+    # the point of --only is targeted checking, and silently matching
+    # nothing would exit green without running anything
+    names = list(only) if only is not None else list(QUERIES)[:n]
+    unknown = [q for q in names if q not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 1
     failures = []
     for name in names:
         try:

@@ -119,16 +119,17 @@ def bloom_contamination(
     """
     from stupidb_spark.operators.dedup import doc_shingles
 
-    bench_hashes = np.array(
-        [
-            r.h
-            for r in doc_shingles(bench, id_col=id_col, text_col=text_col, k=k)
-            .select(F.xxhash64("shingle").alias("h"))
-            .distinct()
-            .collect()  # 8 bytes/gram — bounded by the benchmark contract
-        ],
-        dtype=np.int64,
-    ).astype(np.uint64)
+    # Arrow columnar transfer → a true 8-bytes-per-gram driver footprint
+    # (a Row-object collect would cost ~100 bytes/gram of transient Python
+    # objects, defeating the module's driver-memory contract)
+    bench_hashes = (
+        doc_shingles(bench, id_col=id_col, text_col=text_col, k=k)
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+        .toPandas()["h"]
+        .to_numpy(dtype=np.int64)
+        .astype(np.uint64)
+    )
     bloom = NumpyBloom.build(bench_hashes, fpp=fpp)
 
     @F.pandas_udf("boolean")

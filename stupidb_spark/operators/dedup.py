@@ -137,14 +137,20 @@ def jaccard_pairs(
 
     Returns columns: id_a, id_b, jaccard.
     """
-    from pyspark.sql.window import Window as W
-
     ex = doc_shingles(df, id_col=id_col, text_col=text_col, k=k)
     if max_doc_freq is not None:
-        dfreq = F.count(F.lit(1)).over(W.partitionBy("shingle"))
-        ex = ex.withColumn("__df", dfreq).filter(
-            F.col("__df") <= max_doc_freq
-        ).drop("__df")
+        # streaming aggregate + join back, NOT a count-over-shingle window:
+        # WindowExec would buffer a hot shingle's entire partition in one
+        # task before the filter drops it, while the groupBy map-side
+        # combines the hot key down to one row and the join's shuffle is
+        # AQE-skew-splittable
+        keep = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        ex = ex.join(keep, "shingle")
     n_sh = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")

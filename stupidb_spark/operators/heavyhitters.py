@@ -62,23 +62,40 @@ def top_terms_approx(
         # the iterator spans the whole partition, so state accumulates
         # across Arrow batches; on overflow the minimum counter is
         # reassigned to the new term and inherits its count — the
-        # overestimate that makes the recall guarantee work. (A pandas
-        # value_counts pre-reduction was measured SLOWER here: at realistic
-        # batch distinct-ratios the per-batch groupby overhead exceeds the
-        # dict-update savings.)
-        summaries: dict[object, dict[str, int]] = {}
+        # overestimate that makes the recall guarantee work. The minimum is
+        # tracked with a lazy min-heap (stale entries re-pushed on pop), so
+        # eviction — the dominant path on a junk-heavy corpus where most
+        # tokens are unseen — is O(log c) amortized instead of an O(c) dict
+        # scan per token. (A pandas value_counts pre-reduction was measured
+        # SLOWER here: at realistic batch distinct-ratios the per-batch
+        # groupby overhead exceeds the dict-update savings.)
+        import heapq
+
+        counters_by_g: dict[object, dict[str, int]] = {}
+        heap_by_g: dict[object, list] = {}
         for pdf in batches:
             for g, t in zip(pdf[group_col], pdf[term_col]):
-                counters = summaries.setdefault(g, {})
+                counters = counters_by_g.setdefault(g, {})
                 if t in counters:
-                    counters[t] += 1
+                    counters[t] += 1  # heap entry for t is now stale
                 elif len(counters) < capacity:
                     counters[t] = 1
+                    heapq.heappush(heap_by_g.setdefault(g, []), (1, t))
                 else:
-                    victim = min(counters, key=counters.get)
-                    counters[t] = counters.pop(victim) + 1
+                    heap = heap_by_g[g]
+                    while True:
+                        c, v = heap[0]
+                        if counters.get(v) == c:
+                            break  # fresh entry: v is the true minimum
+                        heapq.heappop(heap)
+                        if v in counters:  # stale count: re-push current
+                            heapq.heappush(heap, (counters[v], v))
+                    c, v = heapq.heappop(heap)
+                    del counters[v]
+                    counters[t] = c + 1
+                    heapq.heappush(heap, (c + 1, t))
         rows = [
-            (g, t) for g, counters in summaries.items() for t in counters
+            (g, t) for g, counters in counters_by_g.items() for t in counters
         ]
         yield pd.DataFrame(rows, columns=[group_col, "term"])
 

@@ -39,7 +39,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -191,13 +191,20 @@ def decode_y4m(buf: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(f"not a y4m payload (magic {buf[:9]!r})")
     nl = buf.index(b"\n")
     width = height = None
+    colorspace = None
     for tok in buf[:nl].split(b" ")[1:]:
         if tok[:1] == b"W":
             width = int(tok[1:])
         elif tok[:1] == b"H":
             height = int(tok[1:])
-        elif tok[:1] == b"C" and tok not in (b"Cmono",):
-            raise ValueError(f"unsupported y4m colorspace {tok!r}")
+        elif tok[:1] == b"C":
+            colorspace = tok
+    # the spec default for a missing C tag is 4:2:0, NOT mono — assuming
+    # mono there would slice frames at w*h instead of w*h*3/2 and misparse
+    if colorspace != b"Cmono":
+        raise ValueError(
+            f"unsupported y4m colorspace {colorspace or b'C420 (implied)'!r}"
+        )
     if not width or not height:
         raise ValueError("y4m header missing W/H")
     frame_len, pos, frames = width * height, nl + 1, []
@@ -219,6 +226,11 @@ def decode_y4m(buf: bytes) -> tuple[int, int, list[bytes]]:
 # ---------------------------------------------------------------------------
 
 AUDIO_RATE_HZ = 8000
+
+# doc_id % 3 indexes this tuple — the single source of truth for the
+# synthetic modality assignment (queries that need a modality column
+# without re-running synthesis derive it from the same tuple)
+MODALITIES = ("image", "audio", "video")
 
 
 def _rand_bytes(tag: str, n: int) -> bytes:
@@ -250,12 +262,12 @@ def _synth_video(doc_id: int) -> tuple[bytes, tuple]:
     return payload, ("video", "video/x-yuv4mpeg", fw, fh, None, n_frames * 40)
 
 
-def synthesize_media(docs: DataFrame, *, modality_col: Column | None = None) -> DataFrame:
+def synthesize_media(docs: DataFrame) -> DataFrame:
     """Attach deterministic real-container media payloads to ``documents``.
 
-    doc_id % 3 picks the modality (0 image / 1 audio / 2 video). Runs as one
-    Arrow-batched ``mapInPandas`` pass; every byte is a pure function of
-    ``doc_id`` so the result is identical under any partitioning (the same
+    ``doc_id % 3`` indexes :data:`MODALITIES`. Runs as one Arrow-batched
+    ``mapInPandas`` pass; every byte is a pure function of ``doc_id`` so
+    the result is identical under any partitioning (the same
     reproducibility contract as exact.py).
     """
 

@@ -2103,11 +2103,10 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every one of the 22 TPC-H query shapes exists in the inventory.
 # ---------------------------------------------------------------------------
 
-_PARTSUPP_SQL = """
+_PARTSUPP_SQL = f"""
         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                min(l_extendedprice / l_quantity) AS ps_supplycost,
-               (CAST(CAST(sum(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS DOUBLE) / 100) AS ps_availqty
+               {X.sql_dsum('l_quantity', 2)} AS ps_availqty
         FROM lineitem GROUP BY 1, 2
 """
 

@@ -73,14 +73,17 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-projection feature vectors; return per-modality norm stats
     (vectors are L2-normalized, so every norm must be 1)."""
-    # modality is a pure function of doc_id (synthesize_media: doc_id % 3),
-    # so derive it as an expression — a join back onto the media relation
-    # would re-run the whole synthesis subtree a second time
+    # modality is a pure function of doc_id (synthesize_media indexes
+    # MODALITIES by doc_id % 3), so derive it from the SAME tuple as an
+    # expression — a join back onto the media relation would re-run the
+    # whole synthesis subtree a second time
+    from stupidb_spark.operators.multimodal import MODALITIES
+
     feats = extract_features(_media(spark, sf_dir)).withColumn(
         "modality",
         F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),
         ),
     )
     norm = F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x))
