@@ -200,6 +200,22 @@ EXCHANGE_BUDGETS = {
     "sample_weighted": 1,
     # union-merge as-of: one shuffle + the carry window, both directions
     "asof_join_forward": 2,
+    # window-min over one derived-partsupp pass + fused top-100
+    "tpch_q2": 2,
+    # all six dims broadcast; lineitem⋈orders is the only fact-fact shuffle
+    "tpch_q8": 1,
+    # derived partsupp agg + per-part agg + 1-row total (broadcast back)
+    "tpch_q11": 4,
+    # partsupp agg + anti (broadcast side) + distinct supplier count
+    "tpch_q16": 3,
+    # partsupp agg + shipped agg + pair join + supplier semi
+    "tpch_q20": 4,
+    # lineitem⋈orders + semi + anti all share ONE orderkey partitioning
+    "tpch_q21": 1,
+    # shingle spread + gram-hash agg (bench side is driver bits) + doc agg
+    "contamination_bloom": 3,
+    # token spread + candidate broadcast-semi + exact recount agg
+    "terms_heavy_hitters": 3,
 }
 
 
