@@ -113,12 +113,27 @@ def main() -> int:
                 )
                 if rhash != shash:
                     unstable.append((k + 2, rhash))
+            # Type parity first: _canon renders DuckDB HUGEINT (python int)
+            # identically to Spark long, so a value compare here can stay
+            # green while the driver's pandas-based hasher goes red (the
+            # prep_winsorize r3/r4 failure). DESCRIBE catches it.
+            from tests.conftest import oracle_type_violations
+
+            type_problems = oracle_type_violations(
+                con, ORACLES[name], sdf.schema
+            )
             res = con.execute(ORACLES[name])
             onames = [d[0] for d in res.description]
             orows = res.fetchall()
             rows_ok = len(srows) == len(orows)
             hash_ok = rows_ok and shash == value_hash(orows, onames, cols)
-            status = "OK" if hash_ok else f"MISMATCH {len(srows)} vs {len(orows)}"
+            if type_problems:
+                hash_ok = False
+                status = f"TYPE-PARITY {type_problems}"
+            else:
+                status = (
+                    "OK" if hash_ok else f"MISMATCH {len(srows)} vs {len(orows)}"
+                )
             if repeat > 1:
                 status += (
                     f" UNSTABLE@runs{[u[0] for u in unstable]}"

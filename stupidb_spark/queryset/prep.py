@@ -270,10 +270,12 @@ def terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            count(*) AS n_events,
-           sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS n_clipped_low,
-           sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS n_clipped_high,
-           sum(CAST(floor(least(greatest(e.value, c.lo), c.hi) * 10000
-                          + 0.5) AS BIGINT)) AS total_clamped_e4
+           CAST(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           CAST(sum(CAST(floor(least(greatest(e.value, c.lo), c.hi) * 10000
+                               + 0.5) AS BIGINT)) AS BIGINT) AS total_clamped_e4
     FROM events e JOIN cuts c USING (event_type)
     GROUP BY e.event_type
     """,
