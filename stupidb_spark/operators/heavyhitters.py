@@ -53,8 +53,18 @@ def top_terms_approx(
     Returns (group_col, term, n, rnk) with EXACT counts — identical schema
     and, for every term of share > 1/capacity, identical rows to the exact
     groupBy+rank plan — while shuffling only candidate terms.
+
+    Null contract: rows with a NULL group or NULL term are excluded, and
+    explicitly — a None/NaN term would TypeError inside the SpaceSaving
+    heap ((1, None) < (1, "x")), and a NULL group can never survive the
+    recount equi-join anyway, so without the filter the two passes would
+    silently disagree with each other. Callers wanting a null-group bucket
+    should coalesce to a sentinel first.
     """
     capacity = capacity or 32 * k
+    df = df.filter(
+        F.col(group_col).isNotNull() & F.col(term_col).isNotNull()
+    )
     group_type = dict(df.dtypes)[group_col]
 
     def candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

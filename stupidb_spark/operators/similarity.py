@@ -350,8 +350,17 @@ def salted_block_tasks(
     counts = (counts_from if counts_from is not None else work).groupBy(
         "block"
     ).agg(F.count(F.lit(1)).alias("__n"))
+    # Null-safe join: groupBy keeps a NULL-block group, but an equi-join on
+    # `block` would silently drop those rows — the pre-salting
+    # groupBy(block).applyInPandas plan scored the NULL group, so callers
+    # passing a nullable block_col must not lose pairs here.
+    counts = counts.withColumnRenamed("block", "__cblock")
     keyed = (
-        work.join(F.broadcast(counts), "block")
+        work.join(
+            F.broadcast(counts),
+            F.col("block").eqNullSafe(F.col("__cblock")),
+        )
+        .drop("__cblock")
         .withColumn(
             "__s", F.ceil(F.col("__n") / F.lit(max_block)).cast("int")
         )

@@ -2242,7 +2242,14 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         >> group_by("ps_partkey")
         >> aggregate(value=X.dsum(F.col("v"), 2))
         >> cross_join(F.broadcast(tot))
-        >> sift(F.col("value") > F.lit(0.001) * F.col("total"))
+        # Decimal literal, not F.lit(0.001) (a double): the oracle's
+        # `0.001 * total` is exact decimal multiplication, so a value
+        # landing exactly on the threshold must not route through double
+        # arithmetic on this side only.
+        >> sift(
+            F.col("value")
+            > F.expr("CAST(0.001 AS DECIMAL(4,3))") * F.col("total")
+        )
         >> select("ps_partkey", "value")
     )
 

@@ -81,9 +81,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = extract_features(_media(spark, sf_dir)).withColumn(
         "modality",
+        # pmod, not %: Spark's % follows the sign of the dividend, so a
+        # negative doc_id would yield index <= 0 here while Python's % in
+        # synthesize_media maps negatives to a valid modality.
         F.element_at(
             F.array(*[F.lit(m) for m in MODALITIES]),
-            (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),
+            (F.pmod(F.col("doc_id"), F.lit(len(MODALITIES))) + 1).cast("int"),
         ),
     )
     norm = F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x))

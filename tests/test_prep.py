@@ -225,3 +225,39 @@ def test_heavy_hitters_match_exact_topk(spark):
     )
     assert len(exact) > 0
     assert approx == exact
+
+
+def test_heavy_hitters_null_rows_excluded_explicitly(spark):
+    # null contract: a None group or term must neither TypeError inside
+    # the SpaceSaving heap nor silently desync the two passes — both
+    # passes exclude null rows up front, so the result equals the exact
+    # plan over the non-null subset
+    from pyspark.sql import Window
+
+    from stupidb_spark.operators.heavyhitters import top_terms_approx
+
+    rows = (
+        [("en", t) for t in "a a a b b c".split()]
+        + [(None, "a"), ("en", None), (None, None)]
+        + [("fr", t) for t in "x x y".split()]
+    )
+    df = spark.createDataFrame(rows, "lang string, term string")
+    got = sorted(
+        (r.lang, r.term, r.n, r.rnk)
+        for r in top_terms_approx(
+            df, group_col="lang", term_col="term", k=2
+        ).collect()
+    )
+    nn = df.filter(F.col("lang").isNotNull() & F.col("term").isNotNull())
+    exact = (
+        nn.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.partitionBy("lang").orderBy(F.desc("n"), "term"))
+            .cast("long"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+    assert got == sorted((r.lang, r.term, r.n, r.rnk) for r in exact.collect())

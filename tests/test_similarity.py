@@ -251,3 +251,44 @@ def test_pq_train_rejects_undersized_training_set(spark):
     tiny = _emb(spark).limit(10)
     with pytest.raises(ValueError, match="at least k="):
         pq_train(tiny, m=16, k=256)
+
+
+def test_salted_tasks_keep_null_blocks(spark):
+    # a nullable block_col must not lose its NULL group: the pre-salting
+    # groupBy(block) plan scored it, so the task-splitting join is
+    # null-safe (eqNullSafe), not a silent equi-join drop
+    from stupidb_spark.operators.similarity import salted_block_tasks
+
+    work = _emb(spark).select(
+        F.when(F.col("vec_id") % 2 == 0, F.lit("even")).alias("block"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+    )
+    n_null = work.filter(F.col("block").isNull()).count()
+    assert n_null > 0
+    tasks = salted_block_tasks(work, max_block=10**9)
+    # s == 1 for every block, so each input row appears exactly once
+    assert tasks.count() == work.count()
+    assert tasks.filter(F.col("block").isNull()).count() == n_null
+
+
+def test_near_dup_pairs_found_inside_null_block(spark):
+    from stupidb_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _emb(spark).withColumn(
+        "blk", F.when(F.col("vec_id") % 2 == 0, F.lit("even"))
+    )
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", block_col="blk", threshold=0.4
+    )
+    all_pairs = embedding_near_dup_pairs(emb, max_block=10**9, **kw).collect()
+    # pairs between two odd (NULL-block) ids exist on the fixture and
+    # must survive both the unsalted and the salted path
+    null_pairs = [
+        (r.id_a, r.id_b) for r in all_pairs if r.id_a % 2 and r.id_b % 2
+    ]
+    assert null_pairs
+    salted = embedding_near_dup_pairs(emb, max_block=100, **kw).collect()
+    assert sorted((r.id_a, r.id_b) for r in salted) == sorted(
+        (r.id_a, r.id_b) for r in all_pairs
+    )
