@@ -50,79 +50,15 @@ from stupidb_spark.queryset import prep  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # 1-24: flagship + pipeline capstones — front-loaded against any early
-    # snapshot.
+    # --- gate slots 1-50 (round-5 rotation; ledger in CHANGELOG.md) ---
+    # 1-2: flagship + the round-5 fix proof (prep_winsorize was red in
+    # r3/r4 for oracle HUGEINT typing; its CAST fix needs a driver row).
     "tpch_q1",
-    "asof_join_orders",
-    "range_join_buckets",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_topk_bruteforce",
-    "events_session",
-    "agg_udaf_sum_sq",
-    "agg_udaf_salted",
-    "text_metrics",
-    "pii_redact",
-    "win_dynamic_frame",
-    "tpch_q17",
-    "tpch_q18",
-    "join_skew_replicate",
-    "setop_six",
-    "events_tumbling",
-    "pipeline_prep",
-    "pack_sequences",
-    "sample_stratified",
-    "mixture_epochs",
-    "chunk_documents",
-    "contamination_ngram",
-    # 25-31: round-2 components rotated into the gate, incl. combo rows
-    # (setop_six pattern: one oracled query per component group).
-    "dedup_components",
-    "dedup_canonical",
-    "events_props_running",  # combo: events_props_json + win_running_distinct
-    "join_extras",  # combo: join_null_safe + fuzzy_match_names
-    "agg_pivot_unpivot",  # combo: agg_pivot_priority + agg_unpivot_measures
     "prep_winsorize",
-    "shuffle_deterministic",
-    # 32-50: one row per remaining §2 component; outer joins, sort variants
-    # and distinct/grouping-set aggs consolidated into combo rows.
-    "project_scalar",
-    "mutate_derived",
-    "filter_compound",
-    "join_inner_star",
-    "join_outer_trio",  # combo: join_left_nullpad + join_right + join_full_outer
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "agg_computed_key",
-    "agg_global_all12",
-    "agg_distinct_sets",  # combo: agg_count_distinct + agg_grouping_sets
-    "agg_salted_skew",
-    "terms_topk",
-    "win_running_sum",
-    "win_range_numeric",
-    "win_range_temporal",
-    "win_rank",
-    "win_navigation",
-    "sort_nulls_offset",  # combo: sort_nulls_first + sort_limit_offset
-    # top-k slot: tpch_q10 is itself a TakeOrderedAndProject top-20 (plus
-    # returned-item join/agg shape with no prior driver row); the plain
-    # sort_topk twin rotates to 51+ — its fusion plan stays pinned in
-    # tests/test_plans.py and its oracle runs locally.
-    "tpch_q10",
-    # 51+: redundant twins (component already covered above) and plan-shape
-    # demos — still oracled, still run in tests/test_oracle_parity.py.
-    "sort_topk",
-    "join_cross",
-    "join_theta",
-    "join_left_nullpad",
-    "join_right",
-    "join_full_outer",
-    "agg_count_distinct",
-    "agg_median_disc",
-    "agg_grouping_sets",
-    "sort_nulls_first",
-    "sort_limit_offset",
+    # 3-37: every oracled query that had never received a driver gate
+    # row through round 4 (35 queries: the TPC-H balance, text family,
+    # combo twins) — incl. tpch_q12/tpch_q11, which carry this round's
+    # oracle typing/decimal fixes.
     "fuzzy_match_names",
     "events_attribution",
     "events_props_json",
@@ -131,14 +67,6 @@ PRIORITY: tuple[str, ...] = (
     "join_null_safe",
     "win_running_distinct",
     "text_token_stats",
-    "join_fact_fact",
-    "agg_having",
-    "project_datetime",
-    "agg_grouped_stats",
-    "distinct_rows",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q5",
     "tpch_q4",
     "tpch_q12",
     "tpch_q14",
@@ -161,19 +89,92 @@ PRIORITY: tuple[str, ...] = (
     "text_tfidf_topterm",
     "events_sessionize_window",
     "asof_join_forward",
+    "text_fingerprint_rolling",
+    "emb_label_centroids",
+    "sample_weighted",
+    "dedup_keep_best",
+    "win_moving_median",
+    # 38-50: capstones retained for continuity (each also covers a
+    # component family touched by this round's null-contract fixes).
+    "asof_join_orders",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "events_session",
+    "pack_sequences",
+    "setop_six",
+    "agg_udaf_salted",
+    "win_dynamic_frame",
+    "dedup_components",
+    "contamination_ngram",
+    "sample_stratified",
+    # --- 51+: previously-gated queries (r1-r4 green rows) and twins;
+    # all still run in tests/test_oracle_parity.py every session. The
+    # r1/r2-only cohort (setops, outer joins, sort variants, ...) is
+    # first in line for the round-6 rotation.
+    "range_join_buckets",
+    "agg_udaf_sum_sq",
+    "text_metrics",
+    "pii_redact",
+    "tpch_q17",
+    "tpch_q18",
+    "join_skew_replicate",
+    "events_tumbling",
+    "pipeline_prep",
+    "mixture_epochs",
+    "chunk_documents",
+    "dedup_canonical",
+    "events_props_running",
+    "join_extras",
+    "agg_pivot_unpivot",
+    "shuffle_deterministic",
+    "project_scalar",
+    "mutate_derived",
+    "filter_compound",
+    "join_inner_star",
+    "join_outer_trio",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "agg_computed_key",
+    "agg_global_all12",
+    "agg_distinct_sets",
+    "agg_salted_skew",
+    "terms_topk",
+    "win_running_sum",
+    "win_range_numeric",
+    "win_range_temporal",
+    "win_rank",
+    "win_navigation",
+    "sort_nulls_offset",
+    "tpch_q10",
+    "sort_topk",
+    "join_cross",
+    "join_theta",
+    "join_left_nullpad",
+    "join_right",
+    "join_full_outer",
+    "agg_count_distinct",
+    "agg_median_disc",
+    "agg_grouping_sets",
+    "sort_nulls_first",
+    "sort_limit_offset",
+    "join_fact_fact",
+    "agg_having",
+    "project_datetime",
+    "agg_grouped_stats",
+    "distinct_rows",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q5",
     "win_rows_bounded",
     "win_whole_partition",
     "win_multiple",
     "win_stat_frames",
     "events_sliding",
-    "text_fingerprint_rolling",
     "agg_approx_sketch",
     "ann_topk_pq",
     "ann_topk_ivfpq",
-    "emb_label_centroids",
-    "sample_weighted",
-    "dedup_keep_best",
-    "win_moving_median",
     "multimodal_decode",
     "multimodal_audio",
     "multimodal_frames",
