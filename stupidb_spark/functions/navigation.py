@@ -13,7 +13,13 @@ matter (SURVEY.md §2.9):
 Scale note: the dynamic path materializes the whole partition per row in the
 worst case — it is deliberately segregated so the constant-offset path stays
 a native, codegen'd WindowExec. Partitions must be bounded (they are for any
-sane partition_by) for the dynamic path to be safe at 100 TB.
+sane partition_by) for the dynamic path to be safe at 100 TB — and that
+contract is now *enforced*: every dynamic path guards the collected array
+with ``assert_true(size <= DYNAMIC_PARTITION_ROW_CAP)``, so a skewed
+partition key fails the job loudly with the offending cardinality in the
+message instead of silently OOMing an executor. Callers with genuinely
+large-but-bounded partitions can raise ``max_partition_rows`` explicitly
+(or pass ``None`` to waive the guard and own the memory math).
 """
 
 from __future__ import annotations
@@ -24,12 +30,46 @@ from pyspark.sql.window import Window
 
 from stupidb_spark.verbs import ColumnLike, _col
 
+#: Default per-partition row cap for the dynamic (collect_list-backed)
+#: paths. 2^20 rows ≈ 8 MB of longs per materialized array — loud-fail
+#: territory, well before executor-OOM territory.
+DYNAMIC_PARTITION_ROW_CAP = 1 << 20
+
+
+def _partition_guard(
+    values: Column, result: Column, cap: int | None, what: str
+) -> Column:
+    """Fail loudly when a dynamic-path partition exceeds ``cap`` rows.
+
+    ``assert_true`` returns NULL when the predicate holds (so the guard is
+    a no-op wrapper around ``result``) and raises a SparkRuntimeException
+    naming the operator and observed cardinality when it doesn't. The
+    assertion evaluates per row but against the already-materialized array,
+    so it adds no extra pass.
+    """
+    if cap is None:
+        return result
+    ok = F.assert_true(
+        F.size(values) <= F.lit(cap),
+        F.concat(
+            F.lit(f"{what}: dynamic-offset window partition holds "),
+            F.size(values).cast("string"),
+            F.lit(
+                f" rows, over the max_partition_rows cap of {cap}; "
+                "repartition on a finer key or raise the cap explicitly"
+            ),
+        ),
+    )
+    return F.when(ok.isNull(), result)
+
 
 def lead(
     c: ColumnLike,
     n: int | Column = 1,
     default: Column | None = None,
     w: WindowSpec | None = None,
+    *,
+    max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
 ) -> Column:
     """Shift forward within the partition (frame ignored, as in the reference
     `stupidb/functions/navigation/__init__.py:40-46`).
@@ -49,7 +89,9 @@ def lead(
         col = F.lead(_col(c), n, None)
         col = col.over(w) if w is not None else col
         return F.coalesce(col, default) if default is not None else col
-    return _dynamic_shift(c, n, default, w, forward=True)
+    return _dynamic_shift(
+        c, n, default, w, forward=True, cap=max_partition_rows
+    )
 
 
 def lag(
@@ -57,6 +99,8 @@ def lag(
     n: int | Column = 1,
     default: Column | None = None,
     w: WindowSpec | None = None,
+    *,
+    max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
 ) -> Column:
     """Shift backward within the partition; see :func:`lead`.
 
@@ -68,7 +112,9 @@ def lag(
         col = F.lag(_col(c), n, None)
         col = col.over(w) if w is not None else col
         return F.coalesce(col, default) if default is not None else col
-    return _dynamic_shift(c, n, default, w, forward=False)
+    return _dynamic_shift(
+        c, n, default, w, forward=False, cap=max_partition_rows
+    )
 
 
 def _dynamic_shift(
@@ -78,6 +124,7 @@ def _dynamic_shift(
     w: WindowSpec,
     *,
     forward: bool,
+    cap: int | None = DYNAMIC_PARTITION_ROW_CAP,
 ) -> Column:
     """Per-row offset lead/lag (quirk Q7): index into the whole partition.
 
@@ -95,7 +142,9 @@ def _dynamic_shift(
     idx = (pos + n) if forward else (pos - n)
     in_bounds = (idx >= 1) & (idx <= F.size(values))
     out = F.when(in_bounds, F.element_at(values, idx.cast("int"))["v"])
-    return out.otherwise(default) if default is not None else out
+    if default is not None:
+        out = out.otherwise(default)
+    return _partition_guard(values, out, cap, "lead/lag")
 
 
 def nth(
@@ -104,6 +153,7 @@ def nth(
     w: WindowSpec | None = None,
     *,
     zero_based: bool = True,
+    max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
 ) -> Column:
     """i-th value of the frame; reference semantics (`stupidb/functions/
     navigation/__init__.py:113-159`): 0-based, negative Python-style indices
@@ -135,4 +185,9 @@ def nth(
     else:
         idx = i_col
     in_bounds = (F.abs(idx) >= 1) & (F.abs(idx) <= F.size(values))
-    return F.when(in_bounds, F.element_at(values, idx.cast("int"))["v"])
+    return _partition_guard(
+        values,
+        F.when(in_bounds, F.element_at(values, idx.cast("int"))["v"]),
+        max_partition_rows,
+        "nth",
+    )

@@ -16,7 +16,13 @@ are small and dense (diameter 2-4 in practice), so propagation converges in a
 handful of rounds. For adversarial long-chain graphs,
 :func:`connected_components_star` implements the alternating
 large-star/small-star contraction (O(log n) rounds regardless of diameter),
-differentially pinned to produce identical components.
+differentially pinned to produce identical components — and the default
+entry point auto-escalates to it: if propagation hasn't converged within
+``propagation_rounds`` (default 5, comfortably past any real dup-cluster
+diameter), :func:`connected_components` hands the ORIGINAL edge set to the
+star engine rather than ever returning half-propagated labels. The pipeline
+operator is therefore adversarial-graph-safe by default: worst-case total
+rounds = 5 cheap propagation rounds + O(log n) contraction rounds.
 
 Scale notes (100 TB): lineage is cut with ``localCheckpoint`` every
 iteration — without it the plan doubles per round and Catalyst analysis time,
@@ -43,6 +49,7 @@ def connected_components(
     dst: str = "dst",
     nodes: DataFrame | None = None,
     max_iterations: int = 25,
+    propagation_rounds: int = 5,
 ) -> DataFrame:
     """Resolve ``edges`` (undirected, any orientation) into components.
 
@@ -50,6 +57,14 @@ def connected_components(
     the smallest node id reachable from ``node``. Nodes only appear if they
     occur in ``edges`` — pass ``nodes`` (a one-column DataFrame) to include
     isolated nodes, which keep their own id as the component.
+
+    Engine auto-selection: min-label propagation advances one hop per round,
+    so it wins on the common case (dense little dup clusters) but loses to a
+    long chain. If the label set is still changing after
+    ``propagation_rounds`` rounds, the call falls back to
+    :func:`connected_components_star` (O(log n) rounds regardless of
+    diameter) on the original edges — identical results either way, pinned
+    by the differential tests in ``tests/test_components.py``.
 
     >>> e = spark.createDataFrame([(2, 1), (2, 3), (9, 8)], "src long, dst long")
     >>> connected_components(e).orderBy("node").show()
@@ -78,7 +93,8 @@ def connected_components(
     node_df = sym.select(F.col("u").alias("node")).distinct()
     labels = node_df.select("node", F.col("node").alias("component"))
 
-    for _ in range(max_iterations):
+    converged = False
+    for _ in range(min(propagation_rounds, max_iterations)):
         # One round = one join + ONE groupBy: neighbor label candidates
         # (sym has both orientations, so joining on u and emitting v covers
         # in- and out-edges) union'd with each node's own labeled row; the
@@ -106,7 +122,22 @@ def connected_components(
         )
         labels = new_labels.drop("_changed")
         if new_labels.filter(F.col("_changed")).isEmpty():
+            converged = True
             break
+
+    if not converged:
+        # Adversarial graph (diameter exceeds the propagation budget):
+        # escalate to star contraction on the original edges instead of
+        # returning half-propagated labels. Propagation state is discarded
+        # — the star engine's rounds are the same join+agg shape and its
+        # O(log n) bound doesn't compose with partial labels anyway.
+        return connected_components_star(
+            edges,
+            src=src,
+            dst=dst,
+            nodes=nodes,
+            max_iterations=max_iterations,
+        )
 
     if nodes is not None:
         all_nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()

@@ -136,6 +136,7 @@ def dynamic_rows_sum(
     preceding: Column,
     following: Column,
     scale: int = 2,
+    max_partition_rows: int | None = 1 << 20,
 ) -> Column:
     """Exact SUM over a ROWS frame whose bounds are *per-row expressions* —
     the reference's callable ``preceding``/``following``
@@ -186,9 +187,15 @@ def dynamic_rows_sum(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return F.when(
+    from stupidb_spark.functions.navigation import _partition_guard
+
+    result = F.when(
         length > 0, total.cast("double") / F.lit(p10)
     ).otherwise(F.lit(None).cast("double"))
+    # Same bounded-partition contract as the dynamic navigation paths: the
+    # per-row array materialization fails loudly past the cap instead of
+    # OOMing an executor on a skewed partition key. None waives the guard.
+    return _partition_guard(arr, result, max_partition_rows, "dynamic_rows_sum")
 
 
 def partition_window(

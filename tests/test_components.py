@@ -83,3 +83,30 @@ def test_star_components_collapse_long_chain(spark):
     out = connected_components_star(e, max_iterations=10).collect()
     assert len(out) == 64
     assert {r.component for r in out} == {0}
+
+
+def test_default_entry_escalates_to_star_on_long_path(spark):
+    """Adversarial-graph safety through the DEFAULT entry point: a 64-node
+    path graph (diameter 63, far past the 5-round propagation budget) must
+    fully resolve — the auto-fallback to star contraction, not a return of
+    half-propagated labels."""
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    out = _labels(connected_components(e))
+    assert len(out) == 64
+    assert set(out.values()) == {0}
+
+
+def test_escalation_preserves_isolated_nodes(spark):
+    # the nodes= contract must survive the engine switch
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    out = _labels(connected_components(e, nodes=nodes))
+    assert len(out) == 40
+    for i in range(31):
+        assert out[i] == 0
+    for iso in range(31, 40):
+        assert out[iso] == iso
