@@ -71,7 +71,9 @@ def main() -> int:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
-    n = int(argv[0]) if argv else 50
+    # "all" sweeps the ENTIRE registry — use it for the stability sweep so
+    # the count can never be hand-miscounted (r4 swept 122 of 123 queries).
+    n = None if argv and argv[0] == "all" else (int(argv[0]) if argv else 50)
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
 
     import duckdb
@@ -90,7 +92,7 @@ def main() -> int:
     # --only selects from the FULL registry (not the first-N gate slice):
     # the point of --only is targeted checking, and silently matching
     # nothing would exit green without running anything
-    names = list(only) if only is not None else list(QUERIES)[:n]
+    names = list(only) if only is not None else list(QUERIES)[:n or len(QUERIES)]
     unknown = [q for q in names if q not in QUERIES]
     if unknown:
         print(f"unknown queries: {unknown}")

@@ -35,6 +35,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -185,3 +186,96 @@ def pack_greedy(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("bucket"),
     )
     return slim.groupBy("bucket").applyInPandas(pack, _PACK_OUT)
+
+
+#: Power-of-two token-length bucket edges for :func:`bucketed_batches` —
+#: explicit integer comparisons (a CASE ladder), never float log2, so both
+#: engines bucket boundary lengths identically.
+LENGTH_BUCKET_EDGES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def bucketed_batches(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    batch_size: int,
+    seed: str,
+    edges: tuple[int, ...] = LENGTH_BUCKET_EDGES,
+) -> DataFrame:
+    """Length-bucketed, seeded, fixed-size training batches.
+
+    The batch-shaping step of a pretraining data loader: documents are
+    first bucketed by token length (so a batch's padding cost is bounded by
+    its bucket's spread), then pseudorandomly ordered *within* each bucket
+    by a seeded keyed hash (same discipline as
+    :func:`stupidb_spark.operators.ordering.seeded_positions` — stable
+    under any partitioning, reshufflable by seed), then cut into
+    consecutive batches of exactly ``batch_size`` (the last batch per
+    bucket may be short).
+
+    Returns ``(id_col, token_col, len_bucket, batch)`` where the
+    assignment equals the ANSI-SQL form::
+
+        batch = (row_number() OVER (PARTITION BY len_bucket
+                                    ORDER BY md5(seed||':'||id), id) - 1)
+                / batch_size
+
+    but the plan never materializes a per-bucket mega-partition window:
+    the md5 key's leading two hex chars are an ORDER-PRESERVING salt (the
+    salt is a prefix of the order key, so (len_bucket, salt, key) order
+    equals (len_bucket, key) order). Row numbers are computed per
+    (len_bucket, salt) — each window sees ~1/256th of a length bucket —
+    and a (n_buckets x 256)-row count aggregate supplies each salt's
+    exclusive offset within its bucket. At 100 TB only (id, tokens) longs
+    shuffle; widen the salt prefix as the corpus grows.
+
+    >>> from stupidb_spark.session import get_session
+    >>> spark = get_session()
+    >>> docs = spark.range(1, 201).select(
+    ...     F.col("id"), (F.col("id") % 50 + 1).alias("n_tok"))
+    >>> out = bucketed_batches(docs, id_col="id", token_col="n_tok",
+    ...                        batch_size=8, seed="s")
+    >>> sizes = [r["count"] for r in out.groupBy("len_bucket", "batch")
+    ...          .count().collect()]
+    >>> sorted(set(sizes))[-1] <= 8
+    True
+    """
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + F.when(F.col(token_col) > F.lit(e), 1).otherwise(0)
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(id_col),
+        F.col(token_col),
+        bucket.cast("int").alias("len_bucket"),
+        key.alias("__key"),
+    ).withColumn("__salt", F.substring("__key", 1, 2))
+
+    counts = keyed.groupBy("len_bucket", "__salt").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # <= n_len_buckets * 256 rows: metadata-scale running offset per bucket
+    off_w = (
+        W.partitionBy("len_bucket")
+        .orderBy("__salt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "len_bucket",
+        "__salt",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__offset"),
+    )
+    rn_w = W.partitionBy("len_bucket", "__salt").orderBy("__key", id_col)
+    pos = F.col("__offset") + F.row_number().over(rn_w)
+    return (
+        keyed.join(F.broadcast(offsets), ["len_bucket", "__salt"])
+        .select(
+            F.col(id_col),
+            F.col(token_col),
+            "len_bucket",
+            F.floor((pos - F.lit(1)) / F.lit(batch_size))
+            .cast("long")
+            .alias("batch"),
+        )
+    )

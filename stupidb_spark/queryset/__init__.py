@@ -181,6 +181,9 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "contamination_bloom",
     "terms_heavy_hitters",
+    # round-5 additions (post-gate; rotate into the 50 in a later round)
+    "batch_shaping",
+    "text_rarity_score",
 )
 
 

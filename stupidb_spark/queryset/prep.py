@@ -359,3 +359,73 @@ def terms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms_approx(
         toks, group_col="lang", term_col="term", k=TOPK_TERMS
     )
+
+
+_EDGES_SQL = " + ".join(
+    f"(CASE WHEN n_tok > {e} THEN 1 ELSE 0 END)"
+    for e in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+)
+
+BATCH_SIZE = 32
+BATCH_SEED = "r5"
+
+
+@q(
+    "batch_shaping",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != '')) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tok,
+               CAST({_EDGES_SQL} AS INTEGER) AS len_bucket,
+               md5(concat('{BATCH_SEED}:', CAST(doc_id AS VARCHAR))) AS key
+        FROM d
+    ),
+    p AS (
+        SELECT len_bucket, n_tok,
+               row_number() OVER (PARTITION BY len_bucket
+                                  ORDER BY key, doc_id) AS pos
+        FROM b
+    )
+    SELECT len_bucket,
+           CAST(floor((pos - 1) / {BATCH_SIZE}) AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+    FROM p GROUP BY 1, 2
+    """,
+)
+def batch_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Training-loader batch shaping: length-bucket documents (bounded
+    # padding spread per batch), seeded within-bucket shuffle, fixed-size
+    # consecutive batches, then a per-batch padding-cost report
+    # (pad_waste = rows x max_len - sum_len: the tokens a padded collate
+    # would burn). The oracle is the per-bucket global window; the Spark
+    # plan is the order-preserving-salt two-phase form in
+    # operators/packing.py::bucketed_batches — no mega-partition window.
+    from stupidb_spark.functions.text import token_count
+    from stupidb_spark.operators.packing import bucketed_batches
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    batches = bucketed_batches(
+        docs,
+        id_col="doc_id",
+        token_col="n_tok",
+        batch_size=BATCH_SIZE,
+        seed=BATCH_SEED,
+    )
+    return batches.groupBy("len_bucket", "batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").alias("sum_tok"),
+        (
+            F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")
+        ).alias("pad_waste"),
+    )

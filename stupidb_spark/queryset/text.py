@@ -511,3 +511,49 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("w").alias("top_term"), "score")
     )
+
+
+@q(
+    "text_rarity_score",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest({_duck_words()}) AS term
+        FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(n.n_docs - df.df) AS BIGINT) AS rarity
+    FROM toks t JOIN df USING (term) CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-trained rare-token density — the integer-exact cousin of an
+    # idf-weighted quality score (weight = N - df instead of log(N/df):
+    # same ranking signal, zero libm drift, exact under any partitioning).
+    # Plan: distinct (doc, term) pairs -> term-df agg (map-side combined)
+    # -> join df back on term -> per-doc sum. The df relation is the full
+    # vocabulary, so it is NOT broadcast (billions of terms at 100 TB);
+    # the join shuffles on term, where the (doc, term) stream is already
+    # clustered after the distinct. The corpus size rides a broadcast
+    # 1-row cross join. For a capped-vocabulary broadcast variant, compose
+    # with operators/heavyhitters.py.
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("term")
+    ).distinct()
+    df_tab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        toks.join(df_tab, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("n_docs") - F.col("df")).alias("rarity"),
+        )
+    )

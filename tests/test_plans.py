@@ -216,6 +216,12 @@ EXCHANGE_BUDGETS = {
     "contamination_bloom": 3,
     # token spread + candidate broadcast-semi + exact recount agg
     "terms_heavy_hitters": 3,
+    # (bucket, salt) counts agg + tiny offset window + per-(bucket, salt)
+    # rank window + final per-batch rollup; offsets ride a broadcast join
+    "batch_shaping": 4,
+    # distinct (doc, term) + term-df agg + term-keyed join re-exchange +
+    # 1-row corpus count (broadcast back) + per-doc rollup
+    "text_rarity_score": 5,
 }
 
 
