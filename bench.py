@@ -91,6 +91,8 @@ HEADLINE = [
     "prep_winsorize",
     "shuffle_deterministic",
     "terms_topk",
+    "batch_shaping",
+    "text_rarity_score",
 ]
 
 

@@ -110,3 +110,18 @@ def test_escalation_preserves_isolated_nodes(spark):
         assert out[i] == 0
     for iso in range(31, 40):
         assert out[iso] == iso
+
+
+def test_real_dedup_graph_never_escalates(spark, monkeypatch):
+    # dup-cluster graphs (small, dense) must converge inside the 5-round
+    # propagation budget — the star fallback exists for adversarial chains
+    # only, so the gate query's plan cost is unchanged by the auto-select
+    import stupidb_spark.operators.components as C
+    from stupidb_spark.queryset import QUERIES
+    from tests.conftest import SF_DIR
+
+    def _boom(*a, **kw):  # pragma: no cover
+        raise AssertionError("star fallback fired on a dedup-shaped graph")
+
+    monkeypatch.setattr(C, "connected_components_star", _boom)
+    assert QUERIES["dedup_components"](spark, SF_DIR).count() > 0
