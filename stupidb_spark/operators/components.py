@@ -90,8 +90,21 @@ def connected_components(
     # the full corpus through every join round; restricting to V(edges)
     # keeps per-iteration state proportional to the duplicate set, and
     # isolated nodes join back once at the end with their own id.
-    node_df = sym.select(F.col("u").alias("node")).distinct()
-    labels = node_df.select("node", F.col("node").alias("component"))
+    #
+    # Initial labels are min(self, neighbors) — the first propagation round
+    # needs no join because each node's 1-hop neighborhood is already laid
+    # out in `sym`, so one groupBy both enumerates V(edges) AND performs
+    # hop 1. Dense dup clusters (diameter 2) then converge after a single
+    # joined round; a plain identity initialization would pay one extra
+    # join+agg+checkpoint round for the same labels.
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("__mv")).alias("component"),
+        )
+    )
 
     converged = False
     for _ in range(min(propagation_rounds, max_iterations)):
