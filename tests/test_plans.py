@@ -384,3 +384,39 @@ def test_tpch_q13_left_join_keeps_zero_order_customers(spark):
     assert len(zero) <= 1  # at most one bucket row
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+
+
+def test_batch_shaping_salted_window_no_mega_partition(spark):
+    # the per-row rank window must partition on (len_bucket, __salt) —
+    # ~256 sub-partitions per length bucket — never on len_bucket alone
+    # (a dozen buckets = a dozen mega-partitions at corpus scale). The
+    # len_bucket-only partitioning exists ONLY in the metadata-scale
+    # offsets subtree, which must ride a broadcast join, and no step may
+    # funnel the corpus through a SinglePartition.
+    import re
+
+    df = QUERIES["batch_shaping"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert re.search(r"hashpartitioning\(len_bucket#\d+, __salt#", plan), (
+        "rank window lost its salt — len_bucket-only partitioning would "
+        "mega-partition at corpus scale"
+    )
+    assert "BroadcastExchange" in plan  # offsets are broadcast metadata
+    assert "SinglePartition" not in plan
+
+
+def test_rarity_vocabulary_join_is_size_planned(spark):
+    # the df (document-frequency) relation is the FULL vocabulary —
+    # billions of terms at 100 TB — so the term join must NOT carry a
+    # broadcast hint in the LOGICAL plan: at fixture scale the planner may
+    # legitimately broadcast it (it fits), but the decision must be
+    # size-based so the same code SMJs on a real corpus. The 1-row corpus
+    # count is the only explicit broadcast.
+    df = QUERIES["text_rarity_score"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    hints = [ln for ln in logical.split("\n") if "hint" in ln.lower()]
+    # exactly the 1-row total's explicit broadcast hint survives authoring;
+    # a term-keyed hint here would force-broadcast the vocabulary at scale
+    assert all("term" not in h for h in hints), hints
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join

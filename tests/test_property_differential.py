@@ -257,3 +257,56 @@ def test_join_family_matches_duckdb(spark, left, right):
         )
     )
     assert got == want, "anti"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 200), st.integers(1, 5000)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    batch_size=st.integers(1, 7),
+)
+@SLOW
+def test_bucketed_batches_match_naive_window(spark, rows, batch_size):
+    """The salted two-phase batch assignment must equal the naive
+    per-bucket global-window form on arbitrary (id, token) relations."""
+    from pyspark.sql import Window
+
+    from stupidb_spark.operators.packing import (
+        LENGTH_BUCKET_EDGES,
+        bucketed_batches,
+    )
+
+    df = spark.createDataFrame(rows, "id long, n_tok long")
+    got = sorted(
+        map(
+            tuple,
+            bucketed_batches(
+                df, id_col="id", token_col="n_tok",
+                batch_size=batch_size, seed="p",
+            ).collect(),
+        )
+    )
+    bucket = F.lit(0)
+    for e in LENGTH_BUCKET_EDGES:
+        bucket = bucket + F.when(F.col("n_tok") > e, 1).otherwise(0)
+    key = F.md5(F.concat(F.lit("p:"), F.col("id").cast("string")))
+    naive = (
+        df.withColumn("len_bucket", bucket.cast("int"))
+        .withColumn(
+            "batch",
+            F.floor(
+                (
+                    F.row_number().over(
+                        Window.partitionBy("len_bucket").orderBy(key, "id")
+                    )
+                    - 1
+                )
+                / batch_size
+            ).cast("long"),
+        )
+        .select("id", "n_tok", "len_bucket", "batch")
+    )
+    assert got == sorted(map(tuple, naive.collect()))
