@@ -78,6 +78,7 @@ def main() -> int:
 
     import duckdb
 
+    from stupidb_spark.oracle_checks import oracle_type_violations
     from stupidb_spark.queryset import ORACLES, QUERIES
     from stupidb_spark.session import get_session
 
@@ -92,7 +93,11 @@ def main() -> int:
     # --only selects from the FULL registry (not the first-N gate slice):
     # the point of --only is targeted checking, and silently matching
     # nothing would exit green without running anything
-    names = list(only) if only is not None else list(QUERIES)[:n or len(QUERIES)]
+    names = (
+        list(only)
+        if only is not None
+        else list(QUERIES)[: len(QUERIES) if n is None else n]
+    )
     unknown = [q for q in names if q not in QUERIES]
     if unknown:
         print(f"unknown queries: {unknown}")
@@ -119,8 +124,6 @@ def main() -> int:
             # identically to Spark long, so a value compare here can stay
             # green while the driver's pandas-based hasher goes red (the
             # prep_winsorize r3/r4 failure). DESCRIBE catches it.
-            from tests.conftest import oracle_type_violations
-
             type_problems = oracle_type_violations(
                 con, ORACLES[name], sdf.schema
             )

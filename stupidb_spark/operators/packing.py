@@ -202,6 +202,7 @@ def bucketed_batches(
     batch_size: int,
     seed: str,
     edges: tuple[int, ...] = LENGTH_BUCKET_EDGES,
+    salt_chars: int = 2,
 ) -> DataFrame:
     """Length-bucketed, seeded, fixed-size training batches.
 
@@ -222,13 +223,14 @@ def bucketed_batches(
                 / batch_size
 
     but the plan never materializes a per-bucket mega-partition window:
-    the md5 key's leading two hex chars are an ORDER-PRESERVING salt (the
-    salt is a prefix of the order key, so (len_bucket, salt, key) order
-    equals (len_bucket, key) order). Row numbers are computed per
-    (len_bucket, salt) — each window sees ~1/256th of a length bucket —
-    and a (n_buckets x 256)-row count aggregate supplies each salt's
-    exclusive offset within its bucket. At 100 TB only (id, tokens) longs
-    shuffle; widen the salt prefix as the corpus grows.
+    the md5 key's leading ``salt_chars`` hex chars are an ORDER-PRESERVING
+    salt (the salt is a prefix of the order key, so (len_bucket, salt, key)
+    order equals (len_bucket, key) order). Row numbers are computed per
+    (len_bucket, salt) — each window sees ~1/16^salt_chars of a length
+    bucket — and a (n_buckets x 16^salt_chars)-row count aggregate supplies
+    each salt's exclusive offset within its bucket. At 100 TB only
+    (id, tokens) longs shuffle; widen ``salt_chars`` as the corpus grows
+    (2 → 256 sub-partitions per bucket, 3 → 4096, ...).
 
     >>> from stupidb_spark.session import get_session
     >>> spark = get_session()
@@ -250,7 +252,7 @@ def bucketed_batches(
         F.col(token_col),
         bucket.cast("int").alias("len_bucket"),
         key.alias("__key"),
-    ).withColumn("__salt", F.substring("__key", 1, 2))
+    ).withColumn("__salt", F.substring("__key", 1, salt_chars))
 
     counts = keyed.groupBy("len_bucket", "__salt").agg(
         F.count(F.lit(1)).alias("__n")

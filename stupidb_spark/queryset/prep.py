@@ -361,9 +361,12 @@ def terms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Built from the operator's own edge list so the DuckDB oracle can never
+# silently diverge from the Spark plan if the default buckets change.
+from stupidb_spark.operators.packing import LENGTH_BUCKET_EDGES  # noqa: E402
+
 _EDGES_SQL = " + ".join(
-    f"(CASE WHEN n_tok > {e} THEN 1 ELSE 0 END)"
-    for e in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    f"(CASE WHEN n_tok > {e} THEN 1 ELSE 0 END)" for e in LENGTH_BUCKET_EDGES
 )
 
 BATCH_SIZE = 32

@@ -60,7 +60,7 @@ def test_every_oracle_type_parity(duck):
     """Fast DESCRIBE-only sweep: no oracle projection may use a type the
     driver hasher cannot render (HUGEINT/UHUGEINT/UBIGINT), independent of
     whether the query is in the current 50-row gate rotation."""
-    from tests.conftest import _DUCK_FORBIDDEN
+    from stupidb_spark.oracle_checks import _DUCK_FORBIDDEN
 
     offenders = {}
     for name, sql in ORACLES.items():
