@@ -63,6 +63,51 @@ def _partition_guard(
     return F.when(ok.isNull(), result)
 
 
+def with_frame_values(
+    df,
+    name: str,
+    c: ColumnLike,
+    w: WindowSpec,
+    *,
+    max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
+    what: str = "frame_values",
+):
+    """Materialize ONE guarded ``collect_list`` array column for the frame of
+    ``w`` — the sharing primitive for multi-output dynamic navigation.
+
+    Catalyst does NOT common-subexpression-eliminate window expressions:
+    every *reference* to ``collect_list(...).over(w)`` inside a projection
+    plans its own collect_list, and WindowExec maintains (and per-row
+    copies) an independent array buffer for each. A select with three
+    dynamic ``nth`` columns plus a dynamic ``lag`` plans ~12 of them. This
+    helper materializes the raw array under a real attribute first (so the
+    Window node computes exactly one collect_list per frame), then wraps the
+    *attribute* in the bounded-partition guard — attribute references are
+    free, so N downstream consumers share one array and one guard::
+
+        df = with_frame_values(df, "__arr", "x", running, what="nth")
+        out = df.select(
+            nth("x", -1, w=running, values=F.col("__arr")).alias("last"),
+            nth("x", -2, w=running, values=F.col("__arr")).alias("prev"),
+        )
+
+    The guard wraps the array itself (NULL-or-raise), so every consumer of
+    the column inherits the bounded-partition contract without re-asserting.
+    Values are struct-wrapped (``.v``) so NULL data values keep their
+    positions, exactly as the per-call dynamic paths do.
+
+    Returns ``df`` with the guarded array column ``name`` added.
+    """
+    raw = f"__{name}_raw"
+    out = df.withColumn(
+        raw, F.collect_list(F.struct(_col(c).alias("v"))).over(w)
+    )
+    return out.withColumn(
+        name,
+        _partition_guard(F.col(raw), F.col(raw), max_partition_rows, what),
+    ).drop(raw)
+
+
 def lead(
     c: ColumnLike,
     n: int | Column = 1,
@@ -70,12 +115,16 @@ def lead(
     w: WindowSpec | None = None,
     *,
     max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
+    values: Column | None = None,
 ) -> Column:
     """Shift forward within the partition (frame ignored, as in the reference
     `stupidb/functions/navigation/__init__.py:40-46`).
 
     Constant ``n`` → native ``F.lead`` (fast path). Column ``n`` → dynamic
-    per-row offset (reference quirk Q7) via collect_list indexing.
+    per-row offset (reference quirk Q7) via collect_list indexing. Pass a
+    :func:`with_frame_values` column as ``values`` (collected over the WHOLE
+    partition of ``w``) to share one array + guard across several dynamic
+    outputs.
 
     >>> [r.nxt for r in series.select(
     ...     lead("x", 1, default=F.lit(-1.0), w=w_series).alias("nxt")).collect()]
@@ -90,7 +139,7 @@ def lead(
         col = col.over(w) if w is not None else col
         return F.coalesce(col, default) if default is not None else col
     return _dynamic_shift(
-        c, n, default, w, forward=True, cap=max_partition_rows
+        c, n, default, w, forward=True, cap=max_partition_rows, values=values
     )
 
 
@@ -101,6 +150,7 @@ def lag(
     w: WindowSpec | None = None,
     *,
     max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
+    values: Column | None = None,
 ) -> Column:
     """Shift backward within the partition; see :func:`lead`.
 
@@ -113,7 +163,7 @@ def lag(
         col = col.over(w) if w is not None else col
         return F.coalesce(col, default) if default is not None else col
     return _dynamic_shift(
-        c, n, default, w, forward=False, cap=max_partition_rows
+        c, n, default, w, forward=False, cap=max_partition_rows, values=values
     )
 
 
@@ -125,17 +175,24 @@ def _dynamic_shift(
     *,
     forward: bool,
     cap: int | None = DYNAMIC_PARTITION_ROW_CAP,
+    values: Column | None = None,
 ) -> Column:
     """Per-row offset lead/lag (quirk Q7): index into the whole partition.
 
     ``collect_list`` over an unbounded frame + 1-based ``element_at`` with a
     guard for out-of-partition → default (reference returns the default
-    there, `stupidb/functions/navigation/__init__.py:56-70`).
+    there, `stupidb/functions/navigation/__init__.py:56-70`). A shared
+    ``values`` array (from :func:`with_frame_values` over the whole
+    partition) carries its own guard, so none is re-applied here.
     """
     if w is None:
         raise ValueError("dynamic lead/lag requires a window spec")
-    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    values = F.collect_list(F.struct(_col(c).alias("v"))).over(whole)
+    shared = values is not None
+    if not shared:
+        whole = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        values = F.collect_list(F.struct(_col(c).alias("v"))).over(whole)
     # row position among *all* partition rows (collect_list keeps nulls inside
     # the struct wrapper, so positions align with row_number)
     pos = F.row_number().over(w)
@@ -144,7 +201,7 @@ def _dynamic_shift(
     out = F.when(in_bounds, F.element_at(values, idx.cast("int"))["v"])
     if default is not None:
         out = out.otherwise(default)
-    return _partition_guard(values, out, cap, "lead/lag")
+    return out if shared else _partition_guard(values, out, cap, "lead/lag")
 
 
 def nth(
@@ -154,13 +211,17 @@ def nth(
     *,
     zero_based: bool = True,
     max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
+    values: Column | None = None,
 ) -> Column:
     """i-th value of the frame; reference semantics (`stupidb/functions/
     navigation/__init__.py:113-159`): 0-based, negative Python-style indices
     allowed, out-of-bounds ⇒ NULL, and ``i`` may be per-row (quirk Q7).
 
     Constant non-negative ``i`` → native ``F.nth_value`` (fast path);
-    negative or Column ``i`` → collect_list indexing over the frame.
+    negative or Column ``i`` → collect_list indexing over the frame. Pass a
+    :func:`with_frame_values` column (collected over the SAME frame as
+    ``w``) as ``values`` to share one array + guard across several dynamic
+    outputs.
 
     >>> running = w_series.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     >>> [r.second for r in series.select(
@@ -174,9 +235,11 @@ def nth(
         one_based = i + 1 if zero_based else i
         col = F.nth_value(_col(c), one_based)
         return col.over(w) if w is not None else col
-    if w is None:
+    if w is None and values is None:
         raise ValueError("dynamic/negative nth requires a window spec")
-    values = F.collect_list(F.struct(_col(c).alias("v"))).over(w)
+    shared = values is not None
+    if not shared:
+        values = F.collect_list(F.struct(_col(c).alias("v"))).over(w)
     i_col = F.lit(i) if isinstance(i, int) else i
     if zero_based:
         # python indexing: 0 → first, -1 → last; element_at is 1-based and
@@ -185,9 +248,8 @@ def nth(
     else:
         idx = i_col
     in_bounds = (F.abs(idx) >= 1) & (F.abs(idx) <= F.size(values))
-    return _partition_guard(
-        values,
-        F.when(in_bounds, F.element_at(values, idx.cast("int"))["v"]),
-        max_partition_rows,
-        "nth",
-    )
+    out = F.when(in_bounds, F.element_at(values, idx.cast("int"))["v"])
+    if shared:
+        # the with_frame_values column carries its own guard
+        return out
+    return _partition_guard(values, out, max_partition_rows, "nth")

@@ -264,7 +264,10 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CALLABLE offsets (quirk Q7, stupidb/api.py:841-888): Spark has no
     # dynamic lag, so it takes the documented collect_list slow path
     # (stupidb_spark/functions/navigation.py); DuckDB's native dynamic lag is
-    # the oracle.
+    # the oracle. The two negative-nth outputs share ONE materialized
+    # running-frame array and dyn_prev gets its own whole-partition array
+    # (with_frame_values): Catalyst doesn't CSE window expressions, so the
+    # naive form planned ~12 collect_list buffers over the same two frames.
     e = _t(spark, sf_dir, "events").withColumn(
         "maybe_value",
         F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
@@ -278,6 +281,9 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         preceding=None,
         following=0,
     )
+    whole = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    e = nav.with_frame_values(e, "__run_arr", "value", running, what="nth")
+    e = nav.with_frame_values(e, "__part_arr", "value", whole, what="lead/lag")
     return e >> select(
         "event_id",
         prev_value=nav.lag("value", 1, w=w),
@@ -285,10 +291,14 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_ok=F.first("maybe_value", ignorenulls=True).over(running),
         last_ok=F.last("maybe_value", ignorenulls=True).over(running),
         third_value=nav.nth("value", 2, w=running),
-        last_in_frame=nav.nth("value", -1, w=running),
-        second_last=nav.nth("value", -2, w=running),
+        last_in_frame=nav.nth("value", -1, w=running, values=F.col("__run_arr")),
+        second_last=nav.nth("value", -2, w=running, values=F.col("__run_arr")),
         dyn_prev=nav.lag(
-            "value", (F.col("event_id") % 3).cast("int"), F.lit(-1.0), w=w
+            "value",
+            (F.col("event_id") % 3).cast("int"),
+            F.lit(-1.0),
+            w=w,
+            values=F.col("__part_arr"),
         ),
     )
 

@@ -65,6 +65,49 @@ def test_dynamic_rows_sum_guarded_and_waivable(spark):
     assert df.select(dyn(None).alias("s")).count() == df.count()
 
 
+def test_shared_frame_values_guarded_and_equal(spark):
+    """with_frame_values: one materialized array serves several dynamic
+    outputs, inherits the guard, and matches the per-call dynamic paths."""
+    from stupidb_spark.functions.navigation import with_frame_values
+
+    df = _skewed(spark, n=50)
+    w = Window.partitionBy("g").orderBy("t")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_dyn = (F.col("t") % 3).cast("int")
+
+    shared = with_frame_values(df, "__arr", "x", whole)
+    shared = with_frame_values(shared, "__run", "x", running)
+    got = shared.select(
+        "g",
+        "t",
+        lag("x", n_dyn, w=w, values=F.col("__arr")).alias("dyn"),
+        nth("x", -2, w=running, values=F.col("__run")).alias("n2"),
+    )
+    want = df.select(
+        "g",
+        "t",
+        lag("x", n_dyn, w=w).alias("dyn"),
+        nth("x", -2, w=running).alias("n2"),
+    )
+    # exactly ONE collect_list per materialized frame array in the plan
+    # (inspect before executing: post-AQE toString repeats the initial plan)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("collect_list") == 2
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # the shared array carries the guard: a mega-partition still fails loudly
+    big = _skewed(spark, n=500)
+    guarded = with_frame_values(
+        big, "__arr", "x", whole, max_partition_rows=100
+    )
+    col = lag("x", n_dyn, w=w, values=F.col("__arr"))
+    with pytest.raises(Exception, match="max_partition_rows cap of 100"):
+        guarded.select(col.alias("dyn")).collect()
+
+
 def test_guard_is_transparent_within_cap(spark):
     # guarded and unguarded plans must agree value-for-value under the cap
     df = _skewed(spark, n=50)
