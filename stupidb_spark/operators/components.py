@@ -24,13 +24,15 @@ star engine rather than ever returning half-propagated labels. The pipeline
 operator is therefore adversarial-graph-safe by default: worst-case total
 rounds = 5 cheap propagation rounds + O(log n) contraction rounds.
 
-Scale notes (100 TB): lineage is cut with ``localCheckpoint`` every
+Scale notes (100 TB): lineage is cut with a *lazy* ``localCheckpoint`` every
 iteration — without it the plan doubles per round and Catalyst analysis time,
 not the data, becomes the bottleneck. On a real cluster use a reliable
 checkpoint dir (``spark.sparkContext.setCheckpointDir``) so recomputation
-after executor loss doesn't cascade. The per-iteration convergence check is
-one ``isEmpty`` action on the changed-label set — a metadata-sized job, not a
-full materialization.
+after executor loss doesn't cascade. Each round issues exactly ONE driver
+action: the changed-label ``count`` scans every partition, which materializes
+the lazy checkpoint and decides convergence in the same job (an eager
+checkpoint plus a separate emptiness probe would pay two jobs of fixed driver
+latency per round — the dominant cost once per-round data is small).
 
 No reference parity: the reference has no graph operators; this is part of
 the beyond-reference dedup surface (SURVEY.md §7).
@@ -83,7 +85,9 @@ def connected_components(
     sym = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    sym = sym.localCheckpoint()  # reused every iteration: materialize once
+    # Reused every iteration; lazy checkpoint so round 1's single action
+    # materializes it together with the first label set (no dedicated job).
+    sym = sym.localCheckpoint(eager=False)
 
     # Propagate over edge-participating nodes ONLY. In a dedup graph almost
     # every document is a singleton — iterating over all of them would put
@@ -131,10 +135,14 @@ def connected_components(
                     < F.max(F.when(F.col("is_old"), F.col("component")))
                 ).alias("_changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = new_labels.drop("_changed")
-        if new_labels.filter(F.col("_changed")).isEmpty():
+        # ONE driver action per round: count() scans every partition, which
+        # both materializes the lazy checkpoint (cutting lineage exactly as
+        # the eager form did) and yields the convergence signal — the
+        # eager-checkpoint + separate isEmpty form paid two jobs per round.
+        if new_labels.filter(F.col("_changed")).count() == 0:
             converged = True
             break
 
@@ -247,11 +255,17 @@ def connected_components_star(
                 F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
+        # One action: the symmetric-difference probe's except shuffles scan
+        # every partition of new_edges, materializing the lazy checkpoint in
+        # the same job that decides convergence (was: eager checkpoint plus
+        # two isEmpty jobs).
         converged = (
-            new_edges.exceptAll(cur).isEmpty() and cur.exceptAll(new_edges).isEmpty()
+            new_edges.exceptAll(cur)
+            .unionByName(cur.exceptAll(new_edges))
+            .isEmpty()
         )
         cur = new_edges
         if converged:
