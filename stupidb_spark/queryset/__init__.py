@@ -50,15 +50,73 @@ from stupidb_spark.queryset import prep  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # --- gate slots 1-50 (round-5 rotation; ledger in CHANGELOG.md) ---
-    # 1-2: flagship + the round-5 fix proof (prep_winsorize was red in
-    # r3/r4 for oracle HUGEINT typing; its CAST fix needs a driver row).
+    # --- gate slots 1-50 (round-6 rotation; ledger in CHANGELOG.md) ---
+    # 1-5: flagship, the two queries whose code changed this round
+    # (win_navigation's shared-array rewrite, connected_components'
+    # one-action rounds), and the two round-5 additions that have never
+    # held a driver row.
     "tpch_q1",
+    "win_navigation",
+    "dedup_components",
+    "batch_shaping",
+    "text_rarity_score",
+    # 6-18: the r1-only cohort — last driver row in CORRECTNESS_r01
+    # (13 surviving registry names; the other r1 rows were folded into
+    # combo queries that have since been re-gated).
+    "agg_grouped_stats",
+    "agg_having",
+    "distinct_rows",
+    "events_sliding",
+    "join_fact_fact",
+    "project_datetime",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "win_multiple",
+    "win_rows_bounded",
+    "win_stat_frames",
+    "win_whole_partition",
+    # 19-28: the r2-only cohort (outer joins, sort variants, agg twins).
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "agg_median_disc",
+    "join_cross",
+    "join_theta",
+    "join_full_outer",
+    "join_left_nullpad",
+    "join_right",
+    "sort_limit_offset",
+    "sort_nulls_first",
+    # 29: the single r3-only query.
+    "sort_topk",
+    # 30-50: the oldest 21 of the r4 cohort (core verbs, join family,
+    # window family, ordering/range, text/terms). After this rotation
+    # every oracled query has held a driver row within rounds 4-6.
+    "project_scalar",
+    "mutate_derived",
+    "filter_compound",
+    "join_inner_star",
+    "join_outer_trio",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "agg_computed_key",
+    "agg_global_all12",
+    "agg_distinct_sets",
+    "agg_salted_skew",
+    "win_running_sum",
+    "win_range_numeric",
+    "win_range_temporal",
+    "win_rank",
+    "sort_nulls_offset",
+    "range_join_buckets",
+    "shuffle_deterministic",
+    "terms_topk",
+    "pii_redact",
+    "text_metrics",
+    # --- 51+: r4/r5-gated queries and twins; all still run in
+    # tests/test_oracle_parity.py every session and in the full
+    # stability sweep.
     "prep_winsorize",
-    # 3-37: every oracled query that had never received a driver gate
-    # row through round 4 (35 queries: the TPC-H balance, text family,
-    # combo twins) — incl. tpch_q12/tpch_q11, which carry this round's
-    # oracle typing/decimal fixes.
     "fuzzy_match_names",
     "events_attribution",
     "events_props_json",
@@ -94,8 +152,6 @@ PRIORITY: tuple[str, ...] = (
     "sample_weighted",
     "dedup_keep_best",
     "win_moving_median",
-    # 38-50: capstones retained for continuity (each also covers a
-    # component family touched by this round's null-contract fixes).
     "asof_join_orders",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -106,17 +162,9 @@ PRIORITY: tuple[str, ...] = (
     "setop_six",
     "agg_udaf_salted",
     "win_dynamic_frame",
-    "dedup_components",
     "contamination_ngram",
     "sample_stratified",
-    # --- 51+: previously-gated queries (r1-r4 green rows) and twins;
-    # all still run in tests/test_oracle_parity.py every session. The
-    # r1/r2-only cohort (setops, outer joins, sort variants, ...) is
-    # first in line for the round-6 rotation.
-    "range_join_buckets",
     "agg_udaf_sum_sq",
-    "text_metrics",
-    "pii_redact",
     "tpch_q17",
     "tpch_q18",
     "join_skew_replicate",
@@ -128,50 +176,7 @@ PRIORITY: tuple[str, ...] = (
     "events_props_running",
     "join_extras",
     "agg_pivot_unpivot",
-    "shuffle_deterministic",
-    "project_scalar",
-    "mutate_derived",
-    "filter_compound",
-    "join_inner_star",
-    "join_outer_trio",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "agg_computed_key",
-    "agg_global_all12",
-    "agg_distinct_sets",
-    "agg_salted_skew",
-    "terms_topk",
-    "win_running_sum",
-    "win_range_numeric",
-    "win_range_temporal",
-    "win_rank",
-    "win_navigation",
-    "sort_nulls_offset",
     "tpch_q10",
-    "sort_topk",
-    "join_cross",
-    "join_theta",
-    "join_left_nullpad",
-    "join_right",
-    "join_full_outer",
-    "agg_count_distinct",
-    "agg_median_disc",
-    "agg_grouping_sets",
-    "sort_nulls_first",
-    "sort_limit_offset",
-    "join_fact_fact",
-    "agg_having",
-    "project_datetime",
-    "agg_grouped_stats",
-    "distinct_rows",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q5",
-    "win_rows_bounded",
-    "win_whole_partition",
-    "win_multiple",
-    "win_stat_frames",
-    "events_sliding",
     "agg_approx_sketch",
     "ann_topk_pq",
     "ann_topk_ivfpq",
@@ -181,9 +186,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "contamination_bloom",
     "terms_heavy_hitters",
-    # round-5 additions (post-gate; rotate into the 50 in a later round)
-    "batch_shaping",
-    "text_rarity_score",
 )
 
 
