@@ -183,9 +183,37 @@ def main() -> None:
     # Durable copy first: BENCH_r02's stdout line was truncated by the
     # driver's tail capture, losing the round's headline number. The file is
     # the record; stdout is the interface.
-    with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
-        json.dump(payload, f)
-        f.write("\n")
+    #
+    # Quiet-run discipline (round-6 lesson: a noisy 50.5 s run shipped as
+    # the round record while the same commit measured 34.7 s quiet): a run
+    # that self-flags noisy must NOT overwrite an earlier QUIET record of
+    # the same workload — the file keeps the quiet number, stdout stays the
+    # raw current run, and the noise block points at the retained record.
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    local_path = os.path.join(_REPO, out_name)
+    keep_existing = False
+    if noise["noisy"]:
+        try:
+            with open(local_path) as f:
+                prev = json.load(f)
+            if (
+                not prev.get("noise", {}).get("noisy", True)
+                and prev.get("sf") == sf
+                and sorted(prev.get("queries", {})) == sorted(timings)
+            ):
+                keep_existing = True
+                noise["kept_quiet_record"] = {
+                    "file": out_name,
+                    "value": prev["value"],
+                    "note": "current run is noisy; the file keeps the "
+                    "earlier quiet run of the same workload",
+                }
+        except (OSError, ValueError):
+            pass
+    if not keep_existing:
+        with open(local_path, "w") as f:
+            json.dump(payload, f)
+            f.write("\n")
     # Quiesce Spark BEFORE printing so executor/teardown chatter can't land
     # after (or interleave with) the JSON line, then emit ONE compact line
     # (no exchanges dict — it lives in the file) as the very last stdout.

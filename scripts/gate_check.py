@@ -74,6 +74,11 @@ def main() -> int:
     # "all" sweeps the ENTIRE registry — use it for the stability sweep so
     # the count can never be hand-miscounted (r4 swept 122 of 123 queries).
     n = None if argv and argv[0] == "all" else (int(argv[0]) if argv else 50)
+    if n is not None and n <= 0:
+        # a non-positive N would slice to an empty list and exit green with
+        # "0/0 green" — silently running nothing. Loud usage error instead.
+        print(f"N must be positive (got {n}); use 'all' for the full registry")
+        return 2
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
 
     import duckdb

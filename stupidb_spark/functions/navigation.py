@@ -35,6 +35,66 @@ from stupidb_spark.verbs import ColumnLike, _col
 #: territory, well before executor-OOM territory.
 DYNAMIC_PARTITION_ROW_CAP = 1 << 20
 
+#: Frame-scope tags recorded by :func:`with_frame_values`, keyed by the
+#: materialized column name. ``"whole"`` = the array covers the entire
+#: partition (safe for dynamic lead/lag, whose index math is positional
+#: against row_number); ``"frame"`` = the array follows the caller's frame
+#: (only valid for ``nth`` over that same frame). Names are caller-chosen
+#: temporaries, so a best-effort process-wide registry is enough to catch
+#: the silent-wrong-shifts hazard; last registration wins on name reuse.
+_FRAME_SCOPES: dict[str, str] = {}
+
+
+def _column_name(col: Column) -> str | None:
+    """Best-effort simple attribute name of ``col`` (None for expressions)."""
+    import re
+
+    m = re.fullmatch(r"Column<'([A-Za-z0-9_]+)'>", str(col))
+    return m.group(1) if m else None
+
+
+def _check_shared_values(
+    values: Column, max_partition_rows, *, need_whole: bool, what: str
+) -> None:
+    """Validate a shared ``values`` array passed to nth/lead/lag.
+
+    - An explicitly passed ``max_partition_rows`` alongside ``values`` is a
+      contract error: the cap lives with the array (set it in
+      :func:`with_frame_values`), and silently ignoring the argument here
+      would leave the caller believing an unguarded array is capped.
+    - Dynamic lead/lag index positionally (row_number against the array), so
+      the array MUST span the whole partition; a running-frame array would
+      produce silently wrong shifts. Arrays from :func:`with_frame_values`
+      carry a scope tag that is verified here; untagged arrays (arbitrary
+      caller columns) can't be checked and raise a warning instead.
+    """
+    import warnings
+
+    if max_partition_rows is not DYNAMIC_PARTITION_ROW_CAP:
+        raise ValueError(
+            f"{what}: max_partition_rows is ignored when values= is "
+            "supplied — the guard belongs to the shared array; pass the cap "
+            "to with_frame_values instead"
+        )
+    if not need_whole:
+        return
+    name = _column_name(values)
+    scope = _FRAME_SCOPES.get(name) if name else None
+    if scope == "frame":
+        raise ValueError(
+            f"{what}: shared values array '{name}' was materialized over a "
+            "bounded frame (scope='frame'), but dynamic lead/lag index "
+            "positionally against the WHOLE partition — rebuild it with "
+            "with_frame_values(..., scope='whole')"
+        )
+    if scope is None:
+        warnings.warn(
+            f"{what}: cannot verify that the shared values array covers the "
+            "whole partition (not produced by with_frame_values); wrong-"
+            "frame arrays produce silently wrong shifts",
+            stacklevel=3,
+        )
+
 
 def _partition_guard(
     values: Column, result: Column, cap: int | None, what: str
@@ -69,6 +129,7 @@ def with_frame_values(
     c: ColumnLike,
     w: WindowSpec,
     *,
+    scope: str = "frame",
     max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
     what: str = "frame_values",
 ):
@@ -96,12 +157,27 @@ def with_frame_values(
     Values are struct-wrapped (``.v``) so NULL data values keep their
     positions, exactly as the per-call dynamic paths do.
 
+    ``scope`` declares — and for ``"whole"``, *constructs* — the frame the
+    array covers, and tags the column so consumers can verify it:
+
+    - ``"whole"``: collect over the entire partition of ``w`` (the frame is
+      rebuilt internally as unbounded-to-unbounded, so the tag is true by
+      construction). Required for dynamic :func:`lead`/:func:`lag`, whose
+      index math is positional against ``row_number``.
+    - ``"frame"`` (default): collect over ``w`` exactly as given. Only valid
+      as :func:`nth` input over that same frame; dynamic lead/lag reject it.
+
     Returns ``df`` with the guarded array column ``name`` added.
     """
+    if scope not in ("whole", "frame"):
+        raise ValueError(f"scope must be 'whole' or 'frame', got {scope!r}")
+    if scope == "whole":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     raw = f"__{name}_raw"
     out = df.withColumn(
         raw, F.collect_list(F.struct(_col(c).alias("v"))).over(w)
     )
+    _FRAME_SCOPES[name] = scope
     return out.withColumn(
         name,
         _partition_guard(F.col(raw), F.col(raw), max_partition_rows, what),
@@ -138,6 +214,10 @@ def lead(
         col = F.lead(_col(c), n, None)
         col = col.over(w) if w is not None else col
         return F.coalesce(col, default) if default is not None else col
+    if values is not None:
+        _check_shared_values(
+            values, max_partition_rows, need_whole=True, what="lead"
+        )
     return _dynamic_shift(
         c, n, default, w, forward=True, cap=max_partition_rows, values=values
     )
@@ -162,6 +242,10 @@ def lag(
         col = F.lag(_col(c), n, None)
         col = col.over(w) if w is not None else col
         return F.coalesce(col, default) if default is not None else col
+    if values is not None:
+        _check_shared_values(
+            values, max_partition_rows, need_whole=True, what="lag"
+        )
     return _dynamic_shift(
         c, n, default, w, forward=False, cap=max_partition_rows, values=values
     )
@@ -238,6 +322,15 @@ def nth(
     if w is None and values is None:
         raise ValueError("dynamic/negative nth requires a window spec")
     shared = values is not None
+    if shared:
+        # nth indexes within the frame, so the shared array must follow the
+        # SAME frame as ``w`` — whole-partition arrays are only correct when
+        # w itself is whole-partition. That equivalence can't be inspected
+        # on a WindowSpec, so only the cap-conflict contract is enforced
+        # here; the frame contract stays with with_frame_values' scope tag.
+        _check_shared_values(
+            values, max_partition_rows, need_whole=False, what="nth"
+        )
     if not shared:
         values = F.collect_list(F.struct(_col(c).alias("v"))).over(w)
     i_col = F.lit(i) if isinstance(i, int) else i

@@ -24,9 +24,11 @@ star engine rather than ever returning half-propagated labels. The pipeline
 operator is therefore adversarial-graph-safe by default: worst-case total
 rounds = 5 cheap propagation rounds + O(log n) contraction rounds.
 
-Scale notes (100 TB): lineage is cut with a *lazy* ``localCheckpoint`` every
-iteration — without it the plan doubles per round and Catalyst analysis time,
-not the data, becomes the bottleneck. On a real cluster use a reliable
+Scale notes (100 TB): the symmetrized edge set is checkpointed *eagerly*
+(it is read by two branches of the very first job, so materializing it up
+front is a measured win), while per-round label state is cut with a *lazy*
+``localCheckpoint`` — without the cuts the plan doubles per round and
+Catalyst analysis time, not the data, becomes the bottleneck. On a real cluster use a reliable
 checkpoint dir (``spark.sparkContext.setCheckpointDir``) so recomputation
 after executor loss doesn't cascade. Each round issues exactly ONE driver
 action: the changed-label ``count`` scans every partition, which materializes
@@ -85,9 +87,13 @@ def connected_components(
     sym = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    # Reused every iteration; lazy checkpoint so round 1's single action
-    # materializes it together with the first label set (no dedicated job).
-    sym = sym.localCheckpoint(eager=False)
+    # Reused every iteration, and consumed by TWO branches of round 1's
+    # first job (label initialization below and the round-1 join): an eager
+    # checkpoint here pays one small up-front job but both branches then read
+    # materialized partitions. The lazy form measured *slower* (both branches
+    # recompute sym before its partitions land) — only the per-round `labels`
+    # checkpoint stays lazy, where the single count() action materializes it.
+    sym = sym.localCheckpoint()
 
     # Propagate over edge-participating nodes ONLY. In a dedup graph almost
     # every document is a singleton — iterating over all of them would put

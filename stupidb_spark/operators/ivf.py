@@ -253,6 +253,66 @@ def load_ivf_index(spark, path: str) -> _CachedIndex:
     return _CachedIndex(centroids=centroids, indexed=indexed)
 
 
+def ivf_append(
+    idx: _CachedIndex,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> _CachedIndex:
+    """Append new vectors to an existing index WITHOUT retraining: assign
+    them to the frozen coarse quantizer's cells (one map-only pass over the
+    new vectors only) and union with the existing assignment.
+
+    Drift / rebalance contract: the quantizer stays frozen, so appended
+    vectors are binned by the distribution the index was TRAINED on. That is
+    exactly what a growing corpus wants (index cost proportional to the
+    delta, probes unchanged) as long as the new data resembles the old; if
+    the distribution drifts, cells skew and recall decays gracefully — never
+    wrongly, since probes still score true cosines, just over less-balanced
+    cells. Monitor with :func:`ivf_cell_stats`; retrain (full
+    :func:`build_ivf_index`) when the max/mean cell ratio exceeds ~8x or the
+    appended volume exceeds the originally-indexed volume.
+    """
+    assigned = ivf_index(new_vectors, idx.centroids, id_col=id_col, vec_col=vec_col)
+    return _CachedIndex(
+        centroids=idx.centroids,
+        indexed=idx.indexed.unionByName(assigned),
+    )
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Durable form of :func:`ivf_append`: assign new vectors with the
+    SAVED centroids and append them to the cell-partitioned index table.
+
+    Writes land inside the existing ``cell=N`` partition directories
+    (``mode("append")`` with the same ``partitionBy``), so
+    :func:`ivf_probe`'s static cell filter prunes exactly as before — the
+    probed-partition contract survives appends. Cost is one map-only pass
+    over the delta; the existing index is never read or rewritten. Same
+    drift/rebalance contract as :func:`ivf_append`.
+    """
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.stack(
+        [np.array(r.centroid, dtype=np.float64) for r in cent_rows]
+    )
+    assigned = ivf_index(new_vectors, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
+
+
+def ivf_cell_stats(indexed: DataFrame) -> DataFrame:
+    """Per-cell population (cell, n) — the rebalance signal for appended
+    indexes. One hash aggregate over (cell) ints; never touches vectors."""
+    return indexed.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
 # Memoized per-base-table index; keyed by the base plan + build params so a
 # different table or config trains its own index.
 _INDEX_CACHE: dict[tuple, _CachedIndex] = {}

@@ -275,11 +275,32 @@ def ivfpq_build(
         return _IVFPQ_CACHE[key]
     centroids = ivf_train(base, id_col=id_col, vec_col=vec_col, k=n_cells)
     books = pq_train(base, id_col=id_col, vec_col=vec_col, m=m, k=k_codes)
+    table = ivfpq_encode(
+        base, centroids, books, id_col=id_col, vec_col=vec_col
+    ).persist()
+    built = (centroids, books, table)
+    if cache_key is not None:
+        _IVFPQ_CACHE[key] = built
+    return built
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode ``vectors`` against FROZEN quantizers: one map-only pass where
+    cell assignment and subspace encoding share the same Arrow batch,
+    yielding (neighbor_id, cell, code). Used by :func:`ivfpq_build` for the
+    initial table and by :func:`ivfpq_append` for deltas."""
     mm, kk, dsub = books.shape
     Cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
-    id_type = dict(base.dtypes)[id_col]
+    id_type = dict(vectors.dtypes)[id_col]
 
     def enc(batches):
         for pdf in batches:
@@ -301,17 +322,34 @@ def ivfpq_build(
                 }
             )
 
-    table = (
-        spread_small_scan(
-            base.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        )
-        .mapInPandas(enc, f"neighbor_id {id_type}, cell int, code array<int>")
-        .persist()
+    return spread_small_scan(
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    ).mapInPandas(enc, f"neighbor_id {id_type}, cell int, code array<int>")
+
+
+def ivfpq_append(
+    index: tuple[np.ndarray, np.ndarray, DataFrame],
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """Append to an IVF-PQ index without retraining either quantizer: the
+    delta is encoded with the frozen cells + codebooks (one map-only pass
+    over the new vectors only) and unioned with the existing code table.
+
+    Same drift/rebalance contract as :func:`~stupidb_spark.operators.ivf
+    .ivf_append`, with one extra term: PQ quantization error also grows if
+    the delta's per-subspace distribution drifts from the training sample,
+    which shows up as recall decay (never wrong ids being ranked above
+    exactly-scored ones — ADC scores just get noisier). Retrain when
+    appended volume rivals the trained corpus or monitored recall drops.
+    """
+    centroids, books, table = index
+    delta = ivfpq_encode(
+        new_vectors, centroids, books, id_col=id_col, vec_col=vec_col
     )
-    built = (centroids, books, table)
-    if cache_key is not None:
-        _IVFPQ_CACHE[key] = built
-    return built
+    return (centroids, books, table.unionByName(delta))
 
 
 def ivfpq_topk(

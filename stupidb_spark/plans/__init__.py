@@ -12,6 +12,7 @@ sf0.001.
 from stupidb_spark.plans.audit import (
     codegen_stage_count,
     exchange_count,
+    executed_final_plan,
     formatted_plan,
     has_node,
     pushed_filters,
@@ -24,5 +25,6 @@ __all__ = [
     "read_schema_fields",
     "has_node",
     "exchange_count",
+    "executed_final_plan",
     "codegen_stage_count",
 ]

@@ -50,6 +50,20 @@ def exchange_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\((\d+)\) Exchange\b", formatted_plan(df))))
 
 
+def executed_final_plan(df: DataFrame) -> str:
+    """The FINAL adaptive plan string, after executing the DataFrame.
+
+    AQE defers exchange reuse to runtime (the static plan shows duplicated
+    subtrees with no ``ReusedExchange``); runtime-only properties like stage
+    reuse can only be pinned on the post-execution plan. Triggers a full
+    ``collect`` — use on small fixtures only.
+    """
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # drop the "== Initial Plan ==" tail AQE appends after the final plan
+    return plan.split("== Initial Plan ==")[0]
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans (wider spans = fewer, bigger)."""
     ids = set(re.findall(r"codegen id : (\d+)", formatted_plan(df)))

@@ -283,7 +283,9 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     whole = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     e = nav.with_frame_values(e, "__run_arr", "value", running, what="nth")
-    e = nav.with_frame_values(e, "__part_arr", "value", whole, what="lead/lag")
+    e = nav.with_frame_values(
+        e, "__part_arr", "value", whole, scope="whole", what="lead/lag"
+    )
     return e >> select(
         "event_id",
         prev_value=nav.lag("value", 1, w=w),

@@ -76,7 +76,7 @@ def test_shared_frame_values_guarded_and_equal(spark):
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n_dyn = (F.col("t") % 3).cast("int")
 
-    shared = with_frame_values(df, "__arr", "x", whole)
+    shared = with_frame_values(df, "__arr", "x", whole, scope="whole")
     shared = with_frame_values(shared, "__run", "x", running)
     got = shared.select(
         "g",
@@ -101,7 +101,7 @@ def test_shared_frame_values_guarded_and_equal(spark):
     # the shared array carries the guard: a mega-partition still fails loudly
     big = _skewed(spark, n=500)
     guarded = with_frame_values(
-        big, "__arr", "x", whole, max_partition_rows=100
+        big, "__arr", "x", whole, scope="whole", max_partition_rows=100
     )
     col = lag("x", n_dyn, w=w, values=F.col("__arr"))
     with pytest.raises(Exception, match="max_partition_rows cap of 100"):
@@ -129,3 +129,47 @@ def test_guard_is_transparent_within_cap(spark):
     assert sorted(map(tuple, guarded.collect())) == sorted(
         map(tuple, native.collect())
     )
+
+
+def test_shared_values_contract_checks(spark):
+    """Advisor items: (a) an explicit max_partition_rows alongside values=
+    is a loud contract error, not silently ignored; (b) a running-frame
+    array fed to dynamic lead/lag raises instead of silently mis-shifting;
+    (c) an array of unverifiable provenance warns."""
+    import warnings
+
+    from stupidb_spark.functions.navigation import nth, with_frame_values
+
+    df = _skewed(spark, n=20)
+    w = Window.partitionBy("g").orderBy("t")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_dyn = (F.col("t") % 3).cast("int")
+
+    shared = with_frame_values(df, "__whole_a", "x", whole, scope="whole")
+    shared = with_frame_values(shared, "__run_a", "x", running)
+
+    # (a) cap belongs to the array, not the consumer call
+    with pytest.raises(ValueError, match="max_partition_rows is ignored"):
+        lag("x", n_dyn, w=w, values=F.col("__whole_a"), max_partition_rows=5)
+    with pytest.raises(ValueError, match="max_partition_rows is ignored"):
+        nth("x", -1, w=running, values=F.col("__run_a"), max_partition_rows=5)
+
+    # (b) running-frame array into dynamic lag = silently wrong shifts
+    with pytest.raises(ValueError, match="scope='whole'"):
+        lag("x", n_dyn, w=w, values=F.col("__run_a"))
+
+    # whole-scope array is accepted and still correct
+    got = shared.select(
+        "g", "t", lag("x", n_dyn, w=w, values=F.col("__whole_a")).alias("d")
+    )
+    want = df.select("g", "t", lag("x", n_dyn, w=w).alias("d"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # (c) unknown provenance: warn, don't block (caller owns the frame math)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lag("x", n_dyn, w=w, values=F.col("some_external_array"))
+    assert any("cannot verify" in str(c.message) for c in caught)

@@ -420,3 +420,28 @@ def test_rarity_vocabulary_join_is_size_planned(spark):
     assert all("term" not in h for h in hints), hints
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join
+
+
+def test_tpch_q11_reuses_partsupp_exchange_at_runtime(spark):
+    # q11 references the derived partsupp->nation subtree twice (per-part
+    # values and the 1-row total). The static plan shows both subtrees; AQE
+    # stage reuse must collapse the second lineitem groupBy exchange into a
+    # ReusedExchange at runtime, or the full lineitem scan+partial-agg runs
+    # twice — silent 2x fact-table cost a Spark upgrade could reintroduce.
+    # sf0.001 empties out under AQE (EmptyRelation short-circuit), so pin on
+    # sf0.01 where execution is non-degenerate.
+    from stupidb_spark.plans import executed_final_plan
+
+    df = QUERIES["tpch_q11"](spark, "/root/testdata/sf0.01")
+    final = executed_final_plan(df)
+    assert "ReusedExchange" in final
+    # exactly one real lineitem-keyed exchange; the duplicate is a reuse
+    import re
+
+    real = re.findall(r"\+- Exchange hashpartitioning\(l_partkey", final)
+    reused = re.findall(
+        r"ReusedExchange \[[^\]]*\], Exchange hashpartitioning\(l_partkey",
+        final,
+    )
+    assert len(real) == 1, final
+    assert len(reused) == 1, final

@@ -292,3 +292,124 @@ def test_near_dup_pairs_found_inside_null_block(spark):
     assert sorted((r.id_a, r.id_b) for r in salted) == sorted(
         (r.id_a, r.id_b) for r in all_pairs
     )
+
+
+def test_ivf_append_recall_and_durable_pruning(spark):
+    """Incremental IVF append: index 80% of the corpus, append the rest
+    without retraining, and (a) probe recall stays within epsilon of a full
+    retrain; (b) the durable append lands inside the existing cell
+    partitions so PartitionFilters still prune; (c) in-session and durable
+    appends probe identically."""
+    import shutil
+    import uuid
+
+    from stupidb_spark.operators.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_append,
+        ivf_cell_stats,
+        ivf_probe,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    cut = int(n * 0.8)
+    old = emb.filter(F.col("vec_id") < cut)
+    new = emb.filter(F.col("vec_id") >= cut)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    full = build_ivf_index(emb)
+    base = build_ivf_index(old)
+    appended = ivf_append(base, new)
+    assert appended.indexed.count() == n
+    # cell stats cover every cell the full index uses (rebalance signal)
+    assert ivf_cell_stats(appended.indexed).count() > 0
+
+    def recall(idx):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_probe(idx.indexed, idx.centroids, queries).collect()
+        }
+        return len(bf & got) / len(bf)
+
+    r_full, r_app = recall(full), recall(appended)
+    assert r_app >= r_full - 0.05, f"append recall {r_app} vs full {r_full}"
+
+    path = f"/root/repo/.scratch/ivfapp-{uuid.uuid4().hex[:8]}"
+    try:
+        save_ivf_index(base, path)
+        append_ivf_index(spark, path, new)
+        loaded = load_ivf_index(spark, path)
+        assert loaded.indexed.count() == n
+        # durable append probes identically to the in-session union (same
+        # frozen centroids => same assignment => same probe rows)
+        mem = sorted(
+            map(
+                tuple,
+                ivf_probe(appended.indexed, appended.centroids, queries).collect(),
+            )
+        )
+        dur = sorted(
+            map(
+                tuple,
+                ivf_probe(loaded.indexed, loaded.centroids, queries).collect(),
+            )
+        )
+        assert mem == dur
+        # appends landed inside cell=N dirs: partition pruning still works
+        some_cells = sorted(
+            {f.split("cell=")[1].split("/")[0] for f in loaded.indexed.inputFiles()}
+        )
+        assert len(some_cells) > 1
+        from stupidb_spark.plans import formatted_plan
+
+        pruned = loaded.indexed.filter(F.col("cell").isin([0]))
+        pf = [
+            ln
+            for ln in formatted_plan(pruned).splitlines()
+            if "PartitionFilters" in ln
+        ]
+        assert pf and "cell" in pf[0]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivfpq_append_matches_all_at_once_encode(spark):
+    """IVF-PQ append: the delta encoded with frozen quantizers must produce
+    the exact code table a from-scratch encode of all rows (same training)
+    produces — so every downstream search is identical by construction, and
+    the recall floors pinned by test_ivfpq_recall_vs_brute_force carry over
+    to appended indexes whose deltas match the training distribution."""
+    from stupidb_spark.operators.pq import ivfpq_append, ivfpq_encode, pq_train
+    from stupidb_spark.operators.ivf import ivf_train
+
+    emb = _emb(spark)
+    n = emb.count()
+    cut = int(n * 0.8)
+    old = emb.filter(F.col("vec_id") < cut)
+    new = emb.filter(F.col("vec_id") >= cut)
+
+    # same quantizers (trained on `old`), all rows encoded at once vs
+    # base-encode + append-encode — the code tables must be identical
+    centroids = ivf_train(old)
+    books = pq_train(old)
+    all_at_once = (centroids, books, ivfpq_encode(emb, centroids, books))
+    appended = ivfpq_append(
+        (centroids, books, ivfpq_encode(old, centroids, books)), new
+    )
+    assert appended[2].count() == n
+
+    # the public ivfpq_topk path is cache-keyed on build params, so compare
+    # the appended TABLE against the all-at-once TABLE directly: the same
+    # frozen quantizers must encode the delta identically either way, which
+    # makes every downstream search result identical by construction
+    a = sorted(map(tuple, appended[2].orderBy("neighbor_id").collect()))
+    b = sorted(map(tuple, all_at_once[2].orderBy("neighbor_id").collect()))
+    assert a == b
