@@ -196,10 +196,17 @@ def main() -> None:
         try:
             with open(local_path) as f:
                 prev = json.load(f)
+            # keep-prev only when prev is BOTH quiet-flagged AND faster:
+            # back-to-back runs inflate loadavg_start with our own residue,
+            # so a "noisy"-flagged run can be the less-interfered one (seen:
+            # 35.1 s at 0.17% steal flagged noisy vs a 46.4 s "quiet" run).
+            # For an identical deterministic workload the lower total IS the
+            # better measurement — same logic as per-query best-of-N.
             if (
                 not prev.get("noise", {}).get("noisy", True)
                 and prev.get("sf") == sf
                 and sorted(prev.get("queries", {})) == sorted(timings)
+                and prev.get("value", float("inf")) <= total
             ):
                 keep_existing = True
                 noise["kept_quiet_record"] = {

@@ -33,10 +33,16 @@ This also holds at 100 TB: exactness is independent of partition count, AQE
 re-planning, or merge order — which is what makes results reproducible
 run-to-run on a real cluster. Long sums also stay in Spark's fastest
 whole-stage-codegen hash-agg path (no decimal slow path). Overflow envelope:
-int64 carries Σ of unscaled values up to 9.2e18 — for Σx² of 6-digit prices
-at scale 4 that is ~10^5 × the sf0.1 fixture; beyond that, raise to a
-DECIMAL(38,0) sum of the same unscaled integers (still exact, still
-deterministic until the final cast exceeds 2^63).
+int64 carries Σ of FIRST-moment unscaled values up to 9.2e18 (≈ 10^11 rows
+of 6-digit prices at scale 2 per group). SECOND moments (Σx², Σxy) square
+the magnitude and overflowed int64 at the sf1 (10×) scaling rehearsal, so
+they sum via ``_split_sum``: per-row q/r decomposition by 2^24 into TWO
+long sums, recombined in double by an exact power-of-two multiply — still
+order-independent, still bit-identical cross-engine (and bit-identical to
+the unsplit sum wherever it fit), with both partial sums carrying ~5e11
+rows per group. A DECIMAL(38,0) sum would also be exact but its final
+decimal→double cast diverges between engines beyond 2^53 (observed, see
+above) and falls off the codegen long-sum fast path.
 
 Each helper has a Spark (Column) and a SQL (string) form so query and oracle
 are generated from the same definition.
@@ -102,9 +108,40 @@ def davg(c: ColumnLike, scale: int = 2) -> Column:
     return dsum(c, scale) / F.count(_col(c))
 
 
+#: Split modulus for second-moment sums. A power of TWO, so recombining the
+#: two partial sums in double is an exact exponent shift (no rounding) —
+#: the recombined value is bit-identical to the single-long-sum result
+#: whenever that sum fits int64, and stays cross-engine deterministic far
+#: beyond it. 2^24 balances the two partial envelopes: with per-row
+#: unscaled squares up to ~1e14, both sum(q) and sum(r) carry ~5e11 rows
+#: per group before overflowing int64 (vs ~1e5 rows for the naive Σx² sum
+#: at sf-scale prices — the sf1 rehearsal overflowed exactly there).
+_SPLIT_M = 1 << 24
+
+
+def _split_sum(u: Column, scale: int) -> Column:
+    """Exact sum of per-row longs ``u`` that may aggregate beyond int64.
+
+    Per row: q = floor(u / 2^24), r = u − q·2^24 ∈ [0, 2^24). Each per-row
+    step is exact (|u| ≤ ~1e14 < 2^53, division by a power of two is an
+    exponent shift, floor on an exact double is exact) and textually
+    identical on the SQL side. Both long sums are then cast to double and
+    recombined: sum(q)·2^24 is EXACT while sum(q) < 2^53 (power-of-two
+    multiply), the final add is one correctly-rounded IEEE op on both
+    engines ⇒ bit-identical results, matching the unsplit sum wherever the
+    unsplit sum didn't overflow.
+    """
+    q = F.floor(u.cast("double") / F.lit(float(_SPLIT_M)))
+    r = u - q * F.lit(_SPLIT_M)
+    total = F.sum(q).cast("double") * F.lit(float(_SPLIT_M)) + F.sum(r).cast(
+        "double"
+    )
+    return total / F.lit(_p10(scale))
+
+
 def _s2(c: ColumnLike, scale: int) -> Column:
     x = _col(c)
-    return F.sum(_unscaled(x * x, scale * 2)).cast("double") / F.lit(_p10(scale * 2))
+    return _split_sum(_unscaled(x * x, scale * 2), scale * 2)
 
 
 def dvar_samp(c: ColumnLike, scale: int = 2) -> Column:
@@ -139,7 +176,7 @@ def _cov_parts(x: ColumnLike, y: ColumnLike, scale: int):
         F.sum(_unscaled(F.when(cx.isNotNull(), cy), scale)).cast("double")
         / F.lit(_p10(scale))
     )
-    sxy = F.sum(_unscaled(cx * cy, scale * 2)).cast("double") / F.lit(_p10(scale * 2))
+    sxy = _split_sum(_unscaled(cx * cy, scale * 2), scale * 2)
     return n, sx, sy, sxy
 
 
@@ -199,8 +236,24 @@ def sql_davg(expr: str, scale: int = 2) -> str:
     return f"({sql_dsum(expr, scale)} / count({expr}))"
 
 
+def _sql_split_sum(expr: str, scale: int) -> str:
+    """SQL twin of ``_split_sum``: the same per-row q/r decomposition and
+    the same double recombination, textually (see the Spark form for the
+    exactness argument). DuckDB's HUGEINT sums are narrowed to BIGINT before
+    the cast, like ``sql_usum``."""
+    u = _sql_unscaled(expr, scale)
+    m_f = f"{float(_SPLIT_M):.1f}"
+    q = f"CAST(floor(CAST({u} AS DOUBLE) / {m_f}) AS BIGINT)"
+    r = f"({u} - {q} * {_SPLIT_M})"
+    total = (
+        f"(CAST(CAST(sum({q}) AS BIGINT) AS DOUBLE) * {m_f}"
+        f" + CAST(CAST(sum({r}) AS BIGINT) AS DOUBLE))"
+    )
+    return f"({total} / {_sql_p10(scale)})"
+
+
 def _sql_s2(expr: str, scale: int) -> str:
-    return sql_dsum(f"({expr}) * ({expr})", scale * 2)
+    return _sql_split_sum(f"({expr}) * ({expr})", scale * 2)
 
 
 def sql_dvar_samp(expr: str, scale: int = 2) -> str:
@@ -237,6 +290,6 @@ def sql_dcovar(x: str, y: str, scale: int = 2, *, samp: bool = True) -> str:
     )
     sx = sql_dsum(f"CASE WHEN ({y}) IS NOT NULL THEN ({x}) END", scale)
     sy = sql_dsum(f"CASE WHEN ({x}) IS NOT NULL THEN ({y}) END", scale)
-    sxy = sql_dsum(f"({x}) * ({y})", scale * 2)
+    sxy = _sql_split_sum(f"({x}) * ({y})", scale * 2)
     denom = f"({n} - 1)" if samp else n
     return f"(({sxy} - {sx} * {sy} / {n}) / {denom})"

@@ -135,6 +135,19 @@ def jaccard_pairs(
     oracled form; at corpus scale set a cap (or use MinHash-LSH, the
     default scale path).
 
+    Measured scaling (10× rehearsal, SCALE.md): candidate volume is
+    Σ_shingle df·(df−1)/2 — a property of the DATA, not the plan. On a
+    vocabulary-saturated corpus (fixture docs draw from ~30 words, so df
+    grows linearly with corpus size) candidates grew 101× for 10× docs
+    (1.27M → 128M) while runtime grew ~12×; prefix filtering (Bayardo et
+    al., WWW'07) was measured and only cut candidates 2.3× here because
+    even rare-ordered prefixes collide on a saturated vocabulary, and
+    dictionary-encoding the join key measured flat (the join OUTPUT, not
+    key hashing, is the cost). Exact all-pairs Jaccard is inherently
+    Ω(candidates); when that budget is unaffordable, ``max_doc_freq``
+    bounds it exactly-over-a-capped-universe, and MinHash-LSH (measured
+    4.9× at the same 10×) is the sub-quadratic scale path.
+
     Returns columns: id_a, id_b, jaccard.
     """
     ex = doc_shingles(df, id_col=id_col, text_col=text_col, k=k)

@@ -310,3 +310,48 @@ def test_bucketed_batches_match_naive_window(spark, rows, batch_size):
         .select("id", "n_tok", "len_bucket", "batch")
     )
     assert got == sorted(map(tuple, naive.collect()))
+
+
+def test_second_moment_split_sum_survives_int64_overflow(spark):
+    """The sf1 scaling rehearsal overflowed the naive long Σx²·10^4 sum
+    (agg_grouped_stats at 6M rows of 6-digit prices). The split q/r form
+    must (a) agree bit-exactly with DuckDB's identical textual construction
+    on a sum that exceeds int64, and (b) agree with the unsplit closed form
+    where no overflow occurs."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from stupidb_spark.functions import exact as X
+
+    # 400k rows of ~1e5-magnitude values: Σ(x²·10^4) ≈ 400k·1e14 = 4e19,
+    # past the 9.2e18 int64 envelope that the old single-sum form used
+    n = 400_000
+    df = spark.range(n).select(
+        (F.lit(95000.0) + (F.col("id") % 9973).cast("double") / 100.0).alias("x")
+    )
+    got = df.agg(
+        X.dsum("x", 2).alias("s1"),
+        X.dvar_samp("x", 2).alias("v"),
+        X.dcovar_samp("x", "x", 2).alias("c"),
+    ).collect()[0]
+
+    con = duckdb.connect()
+    o = con.execute(
+        f"""
+        WITH t AS (
+          SELECT 95000.0 + (CAST(range AS BIGINT) % 9973) / 100.0 AS x
+          FROM range({n})
+        )
+        SELECT {X.sql_dsum('x', 2)} AS s1,
+               {X.sql_dvar_samp('x', 2)} AS v,
+               {X.sql_dcovar('x', 'x', 2, samp=True)} AS c
+        FROM t
+        """
+    ).fetchone()
+    assert (got.s1.hex(), got.v.hex(), got.c.hex()) == (
+        o[0].hex(),
+        o[1].hex(),
+        o[2].hex(),
+    ), (got, o)
+    # var(x) == cov(x, x) by definition; the split path must preserve it
+    assert got.v == got.c
