@@ -50,120 +50,18 @@ from stupidb_spark.queryset import prep  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # --- gate slots 1-50 (round-6 rotation; ledger in CHANGELOG.md) ---
-    # 1-5: flagship, the two queries whose code changed this round
-    # (win_navigation's shared-array rewrite, connected_components'
-    # one-action rounds), and the two round-5 additions that have never
-    # held a driver row.
+    # --- gate slots 1-50 (round-7 rotation; ledger in CHANGELOG.md) ---
+    # 1-5: flagship + the queries whose code changed this round: the two
+    # split-sum second-moment queries (agg_grouped_stats, agg_global_all12),
+    # the eager-edge-checkpoint components query, and win_navigation (frame-
+    # scope tags on its shared arrays).
     "tpch_q1",
-    "win_navigation",
-    "dedup_components",
-    "batch_shaping",
-    "text_rarity_score",
-    # 6-18: the r1-only cohort — last driver row in CORRECTNESS_r01
-    # (13 surviving registry names; the other r1 rows were folded into
-    # combo queries that have since been re-gated).
     "agg_grouped_stats",
-    "agg_having",
-    "distinct_rows",
-    "events_sliding",
-    "join_fact_fact",
-    "project_datetime",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "win_multiple",
-    "win_rows_bounded",
-    "win_stat_frames",
-    "win_whole_partition",
-    # 19-28: the r2-only cohort (outer joins, sort variants, agg twins).
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "agg_median_disc",
-    "join_cross",
-    "join_theta",
-    "join_full_outer",
-    "join_left_nullpad",
-    "join_right",
-    "sort_limit_offset",
-    "sort_nulls_first",
-    # 29: the single r3-only query.
-    "sort_topk",
-    # 30-50: the oldest 21 of the r4 cohort (core verbs, join family,
-    # window family, ordering/range, text/terms). After this rotation
-    # every oracled query has held a driver row within rounds 4-6.
-    "project_scalar",
-    "mutate_derived",
-    "filter_compound",
-    "join_inner_star",
-    "join_outer_trio",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "agg_computed_key",
     "agg_global_all12",
-    "agg_distinct_sets",
-    "agg_salted_skew",
-    "win_running_sum",
-    "win_range_numeric",
-    "win_range_temporal",
-    "win_rank",
-    "sort_nulls_offset",
-    "range_join_buckets",
-    "shuffle_deterministic",
-    "terms_topk",
-    "pii_redact",
-    "text_metrics",
-    # --- 51+: r4/r5-gated queries and twins; all still run in
-    # tests/test_oracle_parity.py every session and in the full
-    # stability sweep.
-    "prep_winsorize",
-    "fuzzy_match_names",
-    "events_attribution",
-    "events_props_json",
-    "agg_pivot_priority",
-    "agg_unpivot_measures",
-    "join_null_safe",
-    "win_running_distinct",
-    "text_token_stats",
-    "tpch_q4",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q13",
-    "tpch_q21",
-    "tpch_q15",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint_md5",
-    "text_repetition",
-    "text_tfidf_topterm",
-    "events_sessionize_window",
-    "asof_join_forward",
-    "text_fingerprint_rolling",
-    "emb_label_centroids",
-    "sample_weighted",
-    "dedup_keep_best",
-    "win_moving_median",
-    "asof_join_orders",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_topk_bruteforce",
-    "events_session",
-    "pack_sequences",
-    "setop_six",
-    "agg_udaf_salted",
-    "win_dynamic_frame",
-    "contamination_ngram",
-    "sample_stratified",
+    "dedup_components",
+    "win_navigation",
+    # 6-18: the r4-stale cohort — the 13 oracled queries whose most recent
+    # driver row was CORRECTNESS_r04.
     "agg_udaf_sum_sq",
     "tpch_q17",
     "tpch_q18",
@@ -177,6 +75,107 @@ PRIORITY: tuple[str, ...] = (
     "join_extras",
     "agg_pivot_unpivot",
     "tpch_q10",
+    # 19-50: 32 of the r5-gated cohort. The 12 r5-gated queries that earned
+    # an sf1 spot-gate row this round (SF1_GATE_r07.log) and 4 TPC-H near-
+    # twins (q7/q14/q19/q22) are deferred to round 8 — after this rotation
+    # every oracled query has a driver row within rounds 5-7 or an sf1
+    # spot-gate row from round 7.
+    "prep_winsorize",
+    "fuzzy_match_names",
+    "events_attribution",
+    "events_props_json",
+    "agg_pivot_priority",
+    "agg_unpivot_measures",
+    "join_null_safe",
+    "win_running_distinct",
+    "text_token_stats",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q15",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint_md5",
+    "text_repetition",
+    "text_tfidf_topterm",
+    "events_sessionize_window",
+    "asof_join_forward",
+    "text_fingerprint_rolling",
+    "emb_label_centroids",
+    "sample_weighted",
+    "dedup_keep_best",
+    "win_moving_median",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "events_session",
+    "setop_six",
+    "agg_udaf_salted",
+    "win_dynamic_frame",
+    "sample_stratified",
+    # --- 51+: recently-gated queries and twins; all still run in
+    # tests/test_oracle_parity.py every session and in the full
+    # stability sweep.
+    "batch_shaping",
+    "text_rarity_score",
+    "agg_having",
+    "distinct_rows",
+    "events_sliding",
+    "join_fact_fact",
+    "project_datetime",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "win_multiple",
+    "win_rows_bounded",
+    "win_stat_frames",
+    "win_whole_partition",
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "agg_median_disc",
+    "join_cross",
+    "join_theta",
+    "join_full_outer",
+    "join_left_nullpad",
+    "join_right",
+    "sort_limit_offset",
+    "sort_nulls_first",
+    "sort_topk",
+    "project_scalar",
+    "mutate_derived",
+    "filter_compound",
+    "join_inner_star",
+    "join_outer_trio",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "agg_computed_key",
+    "agg_distinct_sets",
+    "agg_salted_skew",
+    "win_running_sum",
+    "win_range_numeric",
+    "win_range_temporal",
+    "win_rank",
+    "sort_nulls_offset",
+    "range_join_buckets",
+    "shuffle_deterministic",
+    "terms_topk",
+    "pii_redact",
+    "text_metrics",
+    "tpch_q4",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q21",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "asof_join_orders",
+    "dedup_embedding_cosine",
+    "pack_sequences",
+    "contamination_ngram",
     "agg_approx_sketch",
     "ann_topk_pq",
     "ann_topk_ivfpq",
