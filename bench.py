@@ -70,6 +70,7 @@ HEADLINE = [
     "range_join_buckets",
     "dedup_exact",
     "dedup_components",
+    "dedup_components_lsh",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -189,6 +189,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@q("dedup_components_lsh")  # approximate pair source — no SQL oracle; the
+# differential test pins label-equality against the exact-jaccard
+# dedup_components at fixture scale (where LSH recall is 1.0)
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cluster resolution over the SUB-QUADRATIC pair source: MinHash-LSH
+    # candidates instead of the exact inverted-index join. The 10× scaling
+    # rehearsal (SCALE.md) showed exact-Jaccard candidates grow with
+    # Σ df² — 101× for 10× docs on a vocabulary-saturated corpus — while
+    # banded LSH buckets grow ~linearly; this is the pairs→clusters path a
+    # 100 TB dedup pipeline actually runs. Same components engine, same
+    # output shape as dedup_components.
+    from stupidb_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, n_hashes=32, n_bands=8, threshold=0.5
+    )
+    labels = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=docs.select("doc_id")
+    )
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 @q("dedup_simhash")  # no SQL oracle (banding isn't SQL); recall is EXACT —
 # 9-band pigeonhole guarantees every hamming≤8 pair is found (tests pin
 # equality against brute-force popcount ground truth)

@@ -125,3 +125,16 @@ def test_real_dedup_graph_never_escalates(spark, monkeypatch):
 
     monkeypatch.setattr(C, "connected_components_star", _boom)
     assert QUERIES["dedup_components"](spark, SF_DIR).count() > 0
+
+
+def test_components_lsh_matches_exact_components(spark):
+    # the sub-quadratic pairs→clusters path (MinHash-LSH candidates) must
+    # produce IDENTICAL cluster labels to the exact-jaccard path at fixture
+    # scale, where LSH recall is 1.0 (pinned separately in test_dedup.py):
+    # identical pair sets ⇒ identical transitive closure
+    from stupidb_spark.queryset import QUERIES
+    from tests.conftest import SF_DIR
+
+    exact = sorted(map(tuple, QUERIES["dedup_components"](spark, SF_DIR).collect()))
+    lsh = sorted(map(tuple, QUERIES["dedup_components_lsh"](spark, SF_DIR).collect()))
+    assert exact == lsh
