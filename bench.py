@@ -197,15 +197,15 @@ def main() -> None:
         try:
             with open(local_path) as f:
                 prev = json.load(f)
-            # keep-prev only when prev is BOTH quiet-flagged AND faster:
-            # back-to-back runs inflate loadavg_start with our own residue,
-            # so a "noisy"-flagged run can be the less-interfered one (seen:
-            # 35.1 s at 0.17% steal flagged noisy vs a 46.4 s "quiet" run).
-            # For an identical deterministic workload the lower total IS the
-            # better measurement — same logic as per-query best-of-N.
+            # A noisy run never replaces a FASTER record of the identical
+            # workload — regardless of the old record's own flag (a
+            # 16.9%-steal run once clobbered a better record that was itself
+            # merely loadavg-flagged). For an identical deterministic
+            # workload the lower total IS the better measurement — same
+            # logic as per-query best-of-N. Quiet runs always overwrite, so
+            # a code regression can't hide behind a stale fast record.
             if (
-                not prev.get("noise", {}).get("noisy", True)
-                and prev.get("sf") == sf
+                prev.get("sf") == sf
                 and sorted(prev.get("queries", {})) == sorted(timings)
                 and prev.get("value", float("inf")) <= total
             ):
@@ -214,7 +214,7 @@ def main() -> None:
                     "file": out_name,
                     "value": prev["value"],
                     "note": "current run is noisy; the file keeps the "
-                    "earlier quiet run of the same workload",
+                    "faster earlier run of the same workload",
                 }
         except (OSError, ValueError):
             pass
