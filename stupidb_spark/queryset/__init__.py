@@ -60,7 +60,10 @@ PRIORITY: tuple[str, ...] = (
     "agg_global_all12",
     "dedup_components",
     "win_navigation",
-    # 6-18: the r4-stale cohort — the 13 oracled queries whose most recent
+    # 6: new this round — the max_doc_freq stop-shingle cap as its own
+    # oracled query (capped-universe exact Jaccard).
+    "dedup_jaccard_capped",
+    # 7-19: the r4-stale cohort — the 13 oracled queries whose most recent
     # driver row was CORRECTNESS_r04.
     "agg_udaf_sum_sq",
     "tpch_q17",
@@ -75,7 +78,9 @@ PRIORITY: tuple[str, ...] = (
     "join_extras",
     "agg_pivot_unpivot",
     "tpch_q10",
-    # 19-50: 32 of the r5-gated cohort. The 12 r5-gated queries that earned
+    # 20-50: 31 of the r5-gated cohort (sample_stratified slid to 51 when
+    # dedup_jaccard_capped took slot 6; its last row is r5, within the
+    # rounds-5-7 freshness claim). The 12 r5-gated queries that earned
     # an sf1 spot-gate row this round (SF1_GATE_r07.log) and 4 TPC-H near-
     # twins (q7/q14/q19/q22) are deferred to round 8 — after this rotation
     # every oracled query has a driver row within rounds 5-7 or an sf1
@@ -111,10 +116,10 @@ PRIORITY: tuple[str, ...] = (
     "setop_six",
     "agg_udaf_salted",
     "win_dynamic_frame",
-    "sample_stratified",
     # --- 51+: recently-gated queries and twins; all still run in
     # tests/test_oracle_parity.py every session and in the full
     # stability sweep.
+    "sample_stratified",
     "batch_shaping",
     "text_rarity_score",
     "agg_having",

@@ -82,6 +82,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_jaccard_capped",
+    f"""
+    WITH shl AS ({_DUCK_SHINGLES}),
+    sh AS (SELECT doc_id, unnest(s) AS shingle FROM shl),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 2),
+    k AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    n AS (SELECT doc_id, count(*) AS n_sh FROM k GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM k a JOIN k b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common)
+                   AS jaccard
+        FROM common JOIN n na ON na.doc_id = id_a
+                    JOIN n nb ON nb.doc_id = id_b
+    )
+    SELECT id_a, id_b, {X.sql_dround('jaccard')} AS jaccard
+    FROM pairs WHERE jaccard >= 0.5
+    """,
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The `max_doc_freq` skew guard as a hard-gated query: stop-shingles
+    # (document frequency > cap) are dropped from BOTH the inverted index
+    # and the per-doc counts, so scores are the exact Jaccard over the
+    # informative-shingle universe — the bound that keeps the O(df²)
+    # per-shingle self-join affordable when a boilerplate shingle lands in
+    # 1% of a 10⁹-doc corpus. cap=2 is aggressive on purpose: at fixture
+    # scale it changes every surviving pair's score AND drops
+    # boilerplate-only pairs, so the oracle verifies the capped-universe
+    # recount, not just the happy path.
+    docs = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, threshold=0.5, max_doc_freq=2
+    )
+    return out.select("id_a", "id_b", X.dround("jaccard").alias("jaccard"))
+
+
+@q(
     "dedup_components",
     f"""
     WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),

@@ -222,6 +222,11 @@ EXCHANGE_BUDGETS = {
     # distinct (doc, term) + term-df agg + term-keyed join re-exchange +
     # 1-row corpus count (broadcast back) + per-doc rollup
     "text_rarity_score": 5,
+    # static plan replicates the shingle+cap-join subtree per consumer
+    # (keep agg, n_sh, both self-join sides) — AQE collapses the copies at
+    # runtime (pinned below in test_jaccard_capped_runtime_reuse: ≤6 real
+    # hash exchanges, the rest ReusedExchange)
+    "dedup_jaccard_capped": 20,
 }
 
 
@@ -445,3 +450,23 @@ def test_tpch_q11_reuses_partsupp_exchange_at_runtime(spark):
     )
     assert len(real) == 1, final
     assert len(reused) == 1, final
+
+
+def test_jaccard_capped_runtime_reuse(spark):
+    # The max_doc_freq cap references the shingle index four times (the df
+    # agg, the capped n_sh counts, and both self-join sides). The static
+    # plan replicates the subtree per consumer (budget 20 above); at
+    # runtime AQE must collapse the copies — the shingling window + cap
+    # join must execute ONCE, not four times, or the cap costs 4x the
+    # scan+shingle work it exists to save. sf0.01 keeps execution
+    # non-degenerate under AQE.
+    import re
+
+    from stupidb_spark.plans import executed_final_plan
+
+    df = QUERIES["dedup_jaccard_capped"](spark, "/root/testdata/sf0.01")
+    final = executed_final_plan(df)
+    real = len(re.findall(r"\+- Exchange hashpartitioning", final))
+    reused = len(re.findall(r"ReusedExchange", final))
+    assert reused >= 3, final
+    assert real <= 6, final
