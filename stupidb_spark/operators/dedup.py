@@ -150,37 +150,51 @@ def jaccard_pairs(
 
     Returns columns: id_a, id_b, jaccard.
     """
+    from pyspark.sql.window import Window as W
+
     ex = doc_shingles(df, id_col=id_col, text_col=text_col, k=k)
     if max_doc_freq is not None:
         # streaming aggregate + join back, NOT a count-over-shingle window:
         # WindowExec would buffer a hot shingle's entire partition in one
         # task before the filter drops it, while the groupBy map-side
         # combines the hot key down to one row and the join's shuffle is
-        # AQE-skew-splittable
+        # AQE-skew-splittable. The kept-shingle side is VOCABULARY-sized
+        # (most shingles of a real corpus are rare, so the cap keeps most
+        # of the vocabulary) — shuffle_hash, never broadcast.
         keep = (
             ex.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= max_doc_freq)
             .select("shingle")
         )
-        ex = ex.join(keep, "shingle")
-    n_sh = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    common = (
+        ex = ex.hint("shuffle_hash").join(keep.hint("shuffle_hash"), "shingle")
+    # Per-doc (capped-universe) shingle counts ride each exploded row as a
+    # whole-partition window count — partition = one document, bounded by
+    # document length, no orderBy ⇒ no sort — and flow through the pair
+    # groupBy as min(). This removes the separate n_sh relation and its two
+    # corpus-keyed join-backs entirely. The 100x probe (SCALE.md) showed why
+    # that matters: Catalyst's post-explode/post-aggregate size estimates
+    # sat under the auto-broadcast threshold at 500k docs and statically
+    # planned BroadcastHashJoins of corpus-sized relations (26M exploded
+    # rows) for every join in this subtree — fatal at scale, invisible at
+    # sf0.1 where the broadcasts genuinely fit. The surviving self-join is
+    # shuffle_hash-pinned: shuffled on the shingle key like SMJ (AQE skew
+    # split still applies), but no sort of the inverted index and no
+    # estimate-driven broadcast of either side.
+    exv = ex.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc")))
+    a = exv.alias("a").hint("shuffle_hash")
+    b = exv.alias("b").hint("shuffle_hash")
+    joined = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    joined = (
-        common.join(
-            n_sh.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
-        ).join(
-            n_sh.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min(F.col("a.n_sh")).alias("n_a"),
+            F.min(F.col("b.n_sh")).alias("n_b"),
         )
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -311,8 +325,11 @@ def minhash_lsh_pairs(
         ).alias("bucket"),
     )
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # The band relation is CORPUS-sized (n_bands rows per doc) — the
+    # bucket self-join must never build a broadcast side, whatever the
+    # static estimate says (see the verification-join comment below).
+    a = bands.alias("a").hint("shuffle_hash")
+    b = bands.alias("b").hint("shuffle_hash")
     candidates = (
         a.join(
             b,
@@ -320,24 +337,52 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # candidates are OUTPUT-sized (quadratic in bucket occupancy on a
+        # homogeneous corpus) — forbid broadcasting this side of the
+        # verification joins too; self-join output estimates are exactly
+        # the kind Catalyst gets wrong
+        .hint("shuffle_hash")
     )
     # Exact-Jaccard verification of candidates only, via common-shingle
     # counts on the exploded rows (pairs with zero common shingles drop out
     # of the join — their jaccard is 0, below any threshold).
-    n_sh = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        candidates.join(
-            ex.select(F.col("doc").alias("id_a"), "shingle"), "id_a"
-        )
-        .join(ex.select(F.col("doc").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    #
+    # Every verification side below is O(corpus) — one-to-many shingle rows
+    # per document — so none of them may EVER be broadcast. Catalyst's
+    # post-explode size estimate says otherwise: at factor 100 (500k docs,
+    # 26M shingle rows) the estimate still sat under the 64 MB
+    # auto-broadcast threshold and the planned BroadcastHashJoin died
+    # building a >256 MB hashed relation (the 100× probe caught it;
+    # sf0.1–30× masked it because the broadcast genuinely fit).
+    # shuffle_hash pins the scale-safe strategy: shuffled on the join key
+    # like SMJ, but builds a per-partition hash table instead of sorting
+    # 26M+ rows. The per-doc size rides each exploded row as a
+    # whole-partition window count (no orderBy ⇒ no sort) and flows through
+    # the pair groupBy as min() — no separate n_sh relation, no join-back,
+    # so forbidding the broadcasts costs ZERO extra joins.
+    from pyspark.sql.window import Window as W
+
+    exv = ex.withColumn(
+        "n_sh", F.count(F.lit(1)).over(W.partitionBy("doc"))
+    ).hint("shuffle_hash")
     joined = (
-        common.join(
-            n_sh.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
-        ).join(
-            n_sh.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+        candidates.join(
+            exv.select(
+                F.col("doc").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            exv.select(
+                F.col("doc").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+            ),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
         )
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -484,8 +529,10 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("doc", "fp", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Corpus-sized band relation on both sides — never broadcast (see
+    # minhash_lsh_pairs: static estimates under-count exploded relations).
+    a = bands.alias("a").hint("shuffle_hash")
+    b = bands.alias("b").hint("shuffle_hash")
     xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
     hamming = F.bit_count(xor)
     # A true pair collides in EVERY band its flips miss (a hamming-2 pair

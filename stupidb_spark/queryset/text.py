@@ -483,9 +483,10 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division stay bit-identical across engines, unlike log-based idf whose
     # libm rounding may differ). Shuffle story: tf on (doc, word), document
     # frequency on word, a word-keyed join (broadcastable only while the
-    # vocabulary is dim-sized — left as a shuffle join because at corpus
-    # scale the vocab is a fact), and the per-doc top-1 window. The N scalar
-    # rides a 1-row broadcast cross join, never a driver round-trip.
+    # vocabulary is dim-sized — shuffle_hash-PINNED because at corpus
+    # scale the vocab is a fact and the post-explode estimate undercounts
+    # it, see text_rarity_score), and the per-doc top-1 window. The N
+    # scalar rides a 1-row broadcast cross join, never a driver round-trip.
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(T.words(F.col("text"))).alias("w")
     )
@@ -498,7 +499,8 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
     )
     return (
-        tf.join(dfreq, "w")
+        tf.hint("shuffle_hash")
+        .join(dfreq.hint("shuffle_hash"), "w")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -542,6 +544,13 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clustered after the distinct. The corpus size rides a broadcast
     # 1-row cross join. For a capped-vocabulary broadcast variant, compose
     # with operators/heavyhitters.py.
+    #
+    # The no-broadcast intent is HINTED, not assumed: the 100x probe
+    # (SCALE.md) showed Catalyst's post-explode aggregate estimates sit
+    # under the auto-broadcast threshold far past the corpus size where
+    # the real hashed relation stops fitting, so at 500k docs the static
+    # plan broadcast this very df table. shuffle_hash pins the scale-safe
+    # strategy (pinned by test_vocab_joins_never_broadcast).
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(T.words(F.col("text"))).alias("term")
@@ -549,7 +558,8 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        toks.join(df_tab, "term")
+        toks.hint("shuffle_hash")
+        .join(df_tab.hint("shuffle_hash"), "term")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
