@@ -18,6 +18,8 @@ from stupidb_spark.operators.ivf import (
     save_ivf_index,
 )
 from stupidb_spark.operators.dedup import (
+    DOC_BYTES_CAP,
+    ScaleWarning,
     doc_shingles,
     exact_dedup,
     jaccard_pairs,
@@ -54,6 +56,8 @@ __all__ = [
     "save_ivf_index",
     "load_ivf_index",
     "kmeans_centroids",
+    "DOC_BYTES_CAP",
+    "ScaleWarning",
     "doc_shingles",
     "exact_dedup",
     "jaccard_pairs",

@@ -20,6 +20,8 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 
@@ -27,6 +29,60 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stupidb_spark.functions.text import words
+
+#: Default per-document byte cap for the per-document window paths.
+#: ``doc_shingles``'s lead window and the downstream ``n_sh``
+#: whole-partition counts buffer ONE document's exploded token rows inside
+#: a single WindowExec task, so one pathological 100 MB crawl document
+#: becomes a multi-GB straggler/OOM task regardless of corpus size. 8 MiB
+#: of text is ~1.5M tokens ≈ ~100 MB of buffered (doc, pos, token) rows —
+#: loud-fail territory, well before executor-OOM territory. Same philosophy
+#: as ``functions.navigation.DYNAMIC_PARTITION_ROW_CAP``: fail the job with
+#: the offending document named instead of silently melting an executor.
+DOC_BYTES_CAP = 8 << 20
+
+
+class ScaleWarning(UserWarning):
+    """A query shape that is correct but unaffordable at corpus scale."""
+
+
+def _doc_bytes_guard(
+    df: DataFrame, text_col: str, cap: int | None, what: str
+) -> DataFrame:
+    """Fail loudly when any document in ``df`` exceeds ``cap`` text bytes.
+
+    ``octet_length`` is O(1) per row (UTF8String carries its byte count), so
+    the guard costs nothing and runs BEFORE the explode — the navigation
+    module's ``assert_true`` pattern applied at the document source. Expects
+    the id column to already be named ``doc``. ``cap=None`` waives the guard
+    (caller owns the memory math). Callers with a legitimate long tail
+    should pre-split with :func:`stupidb_spark.operators.chunking.chunk_text`
+    or truncate with ``F.substring`` before shingling.
+    """
+    if cap is None:
+        return df
+    nb = F.octet_length(F.col(text_col))
+    ok = F.assert_true(
+        nb <= F.lit(cap),
+        F.concat(
+            F.lit(f"{what}: document "),
+            F.col("doc").cast("string"),
+            F.lit(" holds "),
+            nb.cast("string"),
+            F.lit(
+                f" bytes of text, over the max_doc_bytes cap of {cap}; its"
+                " exploded token rows would buffer inside ONE WindowExec"
+                " task. Pre-chunk with chunk_text / truncate the text, or"
+                " raise max_doc_bytes explicitly to own the memory math"
+            ),
+        ),
+    )
+    # assert_true returns NULL when the predicate holds, so the guard is a
+    # no-op wrapper around the text column (same pattern as
+    # functions/navigation.py::_partition_guard).
+    return df.select(
+        "doc", F.when(ok.isNull(), F.col(text_col)).alias(text_col)
+    )
 
 
 def word_shingles(w: Column, k: int = 3) -> Column:
@@ -72,7 +128,12 @@ def exact_dedup(
 
 
 def doc_shingles(
-    df: DataFrame, *, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
 ) -> DataFrame:
     """Distinct k-word shingles as exploded ``(doc, shingle)`` rows.
 
@@ -86,13 +147,24 @@ def doc_shingles(
 
     The per-doc window shuffle is also the shape that scales: shingling is
     embarrassingly parallel over (doc, pos) rows rather than per-document
-    array folds bounded by the largest document.
+    array folds bounded by the largest document — EXCEPT that the lead
+    window (and any downstream per-doc window count) still buffers one
+    document's rows in one task, so a single mega-document is a
+    straggler/OOM hazard no amount of parallelism fixes. ``max_doc_bytes``
+    (default :data:`DOC_BYTES_CAP`) guards that edge loudly: any document
+    over the cap fails the job with its id and size in the message. Pass
+    ``None`` to waive; pre-chunk genuinely long documents with
+    :func:`~stupidb_spark.operators.chunking.chunk_text`.
     """
     from pyspark.sql.window import Window as W
 
-    toks = spread_small_scan(
+    base = spread_small_scan(
         df.select(F.col(id_col).alias("doc"), F.col(text_col))
-    ).select("doc", F.posexplode(words(F.col(text_col))).alias("pos", "w"))
+    )
+    base = _doc_bytes_guard(base, text_col, max_doc_bytes, "doc_shingles")
+    toks = base.select(
+        "doc", F.posexplode(words(F.col(text_col))).alias("pos", "w")
+    )
     wspec = W.partitionBy("doc").orderBy("pos")
     lead_cols = [F.lead("w", i).over(wspec).alias(f"w{i}") for i in range(1, k)]
     leads = toks.select("doc", "w", *lead_cols)
@@ -114,6 +186,8 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+    uncapped_ok: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (i < j, jaccard ≥ threshold).
 
@@ -132,7 +206,9 @@ def jaccard_pairs(
     missed — by design, since such overlap is boilerplate, not duplication;
     pairs sharing any sub-cap shingle are still found with exact (capped-
     universe) scores. Default None = uncapped classical Jaccard, the
-    oracled form; at corpus scale set a cap (or use MinHash-LSH, the
+    oracled form — which now WARNS at runtime (:class:`ScaleWarning`)
+    unless ``uncapped_ok=True``, because the uncapped envelope is
+    unaffordable at corpus scale; set a cap (or use MinHash-LSH, the
     default scale path).
 
     Measured scaling (10× rehearsal, SCALE.md): candidate volume is
@@ -152,7 +228,25 @@ def jaccard_pairs(
     """
     from pyspark.sql.window import Window as W
 
-    ex = doc_shingles(df, id_col=id_col, text_col=text_col, k=k)
+    if max_doc_freq is None and not uncapped_ok:
+        # The docstring's scale envelope, enforced at runtime: a caller at
+        # corpus scale should get a loud warning, not a melting job. Opt in
+        # with uncapped_ok=True (exact classical Jaccard on a corpus known
+        # to be small / vocabulary-sparse).
+        warnings.warn(
+            "jaccard_pairs(max_doc_freq=None) is exact classical Jaccard —"
+            " candidate volume is Σ_shingle df·(df−1)/2, which is"
+            " unaffordable on a large or boilerplate-heavy corpus. Set"
+            " max_doc_freq (exact Jaccard over the informative-shingle"
+            " universe), use minhash_lsh_pairs / dedup_components_lsh (the"
+            " sub-quadratic scale paths), or pass uncapped_ok=True to"
+            " acknowledge the envelope.",
+            ScaleWarning,
+            stacklevel=2,
+        )
+    ex = doc_shingles(
+        df, id_col=id_col, text_col=text_col, k=k, max_doc_bytes=max_doc_bytes
+    )
     if max_doc_freq is not None:
         # streaming aggregate + join back, NOT a count-over-shingle window:
         # WindowExec would buffer a hot shingle's entire partition in one
@@ -278,6 +372,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     n_bands: int = 8,
     threshold: float = 0.5,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -289,8 +384,12 @@ def minhash_lsh_pairs(
     Returns: id_a, id_b, jaccard (exact, post-verification).
     """
     rows_per_band = n_hashes // n_bands
-    # Exploded (doc, shingle) rows — see doc_shingles for why not arrays.
-    ex = doc_shingles(df, id_col=id_col, text_col=text_col, k=k)
+    # Exploded (doc, shingle) rows — see doc_shingles for why not arrays
+    # and for the mega-document guard (max_doc_bytes) that bounds the
+    # per-doc window partitions here and in the n_sh counts below.
+    ex = doc_shingles(
+        df, id_col=id_col, text_col=text_col, k=k, max_doc_bytes=max_doc_bytes
+    )
 
     # Signature via hash-agg min over the exploded rows: every expression
     # stays inside whole-stage codegen with map-side partial aggregation.

@@ -77,7 +77,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundaries — floor-based rounding is identical across engines where
     # round()'s halfway rules are not.
     docs = load_table(spark, sf_dir, "documents")
-    out = jaccard_pairs(docs, id_col="doc_id", text_col="text", k=3, threshold=0.5)
+    out = jaccard_pairs(
+        # uncapped_ok: the fixture corpus is small and vocabulary-sparse by
+        # construction; at corpus scale use dedup_jaccard_capped / LSH.
+        docs, id_col="doc_id", text_col="text", k=3, threshold=0.5, uncapped_ok=True
+    )
     return out.select("id_a", "id_b", X.dround("jaccard").alias("jaccard"))
 
 
@@ -153,7 +157,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stupidb_spark.operators.components import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, id_col="doc_id", text_col="text", k=3, threshold=0.5)
+    pairs = jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, threshold=0.5, uncapped_ok=True
+    )
     labels = connected_components(
         pairs, src="id_a", dst="id_b", nodes=docs.select("doc_id")
     )
@@ -200,7 +206,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stupidb_spark.operators.components import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, id_col="doc_id", text_col="text", k=3, threshold=0.5)
+    pairs = jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, threshold=0.5, uncapped_ok=True
+    )
     labels = connected_components(
         pairs, src="id_a", dst="id_b", nodes=docs.select("doc_id")
     )

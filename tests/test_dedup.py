@@ -31,7 +31,8 @@ def test_minhash_recovers_exact_jaccard_pairs(spark):
     exact = {
         (r.id_a, r.id_b)
         for r in jaccard_pairs(
-            docs, id_col="doc_id", text_col="text", threshold=0.5
+            docs, id_col="doc_id", text_col="text", threshold=0.5,
+            uncapped_ok=True,
         ).collect()
     }
     approx = {
@@ -93,7 +94,8 @@ def test_simhash_pairs_sane(spark):
     exact_dups = {
         (r.id_a, r.id_b)
         for r in jaccard_pairs(
-            _docs(spark), id_col="doc_id", text_col="text", threshold=0.999
+            _docs(spark), id_col="doc_id", text_col="text", threshold=0.999,
+            uncapped_ok=True,
         ).collect()
     }
     found = {(r.id_a, r.id_b) for r in out.collect()}
@@ -205,5 +207,78 @@ def test_jaccard_max_doc_freq_recall_contract(spark):
     assert abs(capped[(1, 2)] - 4 / (7 + 7 - 4)) < 1e-12
     # uncapped finds every boilerplate-only pair too (the skew the cap
     # guards: all 5 docs meet through the 2 hot shingles)
-    uncapped = jaccard_pairs(docs, **kw).collect()
+    uncapped = jaccard_pairs(docs, uncapped_ok=True, **kw).collect()
     assert len(uncapped) == 10
+
+
+def test_doc_shingles_mega_document_guard(spark):
+    # one pathological mega-document must fail the job LOUDLY (with its id
+    # and size in the message), not straggle/OOM a WindowExec task — same
+    # philosophy as the navigation partition guard
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from stupidb_spark.operators.dedup import doc_shingles
+
+    rows = [(1, "small normal document"), (2, "word " * 2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = doc_shingles(
+        docs, id_col="doc_id", text_col="text", k=3, max_doc_bytes=1024
+    )
+    with pytest.raises(SparkRuntimeException) as exc:
+        guarded.count()
+    msg = str(exc.value)
+    assert "max_doc_bytes" in msg and "document 2" in msg
+    # capped universe: the guard passes when every doc fits, results
+    # identical to the waived form
+    ok = doc_shingles(
+        docs.filter(F.col("doc_id") == 1),
+        id_col="doc_id",
+        text_col="text",
+        max_doc_bytes=1024,
+    )
+    waived = doc_shingles(
+        docs.filter(F.col("doc_id") == 1),
+        id_col="doc_id",
+        text_col="text",
+        max_doc_bytes=None,
+    )
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, waived.collect()))
+
+
+def test_jaccard_and_minhash_thread_doc_bytes_cap(spark):
+    # the cap flows through both pair emitters: an oversized doc fails the
+    # whole pipeline loudly at the shingle source. AQE may wrap the
+    # USER_RAISED_EXCEPTION in a stage-materialization SparkException when
+    # several stages fail concurrently, so match on the message.
+    import pytest
+
+    rows = [(1, "alpha beta gamma delta"), (2, "word " * 2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(id_col="doc_id", text_col="text", k=3, threshold=0.1)
+    with pytest.raises(Exception, match="max_doc_bytes"):
+        jaccard_pairs(docs, max_doc_bytes=1024, uncapped_ok=True, **kw).count()
+    with pytest.raises(Exception, match="max_doc_bytes"):
+        minhash_lsh_pairs(docs, max_doc_bytes=1024, **kw).count()
+
+
+def test_uncapped_jaccard_warns_scale_envelope(spark):
+    # max_doc_freq=None without uncapped_ok=True is correct but unaffordable
+    # at corpus scale — plan construction must say so loudly
+    import warnings
+
+    import pytest
+
+    from stupidb_spark.operators.dedup import ScaleWarning
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    kw = dict(id_col="doc_id", text_col="text", k=3, threshold=0.5)
+    with pytest.warns(ScaleWarning, match="max_doc_freq"):
+        jaccard_pairs(docs, **kw)
+    # explicit opt-ins are silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ScaleWarning)
+        jaccard_pairs(docs, uncapped_ok=True, **kw)
+        jaccard_pairs(docs, max_doc_freq=8, **kw)
