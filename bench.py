@@ -109,6 +109,77 @@ def _cpu_ticks() -> tuple[int, int]:
         return 0, 0
 
 
+def resolve_record(
+    sf: float | None,
+    total: float,
+    timings: dict[str, float],
+    noisy: bool,
+    *,
+    repo: str = _REPO,
+    env: dict | None = None,
+) -> tuple[str, bool, dict]:
+    """Decide where the run's record goes and whether to keep the old one.
+
+    Returns ``(path, keep_existing, notes)``. Two protections, both earned
+    by shipped mistakes:
+
+    - **Scale-factor guard** (round-7 lesson: an sf0.01 gate-rehearsal run
+      silently clobbered the round's quiet sf0.1 record because the noisy
+      policy below only compares IDENTICAL workloads). A run whose ``sf``
+      differs from the existing default record is a different experiment,
+      not a remeasurement — it never overwrites the default file; it is
+      redirected to an sf-suffixed sibling. An explicit
+      ``SPARK_GRAFT_BENCH_OUT`` always goes exactly where the caller said.
+    - **Noisy-run guard** (round-6 lesson): a run that self-flags noisy
+      never replaces a FASTER record of the identical workload — for a
+      deterministic workload the lower total IS the better measurement,
+      same logic as per-query best-of-N. Quiet runs always overwrite, so a
+      code regression can't hide behind a stale fast record.
+    """
+    if env is None:
+        env = os.environ
+    notes: dict = {}
+    out_name = env.get("SPARK_GRAFT_BENCH_OUT")
+    explicit_out = out_name is not None
+    if not explicit_out:
+        out_name = "BENCH_LOCAL.json"
+    path = os.path.join(repo, out_name)
+    if not explicit_out:
+        try:
+            with open(path) as f:
+                prev_sf = json.load(f).get("sf")
+        except (OSError, ValueError):
+            prev_sf = None
+        if prev_sf is not None and prev_sf != sf:
+            out_name = f"BENCH_LOCAL_sf{sf}.json"
+            path = os.path.join(repo, out_name)
+            notes["record_redirect"] = {
+                "file": out_name,
+                "note": f"existing BENCH_LOCAL.json records sf={prev_sf}; "
+                "a different-sf run never overwrites the default record",
+            }
+    keep_existing = False
+    if noisy:
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if (
+                prev.get("sf") == sf
+                and sorted(prev.get("queries", {})) == sorted(timings)
+                and prev.get("value", float("inf")) <= total
+            ):
+                keep_existing = True
+                notes["kept_quiet_record"] = {
+                    "file": out_name,
+                    "value": prev["value"],
+                    "note": "current run is noisy; the file keeps the "
+                    "faster earlier run of the same workload",
+                }
+        except (OSError, ValueError):
+            pass
+    return path, keep_existing, notes
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -190,34 +261,10 @@ def main() -> None:
     # that self-flags noisy must NOT overwrite an earlier QUIET record of
     # the same workload — the file keeps the quiet number, stdout stays the
     # raw current run, and the noise block points at the retained record.
-    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    local_path = os.path.join(_REPO, out_name)
-    keep_existing = False
-    if noise["noisy"]:
-        try:
-            with open(local_path) as f:
-                prev = json.load(f)
-            # A noisy run never replaces a FASTER record of the identical
-            # workload — regardless of the old record's own flag (a
-            # 16.9%-steal run once clobbered a better record that was itself
-            # merely loadavg-flagged). For an identical deterministic
-            # workload the lower total IS the better measurement — same
-            # logic as per-query best-of-N. Quiet runs always overwrite, so
-            # a code regression can't hide behind a stale fast record.
-            if (
-                prev.get("sf") == sf
-                and sorted(prev.get("queries", {})) == sorted(timings)
-                and prev.get("value", float("inf")) <= total
-            ):
-                keep_existing = True
-                noise["kept_quiet_record"] = {
-                    "file": out_name,
-                    "value": prev["value"],
-                    "note": "current run is noisy; the file keeps the "
-                    "faster earlier run of the same workload",
-                }
-        except (OSError, ValueError):
-            pass
+    local_path, keep_existing, record_notes = resolve_record(
+        sf, total, timings, noise["noisy"]
+    )
+    noise.update(record_notes)
     if not keep_existing:
         with open(local_path, "w") as f:
             json.dump(payload, f)

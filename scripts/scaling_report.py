@@ -43,7 +43,15 @@ def main() -> int:
                     scaled.get("exchanges", {}).get(q),
                 )
             )
-    rows.sort(reverse=True)
+    if not rows:
+        print(
+            "no overlapping queries between the two bench files "
+            f"({len(base['queries'])} vs {len(scaled['queries'])}) - nothing to compare"
+        )
+        return 1
+    # key on ratio only: trailing exchange counts can be None and tuple
+    # comparison would TypeError on a ratio tie
+    rows.sort(key=lambda r: r[0], reverse=True)
 
     print(f"| query | sf{base['sf']} s | sf{scaled['sf']} s | ratio | exchanges | verdict |")
     print("|---|---|---|---|---|---|")
@@ -54,11 +62,12 @@ def main() -> int:
 
     ratios = sorted(r[0] for r in rows)
     med = ratios[len(ratios) // 2]
+    base_total = base["value"] or float("nan")
     over = [r for r in rows if r[0] > factor]
     print()
     print(
         f"{len(rows)} queries; totals {base['value']:.1f}s → {scaled['value']:.1f}s "
-        f"({scaled['value'] / base['value']:.2f}× for {factor:.0f}× data); "
+        f"({scaled['value'] / base_total:.2f}× for {factor:.0f}× data); "
         f"median ratio {med:.2f}×; >{factor:.0f}× : {[r[1] for r in over] or 'none'}"
     )
     return 0

@@ -128,8 +128,12 @@ def _split_sum(u: Column, scale: int) -> Column:
     identical on the SQL side. Both long sums are then cast to double and
     recombined: sum(q)·2^24 is EXACT while sum(q) < 2^53 (power-of-two
     multiply), the final add is one correctly-rounded IEEE op on both
-    engines ⇒ bit-identical results, matching the unsplit sum wherever the
-    unsplit sum didn't overflow.
+    engines ⇒ bit-identical CROSS-ENGINE (Spark and DuckDB evaluate the
+    identical split construction). Vs the UNSPLIT long sum the result is
+    bit-identical while BOTH partial sums stay below 2^53; past that the
+    cast+add double-rounds and can differ 1 ULP from a single long→double
+    cast of the total — irrelevant to the parity gate, which compares the
+    split form against itself on both engines.
     """
     q = F.floor(u.cast("double") / F.lit(float(_SPLIT_M)))
     r = u - q * F.lit(_SPLIT_M)

@@ -35,14 +35,29 @@ from stupidb_spark.verbs import ColumnLike, _col
 #: territory, well before executor-OOM territory.
 DYNAMIC_PARTITION_ROW_CAP = 1 << 20
 
-#: Frame-scope tags recorded by :func:`with_frame_values`, keyed by the
-#: materialized column name. ``"whole"`` = the array covers the entire
-#: partition (safe for dynamic lead/lag, whose index math is positional
-#: against row_number); ``"frame"`` = the array follows the caller's frame
-#: (only valid for ``nth`` over that same frame). Names are caller-chosen
-#: temporaries, so a best-effort process-wide registry is enough to catch
-#: the silent-wrong-shifts hazard; last registration wins on name reuse.
-_FRAME_SCOPES: dict[str, str] = {}
+#: Schema-metadata key carrying a :func:`with_frame_values` array's frame
+#: scope. The METADATA is the authoritative tag — it lives on the column in
+#: the DataFrame schema, so it survives name reuse across queries in a
+#: long-lived driver. Read it back with :func:`frame_values`.
+FRAME_SCOPE_META_KEY = "stupidb_spark.frame_scope"
+
+#: Explicit-argument sentinel: ``max_partition_rows`` defaults to this so a
+#: caller passing the numerically equal literal (or None) alongside
+#: ``values=`` is still detected as "explicitly passed" — an identity check
+#: on an int would false-positive on interning (ADVICE r7).
+_UNSET = object()
+
+#: Fallback frame-scope registry for consumers that reference a
+#: :func:`with_frame_values` column with a bare ``F.col(name)`` instead of
+#: :func:`frame_values` (which carries the authoritative schema-metadata
+#: tag). Keyed by column name, valued by the SET of scopes ever registered
+#: under that name: a name reused with a different scope becomes ambiguous
+#: and downgrades verification to a warning instead of silently letting the
+#: last registration win (a stale "frame" entry would false-error a correct
+#: "whole" array, and vice versa silently pass a wrong one). Bounded:
+#: oldest entries are evicted past ``_FRAME_SCOPES_MAX``.
+_FRAME_SCOPES: dict[str, set[str]] = {}
+_FRAME_SCOPES_MAX = 4096
 
 
 def _column_name(col: Column) -> str | None:
@@ -51,6 +66,25 @@ def _column_name(col: Column) -> str | None:
 
     m = re.fullmatch(r"Column<'([A-Za-z0-9_]+)'>", str(col))
     return m.group(1) if m else None
+
+
+def _values_scope(values: Column) -> str | None:
+    """Resolve a shared array's frame scope: the Python-side tag attached by
+    :func:`frame_values` is authoritative; a bare ``F.col(name)`` falls back
+    to the process-wide name registry, which returns a scope only when the
+    name was ever registered with exactly ONE scope (ambiguous names —
+    reused across queries with different scopes — return ``"ambiguous"``)."""
+    # NOT getattr: Column.__getattr__ turns unknown attributes into struct
+    # field accesses (a new Column), so a plain getattr on an untagged
+    # column would "find" a tag. Instance-dict lookup sidesteps that.
+    tagged = values.__dict__.get("_stupidb_frame_scope")
+    if tagged is not None:
+        return tagged
+    name = _column_name(values)
+    scopes = _FRAME_SCOPES.get(name) if name else None
+    if not scopes:
+        return None
+    return next(iter(scopes)) if len(scopes) == 1 else "ambiguous"
 
 
 def _check_shared_values(
@@ -64,13 +98,15 @@ def _check_shared_values(
       would leave the caller believing an unguarded array is capped.
     - Dynamic lead/lag index positionally (row_number against the array), so
       the array MUST span the whole partition; a running-frame array would
-      produce silently wrong shifts. Arrays from :func:`with_frame_values`
-      carry a scope tag that is verified here; untagged arrays (arbitrary
-      caller columns) can't be checked and raise a warning instead.
+      produce silently wrong shifts. Arrays fetched with :func:`frame_values`
+      carry the authoritative schema-metadata tag; bare ``F.col(name)``
+      references fall back to the name registry, and names reused with
+      different scopes (long-lived driver) degrade to a warning rather than
+      trusting a possibly-stale registration.
     """
     import warnings
 
-    if max_partition_rows is not DYNAMIC_PARTITION_ROW_CAP:
+    if max_partition_rows is not _UNSET:
         raise ValueError(
             f"{what}: max_partition_rows is ignored when values= is "
             "supplied — the guard belongs to the shared array; pass the cap "
@@ -78,16 +114,24 @@ def _check_shared_values(
         )
     if not need_whole:
         return
-    name = _column_name(values)
-    scope = _FRAME_SCOPES.get(name) if name else None
+    scope = _values_scope(values)
     if scope == "frame":
         raise ValueError(
-            f"{what}: shared values array '{name}' was materialized over a "
-            "bounded frame (scope='frame'), but dynamic lead/lag index "
-            "positionally against the WHOLE partition — rebuild it with "
-            "with_frame_values(..., scope='whole')"
+            f"{what}: shared values array '{_column_name(values)}' was "
+            "materialized over a bounded frame (scope='frame'), but dynamic "
+            "lead/lag index positionally against the WHOLE partition — "
+            "rebuild it with with_frame_values(..., scope='whole')"
         )
-    if scope is None:
+    if scope == "ambiguous":
+        warnings.warn(
+            f"{what}: column name '{_column_name(values)}' was registered "
+            "by with_frame_values with MORE THAN ONE scope in this process, "
+            "so the name alone can't verify whole-partition coverage — "
+            "fetch the array with frame_values(df, name), which carries the "
+            "authoritative schema-metadata tag",
+            stacklevel=3,
+        )
+    elif scope is None:
         warnings.warn(
             f"{what}: cannot verify that the shared values array covers the "
             "whole partition (not produced by with_frame_values); wrong-"
@@ -177,11 +221,43 @@ def with_frame_values(
     out = df.withColumn(
         raw, F.collect_list(F.struct(_col(c).alias("v"))).over(w)
     )
-    _FRAME_SCOPES[name] = scope
+    # name-registry fallback (bare F.col(name) consumers): record the SET of
+    # scopes ever seen under this name, bounded
+    _FRAME_SCOPES.setdefault(name, set()).add(scope)
+    while len(_FRAME_SCOPES) > _FRAME_SCOPES_MAX:
+        _FRAME_SCOPES.pop(next(iter(_FRAME_SCOPES)))
+    guarded = _partition_guard(
+        F.col(raw), F.col(raw), max_partition_rows, what
+    )
+    # authoritative tag: schema metadata on the materialized column, read
+    # back by frame_values() — survives name reuse in a long-lived driver
     return out.withColumn(
-        name,
-        _partition_guard(F.col(raw), F.col(raw), max_partition_rows, what),
+        name, guarded.alias(name, metadata={FRAME_SCOPE_META_KEY: scope})
     ).drop(raw)
+
+
+def frame_values(df, name: str) -> Column:
+    """Fetch a :func:`with_frame_values` array column with its authoritative
+    frame-scope tag (schema metadata) attached, so dynamic :func:`lead`/
+    :func:`lag`/:func:`nth` can verify the whole-partition contract without
+    relying on the process-wide name registry (which a long-lived driver can
+    make ambiguous through name reuse). Prefer this over ``F.col(name)``."""
+    try:
+        field = df.schema[name]
+    except KeyError:
+        raise ValueError(
+            f"frame_values: no column '{name}' in the DataFrame — "
+            "materialize it first with with_frame_values"
+        ) from None
+    scope = field.metadata.get(FRAME_SCOPE_META_KEY)
+    if scope is None:
+        raise ValueError(
+            f"frame_values: column '{name}' carries no frame-scope metadata "
+            "(not produced by with_frame_values)"
+        )
+    col = F.col(name)
+    col._stupidb_frame_scope = scope
+    return col
 
 
 def lead(
@@ -190,7 +266,7 @@ def lead(
     default: Column | None = None,
     w: WindowSpec | None = None,
     *,
-    max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
+    max_partition_rows=_UNSET,
     values: Column | None = None,
 ) -> Column:
     """Shift forward within the partition (frame ignored, as in the reference
@@ -218,8 +294,12 @@ def lead(
         _check_shared_values(
             values, max_partition_rows, need_whole=True, what="lead"
         )
+    cap = (
+        DYNAMIC_PARTITION_ROW_CAP if max_partition_rows is _UNSET
+        else max_partition_rows
+    )
     return _dynamic_shift(
-        c, n, default, w, forward=True, cap=max_partition_rows, values=values
+        c, n, default, w, forward=True, cap=cap, values=values
     )
 
 
@@ -229,7 +309,7 @@ def lag(
     default: Column | None = None,
     w: WindowSpec | None = None,
     *,
-    max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
+    max_partition_rows=_UNSET,
     values: Column | None = None,
 ) -> Column:
     """Shift backward within the partition; see :func:`lead`.
@@ -246,8 +326,12 @@ def lag(
         _check_shared_values(
             values, max_partition_rows, need_whole=True, what="lag"
         )
+    cap = (
+        DYNAMIC_PARTITION_ROW_CAP if max_partition_rows is _UNSET
+        else max_partition_rows
+    )
     return _dynamic_shift(
-        c, n, default, w, forward=False, cap=max_partition_rows, values=values
+        c, n, default, w, forward=False, cap=cap, values=values
     )
 
 
@@ -294,7 +378,7 @@ def nth(
     w: WindowSpec | None = None,
     *,
     zero_based: bool = True,
-    max_partition_rows: int | None = DYNAMIC_PARTITION_ROW_CAP,
+    max_partition_rows=_UNSET,
     values: Column | None = None,
 ) -> Column:
     """i-th value of the frame; reference semantics (`stupidb/functions/
@@ -345,4 +429,9 @@ def nth(
     if shared:
         # the with_frame_values column carries its own guard
         return out
-    return _partition_guard(values, out, max_partition_rows, "nth")
+    cap = (
+        DYNAMIC_PARTITION_ROW_CAP
+        if max_partition_rows is _UNSET
+        else max_partition_rows
+    )
+    return _partition_guard(values, out, cap, "nth")

@@ -293,14 +293,14 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_ok=F.first("maybe_value", ignorenulls=True).over(running),
         last_ok=F.last("maybe_value", ignorenulls=True).over(running),
         third_value=nav.nth("value", 2, w=running),
-        last_in_frame=nav.nth("value", -1, w=running, values=F.col("__run_arr")),
-        second_last=nav.nth("value", -2, w=running, values=F.col("__run_arr")),
+        last_in_frame=nav.nth("value", -1, w=running, values=nav.frame_values(e, "__run_arr")),
+        second_last=nav.nth("value", -2, w=running, values=nav.frame_values(e, "__run_arr")),
         dyn_prev=nav.lag(
             "value",
             (F.col("event_id") % 3).cast("int"),
             F.lit(-1.0),
             w=w,
-            values=F.col("__part_arr"),
+            values=nav.frame_values(e, "__part_arr"),
         ),
     )
 

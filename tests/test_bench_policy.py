@@ -1,0 +1,102 @@
+"""Bench record policy (`bench.resolve_record`) — pure-Python, no Spark.
+
+Two shipped mistakes are pinned here: a noisy run clobbering a faster quiet
+record of the same workload (round 6), and a different-scale-factor run
+silently clobbering the default record file (round 7, commit 74b1f0f)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from bench import resolve_record
+
+TIMINGS = {"q1": 1.0, "q2": 2.0}
+
+
+def _write(path, sf, value, queries=TIMINGS):
+    with open(path, "w") as f:
+        json.dump({"sf": sf, "value": value, "queries": queries}, f)
+
+
+def test_fresh_record_goes_to_default(tmp_path):
+    path, keep, notes = resolve_record(
+        0.1, 3.0, TIMINGS, False, repo=str(tmp_path), env={}
+    )
+    assert path == str(tmp_path / "BENCH_LOCAL.json")
+    assert not keep and notes == {}
+
+
+def test_different_sf_never_overwrites_default(tmp_path):
+    # the round-7 hole: an sf0.01 run must not clobber the sf0.1 record
+    _write(tmp_path / "BENCH_LOCAL.json", 0.1, 37.0)
+    path, keep, notes = resolve_record(
+        0.01, 3.0, TIMINGS, False, repo=str(tmp_path), env={}
+    )
+    assert path == str(tmp_path / "BENCH_LOCAL_sf0.01.json")
+    assert not keep
+    assert notes["record_redirect"]["file"] == "BENCH_LOCAL_sf0.01.json"
+    # the default record is untouched by construction (different path)
+    assert json.load(open(tmp_path / "BENCH_LOCAL.json"))["value"] == 37.0
+
+
+def test_same_sf_quiet_overwrites(tmp_path):
+    # quiet runs always overwrite — a regression can't hide behind a stale
+    # fast record
+    _write(tmp_path / "BENCH_LOCAL.json", 0.1, 30.0)
+    path, keep, notes = resolve_record(
+        0.1, 50.0, TIMINGS, False, repo=str(tmp_path), env={}
+    )
+    assert path == str(tmp_path / "BENCH_LOCAL.json")
+    assert not keep
+
+
+def test_noisy_keeps_faster_identical_workload(tmp_path):
+    _write(tmp_path / "BENCH_LOCAL.json", 0.1, 30.0)
+    path, keep, notes = resolve_record(
+        0.1, 50.0, TIMINGS, True, repo=str(tmp_path), env={}
+    )
+    assert keep
+    assert notes["kept_quiet_record"]["value"] == 30.0
+
+
+def test_noisy_overwrites_when_faster(tmp_path):
+    _write(tmp_path / "BENCH_LOCAL.json", 0.1, 60.0)
+    _, keep, _ = resolve_record(
+        0.1, 50.0, TIMINGS, True, repo=str(tmp_path), env={}
+    )
+    assert not keep
+
+
+def test_noisy_different_queryset_overwrites_after_redirect_check(tmp_path):
+    # same sf but a changed query set = new workload: overwrite (the set
+    # grows when queries are added round over round)
+    _write(tmp_path / "BENCH_LOCAL.json", 0.1, 30.0, queries={"q1": 1.0})
+    path, keep, _ = resolve_record(
+        0.1, 50.0, TIMINGS, True, repo=str(tmp_path), env={}
+    )
+    assert path == str(tmp_path / "BENCH_LOCAL.json")
+    assert not keep
+
+
+def test_explicit_out_is_never_redirected(tmp_path):
+    # SPARK_GRAFT_BENCH_OUT goes exactly where the caller said, even when
+    # the default record holds a different sf
+    _write(tmp_path / "BENCH_LOCAL.json", 0.1, 37.0)
+    env = {"SPARK_GRAFT_BENCH_OUT": "custom.json"}
+    path, keep, notes = resolve_record(
+        0.01, 3.0, TIMINGS, False, repo=str(tmp_path), env=env
+    )
+    assert path == str(tmp_path / "custom.json")
+    assert "record_redirect" not in notes
+
+
+def test_redirected_record_still_gets_noisy_protection(tmp_path):
+    # the sf-suffixed sibling inherits the quiet-keep policy
+    _write(tmp_path / "BENCH_LOCAL.json", 0.1, 37.0)
+    _write(tmp_path / "BENCH_LOCAL_sf0.01.json", 0.01, 3.0)
+    path, keep, notes = resolve_record(
+        0.01, 9.0, TIMINGS, True, repo=str(tmp_path), env={}
+    )
+    assert path == str(tmp_path / "BENCH_LOCAL_sf0.01.json")
+    assert keep

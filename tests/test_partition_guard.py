@@ -173,3 +173,77 @@ def test_shared_values_contract_checks(spark):
         warnings.simplefilter("always")
         lag("x", n_dyn, w=w, values=F.col("some_external_array"))
     assert any("cannot verify" in str(c.message) for c in caught)
+
+
+def test_frame_scope_survives_name_reuse(spark):
+    """ADVICE r7 (medium): the name-keyed registry must not let a reused
+    temp name silently win. frame_values() carries the authoritative
+    schema-metadata tag; a bare F.col(name) on an ambiguous name degrades
+    to a warning instead of a false error / silent pass."""
+    import warnings
+
+    from stupidb_spark.functions.navigation import (
+        frame_values,
+        lag,
+        with_frame_values,
+    )
+
+    df = _skewed(spark, n=20)
+    w = Window.partitionBy("g").orderBy("t")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_dyn = (F.col("t") % 3).cast("int")
+
+    # two queries reuse the SAME temp name with different scopes — the
+    # long-lived-driver hazard
+    q1 = with_frame_values(df, "__reused", "x", whole, scope="whole")
+    q2 = with_frame_values(df, "__reused", "x", running, scope="frame")
+
+    # metadata tag is per-DataFrame truth: q1's array is verified 'whole'
+    # (no error, no warning) even though the registry is now ambiguous
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        col = lag("x", n_dyn, w=w, values=frame_values(q1, "__reused"))
+    got = q1.select("g", "t", col.alias("d"))
+    want = df.select("g", "t", lag("x", n_dyn, w=w).alias("d"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # ...and q2's frame-scoped array still raises through frame_values
+    with pytest.raises(ValueError, match="scope='whole'"):
+        lag("x", n_dyn, w=w, values=frame_values(q2, "__reused"))
+    # a bare F.col on the now-ambiguous name warns (can't verify) instead of
+    # trusting the last registration
+    with pytest.warns(UserWarning, match="MORE THAN ONE scope"):
+        lag("x", n_dyn, w=w, values=F.col("__reused"))
+
+
+def test_frame_values_rejects_untagged_columns(spark):
+    from stupidb_spark.functions.navigation import frame_values
+
+    df = _skewed(spark, n=5)
+    with pytest.raises(ValueError, match="no column"):
+        frame_values(df, "__missing")
+    with pytest.raises(ValueError, match="no frame-scope metadata"):
+        frame_values(df, "x")
+
+
+def test_explicit_cap_with_values_is_value_independent(spark):
+    """ADVICE r7 (low): 'explicitly passed' is detected via a sentinel, so
+    even passing the numeric default (or None) alongside values= errors."""
+    from stupidb_spark.functions.navigation import (
+        DYNAMIC_PARTITION_ROW_CAP,
+        frame_values,
+        lag,
+        with_frame_values,
+    )
+
+    df = _skewed(spark, n=10)
+    w = Window.partitionBy("g").orderBy("t")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    shared = with_frame_values(df, "__cap_arr", "x", whole, scope="whole")
+    arr = frame_values(shared, "__cap_arr")
+    n_dyn = (F.col("t") % 3).cast("int")
+    for explicit in (DYNAMIC_PARTITION_ROW_CAP, 1 << 20, None, 5):
+        with pytest.raises(ValueError, match="max_partition_rows is ignored"):
+            lag("x", n_dyn, w=w, values=arr, max_partition_rows=explicit)
