@@ -50,76 +50,47 @@ from stupidb_spark.queryset import prep  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # --- gate slots 1-50 (round-7 rotation; ledger in CHANGELOG.md) ---
-    # 1-5: flagship + the queries whose code changed this round: the two
-    # split-sum second-moment queries (agg_grouped_stats, agg_global_all12),
-    # the eager-edge-checkpoint components query, and win_navigation (frame-
-    # scope tags on its shared arrays).
+    # --- gate slots 1-50 (round-8 rotation; ledger in CHANGELOG.md) ---
+    # 1-8: flagship + every oracled query whose code changed this round:
+    # the four jaccard_pairs/doc_shingles consumers (mega-document guard +
+    # uncapped warning: dedup_ngram_jaccard, dedup_jaccard_capped,
+    # dedup_components, dedup_canonical), the two navigation consumers
+    # (frame-scope metadata + _UNSET sentinel: win_navigation,
+    # win_dynamic_frame), and pipeline_prep (doc_shingles via contamination
+    # prep).
     "tpch_q1",
-    "agg_grouped_stats",
-    "agg_global_all12",
-    "dedup_components",
-    "win_navigation",
-    # 6: new this round — the max_doc_freq stop-shingle cap as its own
-    # oracled query (capped-universe exact Jaccard).
-    "dedup_jaccard_capped",
-    # 7-19: the r4-stale cohort — the 13 oracled queries whose most recent
-    # driver row was CORRECTNESS_r04.
-    "agg_udaf_sum_sq",
-    "tpch_q17",
-    "tpch_q18",
-    "join_skew_replicate",
-    "events_tumbling",
-    "pipeline_prep",
-    "mixture_epochs",
-    "chunk_documents",
-    "dedup_canonical",
-    "events_props_running",
-    "join_extras",
-    "agg_pivot_unpivot",
-    "tpch_q10",
-    # 20-50: 31 of the r5-gated cohort (sample_stratified slid to 51 when
-    # dedup_jaccard_capped took slot 6; its last row is r5, within the
-    # rounds-5-7 freshness claim). The 12 r5-gated queries that earned
-    # an sf1 spot-gate row this round (SF1_GATE_r07.log) and 4 TPC-H near-
-    # twins (q7/q14/q19/q22) are deferred to round 8 — after this rotation
-    # every oracled query has a driver row within rounds 5-7 or an sf1
-    # spot-gate row from round 7.
-    "prep_winsorize",
-    "fuzzy_match_names",
-    "events_attribution",
-    "events_props_json",
-    "agg_pivot_priority",
-    "agg_unpivot_measures",
-    "join_null_safe",
-    "win_running_distinct",
-    "text_token_stats",
-    "tpch_q9",
-    "tpch_q13",
-    "tpch_q15",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint_md5",
-    "text_repetition",
-    "text_tfidf_topterm",
-    "events_sessionize_window",
-    "asof_join_forward",
-    "text_fingerprint_rolling",
-    "emb_label_centroids",
-    "sample_weighted",
-    "dedup_keep_best",
-    "win_moving_median",
-    "dedup_exact",
     "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
-    "events_session",
-    "setop_six",
-    "agg_udaf_salted",
+    "dedup_jaccard_capped",
+    "dedup_components",
+    "dedup_canonical",
+    "win_navigation",
     "win_dynamic_frame",
-    # --- 51+: recently-gated queries and twins; all still run in
-    # tests/test_oracle_parity.py every session and in the full
-    # stability sweep.
+    "pipeline_prep",
+    # 9-25: the full r5-stale cohort — every oracled query whose most
+    # recent driver row is CORRECTNESS_r05: the 12 queries deferred from
+    # the round-7 rotation (they carried sf1 spot-gate rows meanwhile),
+    # sample_stratified, and the four TPC-H near-twins q7/q14/q19/q22.
+    "asof_join_orders",
+    "contamination_ngram",
+    "dedup_embedding_cosine",
+    "pack_sequences",
     "sample_stratified",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # 26-50: the 25 oldest r6-gated queries. After this rotation every
+    # oracled query has a driver row within rounds 6-8 (the 20 remaining
+    # r6-gated queries and the 50 r7-gated ones stay within that window);
+    # the round-9 rotation owes those 20 r6 rows next.
     "batch_shaping",
     "text_rarity_score",
     "agg_having",
@@ -145,6 +116,51 @@ PRIORITY: tuple[str, ...] = (
     "sort_limit_offset",
     "sort_nulls_first",
     "sort_topk",
+    # --- 51+: recently-gated queries and twins; all still run in
+    # tests/test_oracle_parity.py every session and in the full
+    # stability sweep.
+    "agg_grouped_stats",
+    "agg_global_all12",
+    "agg_udaf_sum_sq",
+    "tpch_q17",
+    "tpch_q18",
+    "join_skew_replicate",
+    "events_tumbling",
+    "mixture_epochs",
+    "chunk_documents",
+    "events_props_running",
+    "join_extras",
+    "agg_pivot_unpivot",
+    "tpch_q10",
+    "prep_winsorize",
+    "fuzzy_match_names",
+    "events_attribution",
+    "events_props_json",
+    "agg_pivot_priority",
+    "agg_unpivot_measures",
+    "join_null_safe",
+    "win_running_distinct",
+    "text_token_stats",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q15",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint_md5",
+    "text_repetition",
+    "text_tfidf_topterm",
+    "events_sessionize_window",
+    "asof_join_forward",
+    "text_fingerprint_rolling",
+    "emb_label_centroids",
+    "sample_weighted",
+    "dedup_keep_best",
+    "win_moving_median",
+    "dedup_exact",
+    "ann_topk_bruteforce",
+    "events_session",
+    "setop_six",
+    "agg_udaf_salted",
     "project_scalar",
     "mutate_derived",
     "filter_compound",
@@ -165,22 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "terms_topk",
     "pii_redact",
     "text_metrics",
-    "tpch_q4",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q21",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "asof_join_orders",
-    "dedup_embedding_cosine",
-    "pack_sequences",
-    "contamination_ngram",
     "agg_approx_sketch",
     "ann_topk_pq",
     "ann_topk_ivfpq",
@@ -190,6 +190,12 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "contamination_bloom",
     "terms_heavy_hitters",
+    "dedup_minhash_lsh",
+    "dedup_components_lsh",
+    "dedup_simhash",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "agg_udaf_geomean",
 )
 
 
