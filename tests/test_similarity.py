@@ -413,3 +413,204 @@ def test_ivfpq_append_matches_all_at_once_encode(spark):
     a = sorted(map(tuple, appended[2].orderBy("neighbor_id").collect()))
     b = sorted(map(tuple, all_at_once[2].orderBy("neighbor_id").collect()))
     assert a == b
+
+
+def test_ivf_rebalance_splits_hot_cells(spark):
+    """The rebalance loop the append contract promises: skewed appends →
+    ivf_cell_stats signals → ivf_rebalance splits the hot cells against the
+    frozen quantizer → skew drops, recall holds, cold cells untouched."""
+    import numpy as np
+
+    from stupidb_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_append,
+        ivf_cell_stats,
+        ivf_probe,
+        ivf_rebalance,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = build_ivf_index(emb, cache_key=None)
+
+    # skewed append: a heterogeneous CLOUD around one existing vector piles
+    # into few cells of the frozen quantizer — drifted-but-splittable, the
+    # case rebalance exists for (a pile of true duplicates is NOT splittable
+    # by any quantizer and is dedup's job, not the index's)
+    seed = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    dim = len(seed)
+    skew_rows = [
+        (
+            int(n + i),
+            [
+                float(seed[d]) * (1.0 + 0.08 * (((i * 31 + d * 7) % 13) - 6))
+                for d in range(dim)
+            ],
+        )
+        for i in range(6 * n // len(idx.centroids))
+    ]
+    skew = spark.createDataFrame(
+        skew_rows, "vec_id long, embedding array<double>"
+    )
+    appended = ivf_append(idx, skew)
+
+    def max_and_ratio(ix):
+        counts = {r.cell: r.n for r in ivf_cell_stats(ix.indexed).collect()}
+        mean = sum(counts.values()) / len(ix.centroids)
+        return max(counts.values()), max(counts.values()) / mean
+
+    skew_max, skew_ratio = max_and_ratio(appended)
+    assert skew_ratio > 4.0, f"fixture failed to skew: {skew_ratio}"
+
+    res = ivf_rebalance(appended, max_ratio=4.0, target_ratio=2.0)
+    assert res.split, "no cell was split"
+    new = res.index
+    # the straggler metric — the hottest cell's population — measurably
+    # drops; row count preserved; centroid ids stable (parents keep their
+    # row, new ids append at the end)
+    new_max, _ = max_and_ratio(new)
+    assert new_max < skew_max / 1.5, f"max cell {skew_max} -> {new_max}"
+    assert new.indexed.count() == appended.indexed.count()
+    assert len(new.centroids) > len(appended.centroids)
+    for parent, ids in res.split.items():
+        assert ids[0] == parent
+        assert all(i >= len(appended.centroids) for i in ids[1:])
+    # cold cells: assignment unchanged row-for-row (exclude the whole
+    # split family on the new side — reassigned rows live in parent or new
+    # sub-cell ids, never in a cold cell)
+    hot = list(res.split)
+    fam = {i for ids in res.split.values() for i in ids}
+    cold_before = sorted(
+        map(tuple, appended.indexed.filter(~F.col("cell").isin(hot)).collect())
+    )
+    cold_after = sorted(
+        map(
+            tuple,
+            new.indexed.filter(~F.col("cell").isin(list(fam))).collect(),
+        )
+    )
+    assert cold_before == cold_after
+    # every reassigned row stays within its parent's sub-centroid family
+    moved = new.indexed.filter(F.col("cell").isin(list(fam)))
+    assert moved.count() == appended.indexed.filter(
+        F.col("cell").isin(hot)
+    ).count()
+
+    # recall: probe the rebalanced index vs brute force on the grown corpus
+    grown = emb.select("vec_id", "embedding").unionByName(skew)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(grown, queries, k=10).collect()
+    }
+    before = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_probe(
+            appended.indexed, appended.centroids, queries
+        ).collect()
+    }
+    # probe-budget contract: n_probe scales with the cell count so the
+    # probed fraction of the space is unchanged (see ivf_rebalance doc)
+    import math
+
+    scaled_probe = math.ceil(6 * len(new.centroids) / len(appended.centroids))
+    after = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_probe(
+            new.indexed, new.centroids, queries, n_probe=scaled_probe
+        ).collect()
+    }
+    r_before = len(bf & before) / len(bf)
+    r_after = len(bf & after) / len(bf)
+    assert r_after >= r_before - 0.05, f"recall {r_before} -> {r_after}"
+    # idempotent: a second pass finds nothing hot at the same threshold
+    assert not ivf_rebalance(new, max_ratio=4.0).split
+
+
+def test_ivf_rebalance_durable_rewrites_only_hot_partitions(spark):
+    """Durable rebalance: only hot parents + new sub-cells are rewritten;
+    cold cell=N directories keep their files; probes against the reloaded
+    index match the in-memory rebalance; PartitionFilters still prune."""
+    import shutil
+    import uuid
+
+    from stupidb_spark.operators.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_probe,
+        load_ivf_index,
+        rebalance_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = build_ivf_index(emb, cache_key=None)
+    seed = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    dim = len(seed)
+    skew = spark.createDataFrame(
+        [
+            (
+                int(n + i),
+                [float(seed[d]) + 1e-4 * ((i + d) % 7) for d in range(dim)],
+            )
+            for i in range(6 * n // len(idx.centroids))
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    path = f"/root/repo/.scratch/ivfreb-{uuid.uuid4().hex[:8]}"
+    try:
+        save_ivf_index(idx, path)
+        append_ivf_index(spark, path, skew)
+        import os
+
+        def mtimes():
+            out = {}
+            for d in os.listdir(f"{path}/cells"):
+                if d.startswith("cell="):
+                    cell_dir = f"{path}/cells/{d}"
+                    out[d] = max(
+                        os.path.getmtime(os.path.join(cell_dir, f))
+                        for f in os.listdir(cell_dir)
+                        if f.endswith(".parquet")
+                    )
+            return out
+
+        before_files = mtimes()
+        split = rebalance_ivf_index(spark, path, max_ratio=4.0)
+        assert split, "durable rebalance found nothing hot"
+        after_files = mtimes()
+        touched = {f"cell={c}" for ids in split.values() for c in ids} | {
+            f"cell={p}" for p in split
+        }
+        for d, t in before_files.items():
+            if d not in touched:
+                assert after_files[d] == t, f"cold partition {d} rewritten"
+        for d in touched:
+            assert d in after_files
+
+        loaded = load_ivf_index(spark, path)
+        total = n + skew.count()
+        assert loaded.indexed.count() == total
+        # no duplicate neighbor ids (the stale-parent hazard the fallback
+        # guards)
+        assert (
+            loaded.indexed.select("neighbor_id").distinct().count() == total
+        )
+        got = ivf_probe(loaded.indexed, loaded.centroids, queries)
+        per_q = got.groupBy("query_id", "neighbor_id").count()
+        assert per_q.filter(F.col("count") > 1).count() == 0
+        # pruning survives: static cell filter still reaches the scan
+        from stupidb_spark.plans import formatted_plan
+
+        pruned = loaded.indexed.filter(F.col("cell").isin([0]))
+        pf = [
+            ln
+            for ln in formatted_plan(pruned).splitlines()
+            if "PartitionFilters" in ln
+        ]
+        assert pf and "cell" in pf[0]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
