@@ -27,6 +27,7 @@ from stupidb_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
+    simhash_radius_stats,
     spread_small_scan,
 )
 from stupidb_spark.operators.multimodal import (
@@ -67,6 +68,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "simhash_radius_stats",
     "spread_small_scan",
     "decode_audio",
     "decode_image",

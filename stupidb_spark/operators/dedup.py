@@ -664,3 +664,85 @@ def simhash_pairs(
         .filter((F.col("hamming") <= max_hamming) & (F.col("band") == first_clean))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_radius_stats(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    radii: tuple[int, ...] = (0, 1, 2, 3, 4, 6, 8, 12, 16),
+    n_sample: int = 4096,
+) -> DataFrame:
+    """Fingerprint-density report: estimated OUTPUT pair count per candidate
+    ``max_hamming`` radius, so callers pick the radius from their corpus
+    instead of discovering it the expensive way (the 30× rehearsal measured
+    radius-8 on a homogeneous corpus emitting 85M true pairs — 46× runtime
+    — while radius 3 was in line with MinHash-LSH; SCALE.md).
+
+    Method, bounded by construction: a deterministic uniform sample of
+    ``n_sample`` fingerprints (smallest ``xxhash64(doc)`` — content-blind,
+    so unbiased w.r.t. id assignment) is collected to the driver (longs
+    only), the sample's full pairwise hamming histogram is computed with
+    vectorized popcount, and each radius's sample pair FRACTION is scaled
+    to the corpus's ``N·(N−1)/2``. One count job + one TakeOrdered collect;
+    the n_sample² popcounts are driver numpy, ~17M byte-ops at the default.
+
+    Estimator contract: unbiased for the corpus-wide pair density with
+    sampling error ~1/sqrt(sample pairs at that radius) — tight for the
+    radii that matter (the dangerous, dense ones); radii with ZERO sample
+    pairs report est_pairs 0 and are fine by definition. ``simhash_pairs``
+    output additionally never exceeds the radius-r estimate's universe
+    since verification is exact.
+
+    Returns a DataFrame (max_hamming, sample_pairs, est_pairs,
+    pairs_per_doc) sorted by radius; ``pairs_per_doc`` = est_pairs / N is
+    the "how many rows per input row will this emit" number to sanity-check
+    against the downstream budget.
+    """
+    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    n_total = fp.count()
+    sample = (
+        fp.select("doc", "fp")
+        .orderBy(F.xxhash64(F.col("doc")), F.col("doc"))
+        .limit(n_sample)
+        .collect()
+    )
+    vals = np.array([r.fp for r in sample], dtype=np.int64).view(np.uint64)
+    m = len(vals)
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    max_r = max(radii)
+    # cumulative pair counts per hamming distance over the sample
+    hist = np.zeros(65, dtype=np.int64)
+    block = 256
+    for s in range(0, m, block):
+        chunk = vals[s : s + block]
+        xor = chunk[:, None] ^ vals[None, :]
+        d = pop8[xor.view(np.uint8).reshape(len(chunk), m, 8)].sum(
+            axis=2, dtype=np.int16
+        )
+        # count each unordered pair once: global index i < j only
+        idx = np.arange(s, s + len(chunk))
+        mask = idx[:, None] < np.arange(m)[None, :]
+        np.add.at(hist, d[mask].astype(np.int64), 1)
+    cum = np.cumsum(hist)
+    sample_pairs_total = m * (m - 1) // 2
+    corpus_pairs_total = n_total * (n_total - 1) / 2
+    rows = []
+    for r in sorted(set(radii)):
+        sp = int(cum[min(r, 64)])
+        frac = sp / sample_pairs_total if sample_pairs_total else 0.0
+        est = frac * corpus_pairs_total
+        rows.append(
+            (
+                int(r),
+                sp,
+                float(est),
+                float(est / n_total) if n_total else 0.0,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "max_hamming int, sample_pairs long, est_pairs double, "
+        "pairs_per_doc double",
+    )

@@ -282,3 +282,59 @@ def test_uncapped_jaccard_warns_scale_envelope(spark):
         warnings.simplefilter("error", ScaleWarning)
         jaccard_pairs(docs, uncapped_ok=True, **kw)
         jaccard_pairs(docs, max_doc_freq=8, **kw)
+
+
+def test_simhash_radius_stats_estimates_density(spark):
+    """The radius-selection tool: estimated pair counts per max_hamming must
+    be monotone, deterministic, and calibrated against the TRUE pair count
+    (exact by enumeration at fixture scale, where the sample IS the corpus,
+    so est_pairs == true pairs exactly)."""
+    from stupidb_spark.operators.dedup import simhash_pairs, simhash_radius_stats
+
+    docs = _docs(spark)
+    stats = simhash_radius_stats(
+        docs, id_col="doc_id", text_col="text", radii=(0, 3, 8)
+    )
+    rows = {r.max_hamming: r for r in stats.collect()}
+    assert set(rows) == {0, 3, 8}
+    # monotone in the radius
+    assert rows[0].est_pairs <= rows[3].est_pairs <= rows[8].est_pairs
+    # fixture corpus fits entirely in the default sample -> the "estimate"
+    # is the exact census: compare against the enumerated truth
+    n = docs.count()
+    assert n <= 4096
+    for r in (3, 8):
+        true_pairs = simhash_pairs(
+            docs, id_col="doc_id", text_col="text", max_hamming=r
+        ).count()
+        assert rows[r].sample_pairs == true_pairs
+        assert abs(rows[r].est_pairs - true_pairs) < 1e-6
+        assert abs(rows[r].pairs_per_doc - true_pairs / n) < 1e-9
+    # deterministic
+    again = {r.max_hamming: r.est_pairs for r in
+             simhash_radius_stats(docs, id_col="doc_id", text_col="text",
+                                  radii=(0, 3, 8)).collect()}
+    assert again == {k: v.est_pairs for k, v in rows.items()}
+
+
+def test_simhash_radius_stats_subsample_scales(spark):
+    """When the sample is smaller than the corpus, the estimate scales the
+    sample fraction to N(N-1)/2 — check the arithmetic on a corpus built so
+    the true density is known (every doc identical -> all pairs at
+    hamming 0)."""
+    from stupidb_spark.operators.dedup import simhash_radius_stats
+
+    docs = spark.createDataFrame(
+        [(i, "same words everywhere") for i in range(200)],
+        "doc_id long, text string",
+    )
+    stats = {
+        r.max_hamming: r
+        for r in simhash_radius_stats(
+            docs, id_col="doc_id", text_col="text", radii=(0,), n_sample=50
+        ).collect()
+    }
+    # sample: 50*49/2 pairs all at hamming 0 -> fraction 1.0 -> est = full
+    # corpus pair count
+    assert stats[0].sample_pairs == 50 * 49 // 2
+    assert abs(stats[0].est_pairs - 200 * 199 / 2) < 1e-6
