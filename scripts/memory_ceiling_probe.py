@@ -7,11 +7,16 @@ spill-to-disk, not OOM; this probe measures whether our operators honor it
 per-query shuffle/aggregate spill bytes from the UI REST API and asserting
 completion.
 
-Usage: python scripts/memory_ceiling_probe.py [heap] [sf_dir] [q1,q2,...]
+Usage: python scripts/memory_ceiling_probe.py [heap] [cores] [shuffle_parts]
+       [sf_dir] [q1,q2,...]
 
-Defaults: 4g heap, .scratch/sf3 (the 30x fixture from make_sf1.py
---factor 30), the operators whose shuffles dominate the 30x probe. Prints
-a markdown table and ONE trailing JSON line.
+Defaults: 4g heap, 32 cores, 32 shuffle partitions, .scratch/sf3 (the 30x
+fixture from make_sf1.py --factor 30), the operators whose shuffles
+dominate the 30x probe. Fewer shuffle partitions = bigger per-task state =
+more pressure on the SPILLABLE (tracked) region; fewer cores = more heap
+per concurrent task for the UNTRACKED allocations (parquet column batches,
+codegen row buffers) that cannot spill. Prints a markdown table and ONE
+trailing JSON line.
 """
 
 from __future__ import annotations
@@ -51,8 +56,10 @@ def _stage_totals(ui: str, app_id: str) -> dict[str, int]:
 
 def main() -> int:
     heap = sys.argv[1] if len(sys.argv) > 1 else "4g"
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(_REPO, ".scratch/sf3")
-    names = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT_QUERIES
+    cores = sys.argv[2] if len(sys.argv) > 2 else "32"
+    shuffle_parts = sys.argv[3] if len(sys.argv) > 3 else "32"
+    sf_dir = sys.argv[4] if len(sys.argv) > 4 else os.path.join(_REPO, ".scratch/sf3")
+    names = sys.argv[5].split(",") if len(sys.argv) > 5 else DEFAULT_QUERIES
 
     from pyspark.sql import SparkSession
 
@@ -61,13 +68,13 @@ def main() -> int:
     # tasks sharing the small unified region is exactly the pressure a
     # packed 100 TB executor sees.
     spark = (
-        SparkSession.builder.master("local[32]")
-        .appName(f"memory-ceiling-{heap}")
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"memory-ceiling-{heap}-{cores}c")
         .config("spark.driver.memory", heap)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "true")
@@ -111,6 +118,8 @@ def main() -> int:
     payload = {
         "metric": "memory_ceiling_probe",
         "heap": heap,
+        "cores": int(cores),
+        "shuffle_partitions": int(shuffle_parts),
         "jvm_max_mb": round(jvm_max / 2**20),
         "sf_dir": sf_dir,
         "queries": results,

@@ -22,6 +22,7 @@ from stupidb_spark.operators.ivf import (
 from stupidb_spark.operators.dedup import (
     DOC_BYTES_CAP,
     ScaleWarning,
+    corpus_join_strategy,
     doc_shingles,
     exact_dedup,
     jaccard_pairs,
@@ -63,6 +64,7 @@ __all__ = [
     "kmeans_centroids",
     "DOC_BYTES_CAP",
     "ScaleWarning",
+    "corpus_join_strategy",
     "doc_shingles",
     "exact_dedup",
     "jaccard_pairs",

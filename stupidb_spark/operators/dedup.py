@@ -46,6 +46,35 @@ class ScaleWarning(UserWarning):
     """A query shape that is correct but unaffordable at corpus scale."""
 
 
+def corpus_join_strategy() -> str:
+    """Join hint pinned onto CORPUS-sized join sides (exploded shingle/band
+    relations, vocabulary df tables) — relations that must never ride an
+    estimate-driven broadcast (the 100× probe watched Catalyst under-count
+    a 26M-row post-explode relation and plan a fatal BroadcastHashJoin).
+
+    Default ``shuffle_hash``: shuffled on the join key like sort-merge, but
+    no sort of the inverted index. The trade, measured by the small-heap
+    rehearsal (SCALE.md): the per-partition hash BUILD is the one
+    non-spillable step — partitions oversized relative to per-task
+    execution memory fail with "not enough memory to build hash map"
+    (observed at 32 concurrent tasks × 8 partitions of a 30× corpus on a
+    2 GiB heap), where sort-merge would have spilled and finished. Size
+    ``spark.sql.shuffle.partitions`` so build partitions fit (the SCALE.md
+    sizing rule), or set ``SPARK_GRAFT_CORPUS_JOIN=merge`` to pin the
+    fully-spillable sort-merge strategy fleet-wide when the memory ceiling,
+    not the sort, is the binding constraint. Both strategies forbid the
+    broadcast — that pin is not negotiable.
+    """
+    import os
+
+    v = os.environ.get("SPARK_GRAFT_CORPUS_JOIN", "shuffle_hash")
+    if v not in ("shuffle_hash", "merge"):
+        raise ValueError(
+            f"SPARK_GRAFT_CORPUS_JOIN must be 'shuffle_hash' or 'merge', got {v!r}"
+        )
+    return v
+
+
 def _doc_bytes_guard(
     df: DataFrame, text_col: str, cap: int | None, what: str
 ) -> DataFrame:
@@ -261,7 +290,7 @@ def jaccard_pairs(
             .filter(F.col("__df") <= max_doc_freq)
             .select("shingle")
         )
-        ex = ex.hint("shuffle_hash").join(keep.hint("shuffle_hash"), "shingle")
+        ex = ex.hint(corpus_join_strategy()).join(keep.hint(corpus_join_strategy()), "shingle")
     # Per-doc (capped-universe) shingle counts ride each exploded row as a
     # whole-partition window count — partition = one document, bounded by
     # document length, no orderBy ⇒ no sort — and flow through the pair
@@ -276,8 +305,8 @@ def jaccard_pairs(
     # split still applies), but no sort of the inverted index and no
     # estimate-driven broadcast of either side.
     exv = ex.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc")))
-    a = exv.alias("a").hint("shuffle_hash")
-    b = exv.alias("b").hint("shuffle_hash")
+    a = exv.alias("a").hint(corpus_join_strategy())
+    b = exv.alias("b").hint(corpus_join_strategy())
     joined = (
         a.join(
             b,
@@ -427,8 +456,8 @@ def minhash_lsh_pairs(
     # The band relation is CORPUS-sized (n_bands rows per doc) — the
     # bucket self-join must never build a broadcast side, whatever the
     # static estimate says (see the verification-join comment below).
-    a = bands.alias("a").hint("shuffle_hash")
-    b = bands.alias("b").hint("shuffle_hash")
+    a = bands.alias("a").hint(corpus_join_strategy())
+    b = bands.alias("b").hint(corpus_join_strategy())
     candidates = (
         a.join(
             b,
@@ -440,7 +469,7 @@ def minhash_lsh_pairs(
         # homogeneous corpus) — forbid broadcasting this side of the
         # verification joins too; self-join output estimates are exactly
         # the kind Catalyst gets wrong
-        .hint("shuffle_hash")
+        .hint(corpus_join_strategy())
     )
     # Exact-Jaccard verification of candidates only, via common-shingle
     # counts on the exploded rows (pairs with zero common shingles drop out
@@ -463,7 +492,7 @@ def minhash_lsh_pairs(
 
     exv = ex.withColumn(
         "n_sh", F.count(F.lit(1)).over(W.partitionBy("doc"))
-    ).hint("shuffle_hash")
+    ).hint(corpus_join_strategy())
     joined = (
         candidates.join(
             exv.select(
@@ -630,8 +659,8 @@ def simhash_pairs(
 
     # Corpus-sized band relation on both sides — never broadcast (see
     # minhash_lsh_pairs: static estimates under-count exploded relations).
-    a = bands.alias("a").hint("shuffle_hash")
-    b = bands.alias("b").hint("shuffle_hash")
+    a = bands.alias("a").hint(corpus_join_strategy())
+    b = bands.alias("b").hint(corpus_join_strategy())
     xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
     hamming = F.bit_count(xor)
     # A true pair collides in EVERY band its flips miss (a hamming-2 pair

@@ -196,6 +196,9 @@ PRIORITY: tuple[str, ...] = (
     "ann_topk_lsh",
     "ann_topk_ivf",
     "agg_udaf_geomean",
+    # round-8 additions (rows-only: density estimator + maintenance loop)
+    "dedup_simhash_density",
+    "ann_ivf_rebalance_stats",
 )
 
 

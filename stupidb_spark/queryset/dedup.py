@@ -396,3 +396,26 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("kept_chars"),
         )
     )
+
+
+@q("dedup_simhash_density")  # advisory estimator — no SQL oracle (the
+# xxhash64-derived fingerprints aren't DuckDB-expressible); calibration vs
+# the enumerated simhash_pairs truth is pinned in tests/test_dedup.py
+def dedup_simhash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The radius-selection report a pipeline runs BEFORE simhash_pairs:
+    # estimated output pairs per candidate max_hamming, from a bounded
+    # deterministic fingerprint sample (SCALE.md measured radius 8 on a
+    # homogeneous corpus emitting 85M pairs — 46x runtime — while radius 3
+    # matched MinHash-LSH; this query is how callers see that in advance).
+    from stupidb_spark.operators.dedup import simhash_radius_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_radius_stats(
+        docs, id_col="doc_id", text_col="text", radii=(0, 1, 2, 3, 4, 6, 8)
+    )
+    return out.select(
+        "max_hamming",
+        "sample_pairs",
+        F.round("est_pairs", 3).alias("est_pairs"),
+        F.round("pairs_per_doc", 6).alias("pairs_per_doc"),
+    )

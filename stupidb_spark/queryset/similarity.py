@@ -169,3 +169,40 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors",
         )
     )
+
+
+@q("ann_ivf_rebalance_stats")  # maintenance loop — no SQL oracle (k-means);
+# split mechanics / recall / durable pruning pinned in tests/test_similarity.py
+def ann_ivf_rebalance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full append -> skew-signal -> hot-cell-split loop as a registered
+    # query: a deterministic drifted batch (a heterogeneous cloud around one
+    # existing vector, built DISTRIBUTEDLY from spark.range — no driver-side
+    # row synthesis) is appended to a frozen-quantizer index, and the
+    # post-rebalance per-cell population is reported — the monitor table an
+    # operator watches. Cold cells keep their ids (stable output), split
+    # cells shrink, new sub-cell ids appear at the end.
+    from stupidb_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_append,
+        ivf_cell_stats,
+        ivf_rebalance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    idx = build_ivf_index(emb, cache_key=f"{sf_dir}/embeddings")
+    k = len(idx.centroids)
+    seed = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    seed_lit = F.array(*[F.lit(float(x)) for x in seed])
+    jitter = F.transform(
+        F.sequence(F.lit(0), F.lit(len(seed) - 1)),
+        lambda d: F.element_at(seed_lit, d + 1)
+        * (1.0 + 0.08 * (((F.col("id") * 31 + d * 7) % 13) - 6)),
+    )
+    skew = spark.range(6 * n // k).select(
+        (F.col("id") + F.lit(n)).alias("vec_id"),
+        jitter.cast("array<float>").alias("embedding"),
+    )
+    appended = ivf_append(idx, skew)
+    res = ivf_rebalance(appended, max_ratio=3.0, target_ratio=2.0)
+    return ivf_cell_stats(res.index.indexed).select("cell", "n")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from stupidb_spark.functions import exact as X
 from stupidb_spark.functions import text as T
+from stupidb_spark.operators.dedup import corpus_join_strategy
 from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
 from stupidb_spark.verbs import aggregate, group_by, select
@@ -499,8 +500,8 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
     )
     return (
-        tf.hint("shuffle_hash")
-        .join(dfreq.hint("shuffle_hash"), "w")
+        tf.hint(corpus_join_strategy())
+        .join(dfreq.hint(corpus_join_strategy()), "w")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -558,8 +559,8 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        toks.hint("shuffle_hash")
-        .join(df_tab.hint("shuffle_hash"), "term")
+        toks.hint(corpus_join_strategy())
+        .join(df_tab.hint(corpus_join_strategy()), "term")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

@@ -524,3 +524,39 @@ def test_jaccard_capped_runtime_reuse(spark):
     reused = len(re.findall(r"ReusedExchange", final))
     assert reused >= 1, final
     assert real <= 7, final
+
+
+def test_corpus_join_strategy_merge_override(spark, monkeypatch):
+    """Memory-ceiling rehearsal finding (SCALE.md): shuffle_hash's
+    per-partition hash BUILD is the one non-spillable step — oversized
+    partitions on a tight heap die with 'not enough memory to build hash
+    map' where sort-merge spills and finishes. SPARK_GRAFT_CORPUS_JOIN=merge
+    pins the spillable strategy on every corpus-sized join; the broadcast
+    ban holds in both modes and results are identical."""
+    import re
+
+    from stupidb_spark.operators.dedup import corpus_join_strategy
+
+    base = sorted(
+        map(tuple, QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_JOIN", "merge")
+    assert corpus_join_strategy() == "merge"
+    plan = formatted_plan(QUERIES["dedup_minhash_lsh"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    plan = formatted_plan(QUERIES["text_tfidf_topterm"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" not in plan
+    for m in re.finditer(r"\(\d+\) BroadcastHashJoin[^\n]*\n(?:[^\n]*\n){0,3}", plan):
+        assert "Left keys [0]" in m.group(0) or "Join condition: None" in m.group(0)
+    merged = sorted(
+        map(tuple, QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect())
+    )
+    assert merged == base
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_JOIN", "nope")
+    import pytest
+
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CORPUS_JOIN"):
+        corpus_join_strategy()
