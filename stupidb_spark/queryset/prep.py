@@ -236,17 +236,33 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-language top-k vocabulary: explode → two-phase hash agg (map-side
     # partial combine collapses the token stream before the shuffle) →
-    # per-lang window rank. Tiebreak on term keeps the cut deterministic.
+    # TWO-PHASE exact rank. A single per-lang row_number window would sort
+    # one language's ENTIRE vocabulary (billions of terms at 100 TB) in one
+    # task; instead terms rank first within (lang, salt-of-term) buckets —
+    # 16-way parallel — and only each bucket's top-k survive to the final
+    # per-lang rank over ≤ 16·k rows. Exact by containment: a global top-k
+    # term beats everything in its own bucket too, so it survives phase 1;
+    # the phase-2 rank therefore equals the single-window rank. Tiebreak on
+    # term keeps the cut deterministic.
     counts = (
         _docs(spark, sf_dir)
         .select("lang", F.explode(words(F.col("text"))).alias("term"))
         .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    local_rk = F.row_number().over(
+        W.partitionBy("lang", F.pmod(F.xxhash64("term"), F.lit(16))).orderBy(
+            F.desc("n"), "term"
+        )
+    )
+    survivors = counts.withColumn("__lrk", local_rk).filter(
+        F.col("__lrk") <= TOPK_TERMS
+    )
     rnk = F.row_number().over(W.partitionBy("lang").orderBy(F.desc("n"), "term"))
     return (
-        counts.withColumn("rnk", rnk.cast("long"))
+        survivors.withColumn("rnk", rnk.cast("long"))
         .filter(F.col("rnk") <= TOPK_TERMS)
+        .select("lang", "term", "n", "rnk")
     )
 
 
@@ -289,6 +305,15 @@ def prep_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table broadcast-joins back onto the fact side: two shuffles total
     # (rank window + final agg) regardless of data size; the clamp itself
     # is a codegen'd least/greatest at scan speed.
+    #
+    # Scale note: the exact rank is a per-event_type total order — one
+    # WindowExec task sorts one type's rows (spillable, but a straggler for
+    # a dominant type at 100 TB). Exactness is the point of this oracled
+    # form; a corpus-scale winsorize swaps the cutoff source to
+    # F.approx_percentile (t-digest: mergeable KB state, no per-group
+    # sort) and keeps the identical broadcast-clamp tail — the same
+    # exact-vs-mergeable trade documented for the sketches in
+    # queryset/udaf.py.
     events = load_table(spark, sf_dir, "events")
     w_rank = W.partitionBy("event_type").orderBy("value", "event_id")
     ranked = events.select(

@@ -494,12 +494,7 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
-    from pyspark.sql.window import Window as W
-
-    rk = F.row_number().over(
-        W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
-    )
-    return (
+    scored = (
         tf.hint(corpus_join_strategy())
         .join(dfreq.hint(corpus_join_strategy()), "w")
         .crossJoin(F.broadcast(n))
@@ -510,9 +505,23 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score"
             ),
         )
-        .withColumn("rk", rk)
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("w").alias("top_term"), "score")
+    )
+    # Per-doc top-1 as a HASH AGGREGATE (min_by over a total ordering), not
+    # a row_number window: WindowExec sorts one partition per document in a
+    # single task — the mega-document straggler shape doc_shingles guards
+    # against — while min_by flows through the ordinary two-phase agg with
+    # map-side partials and never buffers a document's terms. The ordering
+    # struct (-score, w) is total on (doc_id, w)-unique rows, so the winner
+    # is deterministic and identical to the window form (max score,
+    # tie → lexicographically first term).
+    best = scored.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(F.col("w"), F.col("score")),
+            F.struct((-F.col("score")).alias("s"), F.col("w")),
+        ).alias("b")
+    )
+    return best.select(
+        "doc_id", F.col("b.w").alias("top_term"), F.col("b.score").alias("score")
     )
 
 

@@ -212,15 +212,18 @@ EXCHANGE_BUDGETS = {
     # bucket offsets agg + tiny offset window + per-bucket rank window
     # (the broadcast join back adds no exchange)
     "shuffle_deterministic": 3,
-    # two-phase term count + per-lang rank window
-    "terms_topk": 2,
+    # two-phase term count + salted local rank + final per-lang rank over
+    # the <= 16k survivors (the extra exchange buys 16-way parallelism over
+    # the vocabulary instead of one task sorting a whole language)
+    "terms_topk": 3,
     # static CASE banding: the groupBy is the ONLY exchange (no join)
     "range_join_buckets": 1,
     # spread + ids-only partial-topk merge (mask scorer — no candidate join)
     "ann_topk_lsh": 2,
     # (doc, word) counts then per-doc rollup
     "text_repetition": 2,
-    # tf + df + word-keyed join (both sides) + doc window + 1-row N agg
+    # tf + df + word-keyed join (both sides) + per-doc min_by agg + 1-row
+    # N agg (top-1 is a hash aggregate, not a per-doc sort window)
     "text_tfidf_topterm": 7,
     # ONE user_id exchange serves both window passes and the rollup
     "events_sessionize_window": 1,
