@@ -39,6 +39,7 @@ from stupidb_spark.operators.multimodal import (
     synthesize_media,
 )
 from stupidb_spark.operators.bloom import NumpyBloom, bloom_contamination
+from stupidb_spark.operators.lm import doc_bigrams, ngram_lm_score
 from stupidb_spark.operators.heavyhitters import top_terms_approx
 from stupidb_spark.operators.packing import pack_by_cumsum, pack_greedy
 from stupidb_spark.operators.similarity import (
@@ -65,6 +66,8 @@ __all__ = [
     "DOC_BYTES_CAP",
     "ScaleWarning",
     "corpus_join_strategy",
+    "doc_bigrams",
+    "ngram_lm_score",
     "doc_shingles",
     "exact_dedup",
     "jaccard_pairs",

@@ -108,9 +108,11 @@ def _doc_bytes_guard(
     )
     # assert_true returns NULL when the predicate holds, so the guard is a
     # no-op wrapper around the text column (same pattern as
-    # functions/navigation.py::_partition_guard).
+    # functions/navigation.py::_partition_guard). All other columns pass
+    # through untouched.
+    others = [c for c in df.columns if c != text_col]
     return df.select(
-        "doc", F.when(ok.isNull(), F.col(text_col)).alias(text_col)
+        *others, F.when(ok.isNull(), F.col(text_col)).alias(text_col)
     )
 
 

@@ -1,0 +1,198 @@
+"""N-gram language-model document scoring — the CCNet/RefinedWeb-style
+quality filter: score every document by its mean log-probability (and
+perplexity) under an add-k-smoothed bigram model trained on a reference
+slice of the corpus, per language.
+
+Beyond-reference surface (the reference engine has no text pipeline at
+all); public-recipe provenance: perplexity filtering of web corpora against
+a clean-reference LM is the standard pretraining-data quality gate
+(Wenzek et al., CCNet, LREC 2020).
+
+Scale design (100 TB):
+- Model state is RELATIONS, not a driver-side model: bigram counts
+  C(lang, w1, w2), context counts C(lang, w1), and per-language vocabulary
+  sizes V(lang) are ordinary aggregates with map-side partial combine —
+  one shuffle each, mergeable, no collect. At corpus scale the count
+  tables are VOCABULARY-sized (billions of bigrams), so the scoring joins
+  are pinned via :func:`~stupidb_spark.operators.dedup.corpus_join_strategy`
+  — never an estimate-driven broadcast (the text_rarity_score lesson).
+  Only V(lang) — one row per language — rides a broadcast.
+- Bigram extraction is the doc_shingles formulation (posexplode + lead
+  window, whole-stage codegen, no HOF re-tokenization) WITHOUT the
+  distinct: an LM needs token multiplicity. The same per-document window
+  means the same mega-document hazard, so the same ``max_doc_bytes`` guard
+  applies at the source.
+- Smoothing makes scoring total for modeled languages: an unseen bigram
+  contributes ln(k / (C(w1)+k·V)) via the LEFT joins' null→0; documents of
+  a language with NO reference data drop out at the inner V join
+  (documented contract — no model, no score).
+
+Cross-engine parity AND run-to-run determinism: ln is a libm call whose
+last ulp may differ between the JVM and DuckDB, and a float mean varies
+with partition order. Each bigram's logp is therefore floored once onto a
+1e-6 grid (identical construction in the SQL oracle; ln's ≤1-ulp wobble is
+~1e9× finer than the grid) and summed exactly as longs — the score is a
+deterministic rational of the quantized values on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stupidb_spark.functions.text import words
+from stupidb_spark.operators.dedup import (
+    DOC_BYTES_CAP,
+    _doc_bytes_guard,
+    corpus_join_strategy,
+    spread_small_scan,
+)
+
+
+def doc_bigrams(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> DataFrame:
+    """Per-document bigrams WITH multiplicity as ``(doc[, lang], w1, w2)``
+    rows — the non-distinct sibling of
+    :func:`~stupidb_spark.operators.dedup.doc_shingles` (an LM weights a
+    repeated bigram once per occurrence; dedup wants set semantics).
+
+    MAP-ONLY formulation: adjacent tokens are paired with
+    ``arrays_zip(slice(w, 1, n−1), slice(w, 2, n−1))`` and exploded — zero
+    shuffles, unlike the shingle path's per-doc lead window. The trade,
+    chosen deliberately: Catalyst inlines the aliased ``words(text)`` into
+    each reference (no CSE for projections feeding a Generate), so the
+    tokenizer runs a small CONSTANT number of times per document — cheap
+    local regex work — versus shuffling and sorting every token row across
+    the cluster. With no WindowExec, a mega-document is only a linear
+    scan-task straggler, not a buffered-partition OOM; the byte guard still
+    applies to keep task sizes predictable.
+    """
+    keep = [F.col(id_col).alias("doc"), F.col(text_col)] + (
+        [F.col(lang_col).alias("lang")] if lang_col else []
+    )
+    base = spread_small_scan(df.select(*keep))
+    base = _doc_bytes_guard(base, text_col, max_doc_bytes, "doc_bigrams")
+    extra = ["lang"] if lang_col else []
+    w = words(F.col(text_col))
+    n = F.size(w)
+    pairs = F.when(
+        n >= 2, F.arrays_zip(F.slice(w, 1, n - 1), F.slice(w, 2, n - 1))
+    ).otherwise(F.array())
+    return base.select(
+        "doc", *extra, F.explode(pairs).alias("__bg")
+    ).select(
+        "doc",
+        *extra,
+        F.col("__bg")["0"].alias("w1"),
+        F.col("__bg")["1"].alias("w2"),
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    ref: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    k: float = 0.5,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> DataFrame:
+    """Score every document in ``docs`` under a per-language add-k bigram
+    LM trained on ``ref``: ``avg_logp`` = mean over the document's bigrams
+    of ln((C(w1,w2)+k) / (C(w1)+k·V)), ``ppl`` = exp(−avg_logp), plus the
+    bigram count. Lower perplexity ⇒ more reference-like text — threshold
+    ``ppl`` to filter a crawl against a clean corpus (the CCNet recipe).
+
+    Documents with fewer than two tokens have no bigrams, and documents
+    whose language has no reference data have no model — both are OMITTED
+    from the output (score undefined); count them upstream if the
+    distinction matters.
+
+    Returns: ``doc, lang, n_bigrams, avg_logp, ppl``.
+    """
+    strat = corpus_join_strategy()
+    ref_bg = doc_bigrams(
+        ref,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        max_doc_bytes=max_doc_bytes,
+    )
+    bigram_c = ref_bg.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    # Context counts and vocabulary derive from bigram_c, NOT from a second
+    # and third pass over the exploded reference: C(w1) = Σ_w2 C(w1,w2)
+    # exactly, and distinct tokens over bigram TYPES equal distinct tokens
+    # over occurrences. One heavy aggregation feeds everything; the rollups
+    # are vocabulary-sized follow-ups (and the repeated bigram_c subtrees
+    # dedupe to one ReusedExchange at runtime).
+    context_c = bigram_c.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
+    # per-language vocabulary size — one row per language, the only
+    # broadcast in the plan
+    vocab = (
+        bigram_c.select("lang", F.col("w1").alias("w"))
+        .unionByName(bigram_c.select("lang", F.col("w2").alias("w")))
+        .groupBy("lang")
+        .agg(F.count_distinct("w").alias("v"))
+    )
+
+    doc_bg = doc_bigrams(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        max_doc_bytes=max_doc_bytes,
+    )
+    # vocabulary-sized model relations join the corpus-sized bigram stream:
+    # both sides pinned, never estimate-broadcast
+    joined = (
+        doc_bg.hint(strat)
+        .join(bigram_c.hint(strat), ["lang", "w1", "w2"], "left")
+        .hint(strat)
+        .join(context_c.hint(strat), ["lang", "w1"], "left")
+        # INNER join on the per-language V table: a language with no
+        # reference data has no model — its documents drop out here rather
+        # than dividing by the k*0 denominator (ANSI division-by-zero).
+        # Filter upstream if unmodeled-language docs need to be surfaced.
+        .join(F.broadcast(vocab), "lang")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+        / (
+            F.coalesce(F.col("c1"), F.lit(0))
+            + F.lit(k) * F.coalesce(F.col("v"), F.lit(0))
+        )
+    )
+    # Order-independent mean (the emb_label_centroids quantized-grid trick):
+    # a plain F.avg over doubles varies with partition order (float addition
+    # is non-associative), which would flake the hash-stability sweep and
+    # the DuckDB comparison. Each logp is floored once onto a 1e-6 grid
+    # (identical construction on the SQL side; ln's ≤1-ulp cross-engine
+    # wobble is ~1e9× finer than the grid) and summed EXACTLY as longs, so
+    # the mean is a deterministic rational of the quantized values.
+    q = F.floor(logp * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        joined.groupBy("doc", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(q).alias("__qsum"),
+        )
+        .select(
+            "doc",
+            "lang",
+            "n_bigrams",
+            (
+                (F.col("__qsum").cast("double") / F.lit(1000000.0))
+                / F.col("n_bigrams")
+            ).alias("avg_logp"),
+        )
+        .withColumn("ppl", F.exp(-F.col("avg_logp")))
+    )

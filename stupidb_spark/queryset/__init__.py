@@ -196,9 +196,10 @@ PRIORITY: tuple[str, ...] = (
     "ann_topk_lsh",
     "ann_topk_ivf",
     "agg_udaf_geomean",
-    # round-8 additions (rows-only: density estimator + maintenance loop)
+    # round-8 additions (density estimator + maintenance loop + LM filter)
     "dedup_simhash_density",
     "ann_ivf_rebalance_stats",
+    "text_lm_perplexity",
 )
 
 

@@ -577,3 +577,66 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_docs") - F.col("df")).alias("rarity"),
         )
     )
+
+
+@q(
+    "text_lm_perplexity",
+    """
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           t -> t != '') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               unnest([w[i] for i in range(1, len(w))])     AS w1,
+               unnest([w[i + 1] for i in range(1, len(w))]) AS w2
+        FROM w
+    ),
+    ref AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+    c2 AS (SELECT lang, w1, w2, count(*) AS c2 FROM ref GROUP BY 1, 2, 3),
+    c1 AS (SELECT lang, w1, count(*) AS c1 FROM ref GROUP BY 1, 2),
+    v AS (
+        SELECT lang, count(DISTINCT w) AS v
+        FROM (SELECT lang, w1 AS w FROM ref
+              UNION ALL SELECT lang, w2 FROM ref)
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT d.doc_id, d.lang,
+               CAST(floor(
+                   ln((coalesce(c2.c2, 0) + 0.5)
+                      / (coalesce(c1.c1, 0) + 0.5 * coalesce(v.v, 0)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM bg d
+        LEFT JOIN c2 USING (lang, w1, w2)
+        LEFT JOIN c1 USING (lang, w1)
+        JOIN v USING (lang)
+    )
+    SELECT doc_id, lang,
+           count(*) AS n_bigrams,
+           (CAST(sum(q) AS DOUBLE) / 1000000.0) / count(*) AS avg_logp
+    FROM j GROUP BY 1, 2
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style LM quality filter: every document scored by mean bigram
+    # log-probability under a per-language add-0.5 model trained on the
+    # deterministic doc_id % 5 == 0 reference slice (SQL-expressible, so
+    # the WHOLE pipeline — train and score — is oracled). Model state is
+    # relations (vocab-sized count tables, pinned joins, no driver model);
+    # the mean is an exact long sum of 1e-6-grid-quantized logps, so the
+    # score is order-independent and engine-identical (ppl = exp(-avg) is
+    # a bijection of avg_logp and stays un-oracled: one more libm call,
+    # zero more information). See operators/lm.py.
+    from stupidb_spark.operators.lm import ngram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    out = ngram_lm_score(
+        docs, ref, id_col="doc_id", text_col="text", lang_col="lang", k=0.5
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"), "lang", "n_bigrams", "avg_logp"
+    )

@@ -108,3 +108,90 @@ def test_lang_id_query_runs_and_is_total(spark):
     docs_n = load_table(spark, SF_DIR, "documents").count()
     assert out.count() == docs_n
     assert out.filter(F.col("pred_lang").isNull()).count() == 0
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Add-k bigram scoring against a hand-computed model: reference corpus
+    of one doc, scored docs with seen and unseen bigrams, exact expected
+    log-probs (to the operator's 1e-6 quantization grid)."""
+    import math
+
+    from stupidb_spark.operators.lm import ngram_lm_score
+
+    # reference: "a b a b c" -> bigrams ab, ba, ab, bc
+    # C(a,b)=2 C(b,a)=1 C(b,c)=1 ; C(a.)=2 C(b.)=2 ; V={a,b,c}=3
+    ref = spark.createDataFrame(
+        [(0, "a b a b c", "xx")], "doc_id long, text string, lang string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b c", "xx"),
+            (1, "a b", "xx"),      # one seen bigram
+            (2, "a z", "xx"),      # unseen bigram, seen context a
+            (3, "q r", "xx"),      # unseen bigram, unseen context
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.doc: (r.n_bigrams, r.avg_logp, r.ppl)
+        for r in ngram_lm_score(
+            docs, ref, id_col="doc_id", text_col="text", lang_col="lang", k=0.5
+        ).collect()
+    }
+    k, V = 0.5, 3
+
+    def q(p):  # the operator's grid quantization of one bigram logp
+        return math.floor(math.log(p) * 1e6 + 0.5)
+
+    p_ab = (2 + k) / (2 + k * V)
+    p_ba = (1 + k) / (2 + k * V)
+    p_bc = (1 + k) / (2 + k * V)
+    p_az = (0 + k) / (2 + k * V)
+    p_qr = (0 + k) / (0 + k * V)
+    exp0 = (q(p_ab) * 2 + q(p_ba) + q(p_bc)) / 1e6 / 4
+    assert out[0][0] == 4 and abs(out[0][1] - exp0) < 1e-12
+    assert out[1][0] == 1 and abs(out[1][1] - q(p_ab) / 1e6) < 1e-12
+    assert abs(out[2][1] - q(p_az) / 1e6) < 1e-12
+    assert abs(out[3][1] - q(p_qr) / 1e6) < 1e-12
+    # ppl is the bijection of avg_logp
+    assert abs(out[3][2] - math.exp(-out[3][1])) < 1e-9
+    # languages are independent models, and a language with NO reference
+    # data has no model: its documents are omitted (documented contract),
+    # not scored against a zero denominator
+    docs_other = spark.createDataFrame(
+        [(9, "a b", "yy")], "doc_id long, text string, lang string"
+    )
+    got = ngram_lm_score(
+        docs_other, ref, id_col="doc_id", text_col="text", lang_col="lang", k=0.5
+    ).collect()
+    assert got == []
+
+
+def test_ngram_lm_never_broadcasts_and_is_guarded(spark):
+    """The LM count tables are vocabulary-sized: no corpus/vocab side may
+    ever ride an estimate-driven broadcast (only the 1-row-per-language V
+    table broadcasts); the mega-document guard threads through."""
+    import re
+
+    import pytest
+
+    from stupidb_spark.plans import formatted_plan
+    from stupidb_spark.queryset import QUERIES
+
+    plan = formatted_plan(QUERIES["text_lm_perplexity"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    for m in re.finditer(
+        r"\(\d+\) BroadcastHashJoin[^\n]*\n(?:[^\n]*\n){0,3}", plan
+    ):
+        # the only BHJ allowed is the per-language V join (key: lang)
+        assert "lang" in m.group(0)
+    from stupidb_spark.operators.lm import ngram_lm_score
+
+    big = spark.createDataFrame(
+        [(1, "word " * 2000, "xx")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(Exception, match="max_doc_bytes"):
+        ngram_lm_score(
+            big, big, id_col="doc_id", text_col="text", lang_col="lang",
+            max_doc_bytes=1024,
+        ).count()
