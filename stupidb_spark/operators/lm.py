@@ -17,11 +17,12 @@ Scale design (100 TB):
   are pinned via :func:`~stupidb_spark.operators.dedup.corpus_join_strategy`
   — never an estimate-driven broadcast (the text_rarity_score lesson).
   Only V(lang) — one row per language — rides a broadcast.
-- Bigram extraction is the doc_shingles formulation (posexplode + lead
-  window, whole-stage codegen, no HOF re-tokenization) WITHOUT the
-  distinct: an LM needs token multiplicity. The same per-document window
-  means the same mega-document hazard, so the same ``max_doc_bytes`` guard
-  applies at the source.
+- Bigram extraction is MAP-ONLY (arrays_zip of two array slices, exploded
+  — zero shuffles, no per-doc WindowExec; see :func:`doc_bigrams` for the
+  deliberate tokenize-a-few-times-vs-shuffle-every-token trade), keeping
+  token multiplicity (an LM weights a repeated bigram per occurrence,
+  unlike dedup's distinct shingles). The ``max_doc_bytes`` guard still
+  applies at the source for predictable task sizes.
 - Smoothing makes scoring total for modeled languages: an unseen bigram
   contributes ln(k / (C(w1)+k·V)) via the LEFT joins' null→0; documents of
   a language with NO reference data drop out at the inner V join
@@ -36,6 +37,8 @@ deterministic rational of the quantized values on both engines.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -94,8 +97,21 @@ def doc_bigrams(
     )
 
 
-def ngram_lm_score(
-    docs: DataFrame,
+@dataclass
+class NgramLM:
+    """A trained model, as relations: bigram counts ``(lang, w1, w2, c2)``,
+    context counts ``(lang, w1, c1)``, per-language vocabulary sizes
+    ``(lang, v)``, and the smoothing constant. Being relations, the model
+    persists as ordinary tables (write/read parquet), merges by summing
+    counts, and stream-static-joins against a document stream."""
+
+    bigram_c: DataFrame
+    context_c: DataFrame
+    vocab: DataFrame
+    k: float
+
+
+def ngram_lm_train(
     ref: DataFrame,
     *,
     id_col: str,
@@ -103,21 +119,9 @@ def ngram_lm_score(
     lang_col: str,
     k: float = 0.5,
     max_doc_bytes: int | None = DOC_BYTES_CAP,
-) -> DataFrame:
-    """Score every document in ``docs`` under a per-language add-k bigram
-    LM trained on ``ref``: ``avg_logp`` = mean over the document's bigrams
-    of ln((C(w1,w2)+k) / (C(w1)+k·V)), ``ppl`` = exp(−avg_logp), plus the
-    bigram count. Lower perplexity ⇒ more reference-like text — threshold
-    ``ppl`` to filter a crawl against a clean corpus (the CCNet recipe).
-
-    Documents with fewer than two tokens have no bigrams, and documents
-    whose language has no reference data have no model — both are OMITTED
-    from the output (score undefined); count them upstream if the
-    distinction matters.
-
-    Returns: ``doc, lang, n_bigrams, avg_logp, ppl``.
-    """
-    strat = corpus_join_strategy()
+) -> NgramLM:
+    """Fit the per-language add-k bigram model on a reference corpus —
+    three aggregates, no driver-side state."""
     ref_bg = doc_bigrams(
         ref,
         id_col=id_col,
@@ -136,14 +140,35 @@ def ngram_lm_score(
     # dedupe to one ReusedExchange at runtime).
     context_c = bigram_c.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
     # per-language vocabulary size — one row per language, the only
-    # broadcast in the plan
+    # broadcast in the scoring plan
     vocab = (
         bigram_c.select("lang", F.col("w1").alias("w"))
         .unionByName(bigram_c.select("lang", F.col("w2").alias("w")))
         .groupBy("lang")
         .agg(F.count_distinct("w").alias("v"))
     )
+    return NgramLM(bigram_c=bigram_c, context_c=context_c, vocab=vocab, k=k)
 
+
+def ngram_lm_apply(
+    docs: DataFrame,
+    model: NgramLM,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> DataFrame:
+    """Score ``docs`` (batch OR streaming) under a trained model.
+
+    Streaming ``docs`` compose natively: ``doc_bigrams`` is map-only, the
+    model joins are stream-static joins, and the per-doc rollup is a
+    streaming aggregation (run in ``complete``/``update`` mode, or attach a
+    watermark on an ingest timestamp for bounded state). Join-strategy
+    hints are applied only on the batch path — micro-batch planning picks
+    its own strategy for stream-static joins.
+    """
+    k = model.k
     doc_bg = doc_bigrams(
         docs,
         id_col=id_col,
@@ -151,19 +176,23 @@ def ngram_lm_score(
         lang_col=lang_col,
         max_doc_bytes=max_doc_bytes,
     )
+    streaming = bool(docs.isStreaming)
+
+    def pin(df: DataFrame) -> DataFrame:
+        return df if streaming else df.hint(corpus_join_strategy())
+
     # vocabulary-sized model relations join the corpus-sized bigram stream:
-    # both sides pinned, never estimate-broadcast
+    # both sides pinned (batch), never estimate-broadcast
     joined = (
-        doc_bg.hint(strat)
-        .join(bigram_c.hint(strat), ["lang", "w1", "w2"], "left")
-        .hint(strat)
-        .join(context_c.hint(strat), ["lang", "w1"], "left")
-        # INNER join on the per-language V table: a language with no
-        # reference data has no model — its documents drop out here rather
-        # than dividing by the k*0 denominator (ANSI division-by-zero).
-        # Filter upstream if unmodeled-language docs need to be surfaced.
-        .join(F.broadcast(vocab), "lang")
+        pin(doc_bg)
+        .join(pin(model.bigram_c), ["lang", "w1", "w2"], "left")
     )
+    joined = pin(joined).join(pin(model.context_c), ["lang", "w1"], "left")
+    # INNER join on the per-language V table: a language with no
+    # reference data has no model — its documents drop out here rather
+    # than dividing by the k*0 denominator (ANSI division-by-zero).
+    # Filter upstream if unmodeled-language docs need to be surfaced.
+    joined = joined.join(F.broadcast(model.vocab), "lang")
     logp = F.log(
         (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
         / (
@@ -195,4 +224,45 @@ def ngram_lm_score(
             ).alias("avg_logp"),
         )
         .withColumn("ppl", F.exp(-F.col("avg_logp")))
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    ref: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    k: float = 0.5,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> DataFrame:
+    """Train on ``ref`` and score ``docs`` in one call: ``avg_logp`` = mean
+    over the document's bigrams of ln((C(w1,w2)+k) / (C(w1)+k·V)), ``ppl``
+    = exp(−avg_logp), plus the bigram count. Lower perplexity ⇒ more
+    reference-like text — threshold ``ppl`` to filter a crawl against a
+    clean corpus (the CCNet recipe).
+
+    Documents with fewer than two tokens have no bigrams, and documents
+    whose language has no reference data have no model — both are OMITTED
+    from the output (score undefined); count them upstream if the
+    distinction matters.
+
+    Returns: ``doc, lang, n_bigrams, avg_logp, ppl``.
+    """
+    model = ngram_lm_train(
+        ref,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        k=k,
+        max_doc_bytes=max_doc_bytes,
+    )
+    return ngram_lm_apply(
+        docs,
+        model,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        max_doc_bytes=max_doc_bytes,
     )

@@ -9,6 +9,7 @@ transfers to the stream, and adds a custom stateful operator built on
 ``step/combine/finalize`` aggregate surface, `stupidb/aggregator.py:38-61`).
 """
 
+from stupidb_spark.streaming.documents import lm_scored_stream, stream_documents
 from stupidb_spark.streaming.events import (
     attribution_stream,
     deduped_stream,
@@ -29,4 +30,6 @@ __all__ = [
     "deduped_stream",
     "user_running_totals",
     "run_to_memory",
+    "stream_documents",
+    "lm_scored_stream",
 ]

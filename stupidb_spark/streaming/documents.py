@@ -1,0 +1,51 @@
+"""Streaming document scoring — the LM quality filter as a live pipeline.
+
+The model is trained in BATCH (``operators/lm.py::ngram_lm_train`` — at
+scale: persisted as parquet tables and refreshed on a schedule); incoming
+documents score against it with stream-static joins, the Structured
+Streaming pattern for enriching a stream from reference tables. Identical
+scoring expressions to the batch path (``ngram_lm_apply`` is
+batch/stream-polymorphic), so the DuckDB-oracle-verified batch semantics
+(`text_lm_perplexity`) are what the stream computes per micro-batch.
+
+Scale notes: the file source becomes Kafka; the per-doc rollup is keyed by
+(doc, lang) — attach a watermark on an ingest timestamp to bound its state
+in a continuous deployment (the test path uses availableNow + complete
+mode); the static model side is re-read per micro-batch, so a model
+refresh lands without restarting the stream (swap the files behind the
+same path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stupidb_spark.operators.lm import NgramLM, ngram_lm_apply
+from stupidb_spark.sources.catalog import FIXTURE_SCHEMAS
+
+
+def stream_documents(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of documents parquet files dropped into
+    ``source_dir`` (the fixture ``documents`` schema, pinned)."""
+    reader = spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def lm_scored_stream(docs_stream: DataFrame, model: NgramLM) -> DataFrame:
+    """Score a document stream under a batch-trained LM — stream-static
+    joins against the model relations, per-doc rollup as a streaming
+    aggregation. Columns match the batch ``ngram_lm_score`` output."""
+    return ngram_lm_apply(
+        docs_stream,
+        model,
+        id_col="doc_id",
+        text_col="text",
+        lang_col="lang",
+    )

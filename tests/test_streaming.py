@@ -198,3 +198,43 @@ def test_stream_events_refuses_empty_source_dir(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="sniff"):
         stream_events(spark, str(tmp_path))
 
+
+
+def test_lm_scored_stream_equals_batch(spark):
+    """Stream-static joins: documents streamed in two micro-batches, scored
+    against the batch-trained LM relations, must equal the batch scorer
+    row-for-row (whose semantics are DuckDB-oracled via
+    text_lm_perplexity)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.operators.lm import ngram_lm_score, ngram_lm_train
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.streaming import lm_scored_stream, stream_documents
+
+    d = SCRATCH / f"stream-docs-{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    try:
+        # stage the fixture as TWO files so scores assemble across
+        # micro-batches (maxFilesPerTrigger=1)
+        t = pq.read_table(f"{SF_DIR}/documents.parquet")
+        n = t.num_rows
+        pq.write_table(t.slice(0, n // 2), d / "part-000.parquet")
+        pq.write_table(t.slice(n // 2), d / "part-001.parquet")
+
+        docs = load_table(spark, SF_DIR, "documents")
+        ref = docs.filter(F.col("doc_id") % 5 == 0)
+        model = ngram_lm_train(
+            ref, id_col="doc_id", text_col="text", lang_col="lang", k=0.5
+        )
+        stream = lm_scored_stream(
+            stream_documents(spark, str(d), max_files_per_trigger=1), model
+        )
+        got = run_to_memory(stream, "t_lm_scores")
+        want = ngram_lm_score(
+            docs, ref, id_col="doc_id", text_col="text", lang_col="lang", k=0.5
+        )
+        _assert_same(got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
