@@ -39,7 +39,18 @@ from stupidb_spark.operators.multimodal import (
     synthesize_media,
 )
 from stupidb_spark.operators.bloom import NumpyBloom, bloom_contamination
-from stupidb_spark.operators.lm import doc_bigrams, ngram_lm_score
+from stupidb_spark.operators.lm import (
+    NgramLM,
+    StupidBackoffLM,
+    backoff_lm_apply,
+    backoff_lm_score,
+    backoff_lm_train,
+    doc_bigrams,
+    doc_ngrams,
+    ngram_lm_apply,
+    ngram_lm_score,
+    ngram_lm_train,
+)
 from stupidb_spark.operators.heavyhitters import top_terms_approx
 from stupidb_spark.operators.packing import pack_by_cumsum, pack_greedy
 from stupidb_spark.operators.similarity import (
@@ -67,7 +78,15 @@ __all__ = [
     "ScaleWarning",
     "corpus_join_strategy",
     "doc_bigrams",
+    "doc_ngrams",
+    "NgramLM",
+    "StupidBackoffLM",
+    "ngram_lm_train",
+    "ngram_lm_apply",
     "ngram_lm_score",
+    "backoff_lm_train",
+    "backoff_lm_apply",
+    "backoff_lm_score",
     "doc_shingles",
     "exact_dedup",
     "jaccard_pairs",

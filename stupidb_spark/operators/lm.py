@@ -266,3 +266,220 @@ def ngram_lm_score(
         lang_col=lang_col,
         max_doc_bytes=max_doc_bytes,
     )
+
+
+def doc_ngrams(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    lang_col: str | None = None,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> DataFrame:
+    """Per-document n-grams with multiplicity as ``(doc[, lang], w1..wn)``
+    rows — :func:`doc_bigrams` generalized: arrays_zip of ``n`` shifted
+    slices, exploded map-only (zero shuffles)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    keep = [F.col(id_col).alias("doc"), F.col(text_col)] + (
+        [F.col(lang_col).alias("lang")] if lang_col else []
+    )
+    base = spread_small_scan(df.select(*keep))
+    base = _doc_bytes_guard(base, text_col, max_doc_bytes, "doc_ngrams")
+    extra = ["lang"] if lang_col else []
+    w = words(F.col(text_col))
+    sz = F.size(w)
+    length = sz - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(w, 1 + j, length) for j in range(n)])
+    pairs = F.when(sz >= n, zipped).otherwise(F.array())
+    return base.select(
+        "doc", *extra, F.explode(pairs).alias("__ng")
+    ).select(
+        "doc",
+        *extra,
+        *[F.col("__ng")[str(j)].alias(f"w{j + 1}") for j in range(n)],
+    )
+
+
+@dataclass
+class StupidBackoffLM:
+    """Stupid Backoff trigram model (Brants et al., EMNLP 2007 — the
+    distributed-scale recipe: raw counts per order, NO normalization, a
+    fixed backoff factor instead of discounting). State is four relations:
+    trigram / bigram / unigram counts and per-language token totals — all
+    mergeable by summing, all join-servable, exactly the representation the
+    paper built for trillion-token corpora."""
+
+    trigram_c: DataFrame
+    bigram_c: DataFrame
+    unigram_c: DataFrame
+    totals: DataFrame
+    alpha: float
+    k0: float
+
+
+def backoff_lm_train(
+    ref: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    alpha: float = 0.4,
+    k0: float = 0.5,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> StupidBackoffLM:
+    """Raw per-order counts over the reference corpus — three map-only
+    extractions feeding three map-side-combine aggregations; token totals
+    derive from the unigram table (one extra vocabulary-sized rollup)."""
+
+    def counts(n: int, names: list[str]) -> DataFrame:
+        ng = doc_ngrams(
+            ref,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            lang_col=lang_col,
+            max_doc_bytes=max_doc_bytes,
+        )
+        return ng.groupBy("lang", *names).agg(F.count(F.lit(1)).alias(f"c{n}"))
+
+    unigram_c = counts(1, ["w1"])
+    totals = unigram_c.groupBy("lang").agg(F.sum("c1").alias("n_tokens"))
+    return StupidBackoffLM(
+        trigram_c=counts(3, ["w1", "w2", "w3"]),
+        bigram_c=counts(2, ["w1", "w2"]),
+        unigram_c=unigram_c,
+        totals=totals,
+        alpha=alpha,
+        k0=k0,
+    )
+
+
+def backoff_lm_apply(
+    docs: DataFrame,
+    model: StupidBackoffLM,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> DataFrame:
+    """Score documents under Stupid Backoff: per trigram,
+    S = C3(w1w2w3)/C2(w1w2), backing off to α·C2(w2w3)/C1(w2), then to
+    α²·(C1(w3)+k0)/N — the ``k0`` floor (our documented deviation from the
+    pure recipe) keeps ln(S) finite for unseen words, the same add-k
+    philosophy as the bigram model. Scores are NOT probabilities (Stupid
+    Backoff never normalizes — its whole point); avg_logs is the mean ln S
+    on the 1e-6 quantized grid (order-independent, engine-identical).
+
+    Every count join is vocabulary-sized and pinned (batch path); only the
+    one-row-per-language totals table broadcasts; unmodeled languages drop
+    out at the inner totals join. Docs with < 3 tokens have no trigrams
+    and are omitted.
+
+    Returns: ``doc, lang, n_trigrams, avg_logs``.
+    """
+    alpha, k0 = model.alpha, model.k0
+    tg = doc_ngrams(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=3,
+        lang_col=lang_col,
+        max_doc_bytes=max_doc_bytes,
+    )
+    streaming = bool(docs.isStreaming)
+
+    def pin(df: DataFrame) -> DataFrame:
+        return df if streaming else df.hint(corpus_join_strategy())
+
+    c2 = model.bigram_c
+    c1 = model.unigram_c
+    j = pin(tg).join(pin(model.trigram_c), ["lang", "w1", "w2", "w3"], "left")
+    j = pin(j).join(pin(c2), ["lang", "w1", "w2"], "left")
+    j = pin(j).join(
+        pin(
+            c2.select(
+                "lang",
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c2_23"),
+            )
+        ),
+        ["lang", "w2", "w3"],
+        "left",
+    )
+    j = pin(j).join(
+        pin(c1.select("lang", F.col("w1").alias("w2"), F.col("c1").alias("c1_2"))),
+        ["lang", "w2"],
+        "left",
+    )
+    j = pin(j).join(
+        pin(c1.select("lang", F.col("w1").alias("w3"), F.col("c1").alias("c1_3"))),
+        ["lang", "w3"],
+        "left",
+    )
+    j = j.join(F.broadcast(model.totals), "lang")
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2"),
+        )
+        .when(
+            F.col("c2_23").isNotNull(),
+            F.lit(alpha) * (F.col("c2_23").cast("double") / F.col("c1_2")),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * (
+                (F.coalesce(F.col("c1_3"), F.lit(0)) + F.lit(k0))
+                / F.col("n_tokens")
+            )
+        )
+    )
+    q = F.floor(F.log(s) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        j.groupBy("doc", "lang")
+        .agg(F.count(F.lit(1)).alias("n_trigrams"), F.sum(q).alias("__qsum"))
+        .select(
+            "doc",
+            "lang",
+            "n_trigrams",
+            (
+                (F.col("__qsum").cast("double") / F.lit(1000000.0))
+                / F.col("n_trigrams")
+            ).alias("avg_logs"),
+        )
+    )
+
+
+def backoff_lm_score(
+    docs: DataFrame,
+    ref: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    alpha: float = 0.4,
+    k0: float = 0.5,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> DataFrame:
+    """Train Stupid Backoff on ``ref`` and score ``docs`` in one call."""
+    model = backoff_lm_train(
+        ref,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        alpha=alpha,
+        k0=k0,
+        max_doc_bytes=max_doc_bytes,
+    )
+    return backoff_lm_apply(
+        docs,
+        model,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        max_doc_bytes=max_doc_bytes,
+    )

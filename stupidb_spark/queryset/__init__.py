@@ -200,6 +200,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash_density",
     "ann_ivf_rebalance_stats",
     "text_lm_perplexity",
+    "text_lm_backoff",
 )
 
 

@@ -640,3 +640,83 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc").alias("doc_id"), "lang", "n_bigrams", "avg_logp"
     )
+
+
+@q(
+    "text_lm_backoff",
+    """
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           t -> t != '') AS w
+        FROM documents
+    ),
+    tg AS (
+        SELECT doc_id, lang,
+               unnest([w[i] for i in range(1, len(w) - 1)])     AS w1,
+               unnest([w[i + 1] for i in range(1, len(w) - 1)]) AS w2,
+               unnest([w[i + 2] for i in range(1, len(w) - 1)]) AS w3
+        FROM w
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               unnest([w[i] for i in range(1, len(w))])     AS w1,
+               unnest([w[i + 1] for i in range(1, len(w))]) AS w2
+        FROM w
+    ),
+    ug AS (SELECT doc_id, lang, unnest(w) AS w1 FROM w),
+    c3 AS (SELECT lang, w1, w2, w3, count(*) AS c3
+           FROM tg WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3, 4),
+    c2 AS (SELECT lang, w1, w2, count(*) AS c2
+           FROM bg WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+    c1 AS (SELECT lang, w1, count(*) AS c1
+           FROM ug WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(c1) AS BIGINT) AS n_tokens
+            FROM c1 GROUP BY 1),
+    j AS (
+        SELECT d.doc_id, d.lang,
+               CAST(floor(ln(
+                   CASE WHEN c3.c3 IS NOT NULL
+                            THEN CAST(c3.c3 AS DOUBLE) / c2a.c2
+                        WHEN c2b.c2 IS NOT NULL
+                            THEN CAST(0.4 AS DOUBLE)
+                                 * (CAST(c2b.c2 AS DOUBLE) / c1b.c1)
+                        ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                             * ((coalesce(c1c.c1, 0) + CAST(0.5 AS DOUBLE))
+                                / tot.n_tokens)
+                   END) * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM tg d
+        LEFT JOIN c3     ON c3.lang = d.lang AND c3.w1 = d.w1
+                         AND c3.w2 = d.w2 AND c3.w3 = d.w3
+        LEFT JOIN c2 c2a ON c2a.lang = d.lang AND c2a.w1 = d.w1
+                         AND c2a.w2 = d.w2
+        LEFT JOIN c2 c2b ON c2b.lang = d.lang AND c2b.w1 = d.w2
+                         AND c2b.w2 = d.w3
+        LEFT JOIN c1 c1b ON c1b.lang = d.lang AND c1b.w1 = d.w2
+        LEFT JOIN c1 c1c ON c1c.lang = d.lang AND c1c.w1 = d.w3
+        JOIN tot         ON tot.lang = d.lang
+    )
+    SELECT doc_id, lang,
+           count(*) AS n_trigrams,
+           (CAST(sum(q) AS DOUBLE) / 1000000.0) / count(*) AS avg_logs
+    FROM j GROUP BY 1, 2
+    """,
+)
+def text_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stupid Backoff (Brants et al., EMNLP 2007) — the LM scoring recipe
+    # DESIGNED for distributed count tables: raw per-order counts, no
+    # normalization, fixed backoff factor 0.4, with an add-0.5 unigram
+    # floor (documented deviation) keeping ln finite for unseen words.
+    # Same reference slice, quantized-grid mean, and modeled-language
+    # contract as text_lm_perplexity; trained AND scored under the oracle.
+    from stupidb_spark.operators.lm import backoff_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    out = backoff_lm_score(
+        docs, ref, id_col="doc_id", text_col="text", lang_col="lang",
+        alpha=0.4, k0=0.5,
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"), "lang", "n_trigrams", "avg_logs"
+    )

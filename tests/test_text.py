@@ -195,3 +195,51 @@ def test_ngram_lm_never_broadcasts_and_is_guarded(spark):
             big, big, id_col="doc_id", text_col="text", lang_col="lang",
             max_doc_bytes=1024,
         ).count()
+
+
+def test_backoff_lm_hand_computed(spark):
+    """Stupid Backoff against a hand-computed model: all three tiers (hit,
+    bigram backoff, floored unigram backoff) with exact expected scores on
+    the quantization grid."""
+    import math
+
+    from stupidb_spark.operators.lm import backoff_lm_score
+
+    ref = spark.createDataFrame(
+        [(0, "a b c a b d", "xx")], "doc_id long, text string, lang string"
+    )
+    # N=6; C1: a2 b2 c1 d1; C2: ab2 bc1 ca1 bd1; C3: abc1 bca1 cab1 abd1
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "xx"),   # trigram hit: 1/C2(ab)=0.5
+            (2, "c a b", "xx"),   # trigram hit: 1/C2(ca)=1.0 -> ln 0
+            (3, "x b d", "xx"),   # bigram backoff: 0.4*C2(bd)/C1(b)=0.2
+            (4, "a b x", "xx"),   # unigram floor: 0.4^2*(0+0.5)/6
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.doc: (r.n_trigrams, r.avg_logs)
+        for r in backoff_lm_score(
+            docs, ref, id_col="doc_id", text_col="text", lang_col="lang"
+        ).collect()
+    }
+
+    def q(s):
+        return math.floor(math.log(s) * 1e6 + 0.5) / 1e6
+
+    assert out[1] == (1, q(0.5))
+    assert out[2] == (1, q(1.0)) == (1, 0.0)
+    assert out[3] == (1, q(0.4 * (1 / 2)))
+    assert out[4] == (1, q(0.4 * 0.4 * ((0 + 0.5) / 6)))
+    # unmodeled language drops out; <3-token docs have no trigrams
+    extra = spark.createDataFrame(
+        [(9, "a b c", "yy"), (10, "a b", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    assert (
+        backoff_lm_score(
+            extra, ref, id_col="doc_id", text_col="text", lang_col="lang"
+        ).count()
+        == 0
+    )
