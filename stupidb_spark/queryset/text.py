@@ -720,3 +720,184 @@ def text_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc").alias("doc_id"), "lang", "n_trigrams", "avg_logs"
     )
+
+
+# Window width (tokens) for the duplicated-span detector. 5 keeps the
+# fixture corpus interesting (its vocabulary is small, so 5-grams repeat
+# across documents but are not universal); real pipelines use 50 (Lee et
+# al. 2022) — the plan shape is width-independent.
+_SPAN_W = 5
+
+
+@q(
+    "text_dup_spans",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_duck_words()} AS t FROM documents
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n_tokens FROM base),
+    starts AS (
+        SELECT doc_id, t, unnest(range(0, n_tokens - {_SPAN_W - 1})) AS pos
+        FROM sized WHERE n_tokens >= {_SPAN_W}
+    ),
+    ngrams AS (
+        SELECT doc_id, pos,
+               array_to_string(t[pos + 1 : pos + {_SPAN_W}], ' ') AS ng
+        FROM starts
+    ),
+    dup AS (
+        SELECT ng FROM ngrams GROUP BY ng
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, unnest(range(pos, pos + {_SPAN_W})) AS p
+            FROM ngrams WHERE ng IN (SELECT ng FROM dup)
+        )
+    ),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos
+            FROM cov GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           coalesce(c.n_dup_pos, 0) AS n_dup_pos,
+           CASE WHEN s.n_tokens = 0 THEN 0.0
+                ELSE CAST(coalesce(c.n_dup_pos, 0) AS DOUBLE) / s.n_tokens
+           END AS dup_frac
+    FROM sized s LEFT JOIN cnt c USING (doc_id)
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Duplicated-span coverage (the ExactSubstr dedup signal of Lee et al.
+    # 2022, "Deduplicating Training Data Makes Language Models Better",
+    # re-expressed relationally): a position is "duplicated" when it sits
+    # inside a W-token window whose exact text also occurs in ANOTHER
+    # document; each doc reports the fraction of its token positions so
+    # covered. The suffix-array machinery of the paper is replaced by the
+    # n-gram inverted index Spark already does well — same signal, two hash
+    # shuffles instead of a global sort.
+    #
+    # Scale story: window enumeration is map-side inside the scan task
+    # (transform over sequence — no per-doc WindowExec, so no mega-doc
+    # straggler; the doc_shingles byte guard applies upstream for prep
+    # pipelines). Shuffles: (1) ngram df partial-agg, (2) the ngram-keyed
+    # hit join — both sides corpus-sized post-explode, hence
+    # corpus_join_strategy-PINNED (never estimate-broadcast, cf. the 100x
+    # probe), (3) distinct covered positions, (4) the doc-keyed rollup
+    # join. At 100 TB you would shuffle xxhash64(ng) instead of the raw
+    # 5-gram string to cut shuffle bytes ~6x; the oracled form keeps the
+    # exact string so both engines compare the identical relation.
+    W = _SPAN_W
+    sized = (
+        _docs(spark, sf_dir)
+        .select("doc_id", T.words(F.col("text")).alias("t"))
+        .withColumn("n_tokens", F.size("t"))
+    )
+    spans = (
+        sized.where(F.col("n_tokens") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n_tokens - {W}), i -> "
+                    f"struct(i AS pos, array_join(slice(t, i + 1, {W}), ' ') AS ng))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.ng").alias("ng"))
+    )
+    dup = (
+        spans.groupBy("ng")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("ng")
+    )
+    hits = spans.hint(corpus_join_strategy()).join(
+        dup.hint(corpus_join_strategy()), "ng"
+    )
+    cov = hits.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(W - 1))).alias("p"),
+    ).distinct()
+    cnt = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_pos"))
+    return (
+        sized.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .hint(corpus_join_strategy())
+        .join(cnt.hint(corpus_join_strategy()), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_pos"), F.lit(0).cast("long")).alias(
+                "n_dup_pos"
+            ),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("n_dup_pos"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            )
+            .alias("dup_frac"),
+        )
+    )
+
+
+@q(
+    "text_entropy",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_duck_words()}) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    qd AS (
+        SELECT doc_id, c,
+               CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                   AS qc
+        FROM tf
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_uniq,
+               CAST(sum(c * qc) AS BIGINT) AS s
+        FROM qd GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_uniq,
+           CAST(n_words * CAST(floor(ln(CAST(n_words AS DOUBLE)) * 1000000.0
+                                     + 0.5) AS BIGINT) - s AS DOUBLE)
+               / (CAST(n_words AS DOUBLE) * 1000000.0) AS entropy
+    FROM agg
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-document word-distribution Shannon entropy (nats) — the
+    # third leg of the quality triad next to text_repetition's unique/top
+    # fractions: low entropy flags template and keyword-stuffed junk that
+    # uniq_frac alone misses. H = (n·ln n − Σ c_w·ln c_w) / n via the
+    # 1e-6 quantized-ln grid (the text_lm_perplexity construction): every
+    # ln is floored once onto the grid and everything after is exact long
+    # arithmetic with ONE final double division, so the result is
+    # order-independent AND engine-identical (ln's ≤1-ulp wobble is ~1e9x
+    # finer than the grid). Two partial-agg shuffles ((doc, word) then
+    # doc), ids+counts only — the text_repetition plan shape exactly.
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    qc = F.floor(
+        F.log(F.col("c").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.sum(F.col("c") * qc).alias("s"),
+    )
+    qn = F.floor(
+        F.log(F.col("n_words").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_uniq",
+        (
+            (F.col("n_words") * qn - F.col("s")).cast("double")
+            / (F.col("n_words").cast("double") * F.lit(1000000.0))
+        ).alias("entropy"),
+    )
