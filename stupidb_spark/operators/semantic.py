@@ -1,0 +1,211 @@
+"""SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+Data-efficient learning at web-scale through semantic deduplication"):
+cluster embeddings with a sample-trained k-means quantizer, resolve
+within-cluster cosine near-duplicate GROUPS (not just pairs), and keep
+exactly one member per group — the one with the LOWEST cosine to its
+cluster centroid, the paper's keep-the-outlier rule (the retained example
+adds the most diversity to the surviving corpus).
+
+Beyond-reference extension surface (SURVEY.md §7); the reference engine
+has no embedding operators at all. This is a pure composition of pieces
+that are each already scale-adjudicated in SCALE.md — no new shuffle
+shape is introduced:
+
+    ivf_train                 bounded driver-side sample (O(n_train·dim))
+    ivf_index                 map-only cell assignment (Arrow batches)
+    embedding_near_dup_pairs  salted block-local scoring; one oversized
+                              cell can never serialize onto one task
+    connected_components      checkpointed min-label propagation
+    keep-one                  a hash aggregate (min_by), never a window
+
+At 100 TB the within-cell pair step is the budget: cells from a k-means
+quantizer are balanced by construction (unlike raw category labels), and
+the salting cap bounds every task at ~max_block² comparisons regardless
+of how skewed a semantic cluster gets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stupidb_spark.operators.dedup import corpus_join_strategy
+from stupidb_spark.operators.ivf import ivf_index, ivf_train
+from stupidb_spark.operators.components import connected_components
+from stupidb_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+    pair_cosine,
+)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.9,
+    iters: int = 3,
+    n_train: int = 4096,
+    max_block: int = 2048,
+) -> DataFrame:
+    """One row per input vector: ``(id, cell, component, centroid_sim,
+    keep)``.
+
+    ``component`` is the semantic duplicate group (min reachable id over
+    the within-cell cosine≥threshold graph; singletons keep their own id);
+    ``keep`` marks the group survivor — lowest ``centroid_sim``, then
+    lowest id, so the output is fully deterministic given the (seeded,
+    sample-trained) quantizer.
+
+    Every step is deterministic: the quantizer trains on the ``n_train``
+    lowest-id vectors, cell assignment is argmax cosine in float64, and
+    ``centroid_sim`` uses the quantized-dot construction
+    (`similarity.pair_cosine`), so the keep decision is reproducible
+    run-to-run AND replicable by the numpy differential in
+    ``tests/test_semantic.py``.
+    """
+    spark = df.sparkSession
+    centroids = ivf_train(
+        df, id_col=id_col, vec_col=vec_col, k=k, iters=iters, n_train=n_train
+    )
+    # (neighbor_id, b_vec, cell) — map-only assignment pass.
+    indexed = ivf_index(df, centroids, id_col=id_col, vec_col=vec_col)
+
+    # Model side: k×dim doubles — broadcast by construction (bounded like
+    # the PQ codebooks), never estimate-driven.
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "cell int, __centroid array<double>",
+    )
+    scored = indexed.join(F.broadcast(cent_df), "cell").select(
+        F.col("neighbor_id").alias("node"),
+        "cell",
+        pair_cosine(F.col("b_vec"), F.col("__centroid")).alias("centroid_sim"),
+    )
+
+    pairs = embedding_near_dup_pairs(
+        indexed.select(
+            F.col("neighbor_id").alias(id_col),
+            F.col("b_vec").alias(vec_col),
+            "cell",
+        ),
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+        threshold=threshold,
+        max_block=max_block,
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        nodes=indexed.select(F.col("neighbor_id").alias("node")),
+    )
+
+    # Corpus-sized id-keyed joins from here down — strategy-pinned like
+    # every other corpus join (the broadcast ban of the 100× probe).
+    labeled = comp.hint(corpus_join_strategy()).join(
+        scored.hint(corpus_join_strategy()), "node"
+    )
+    # Group survivor via min_by over the total order (centroid_sim, node):
+    # a two-phase hash aggregate with map-side partials — the
+    # text_tfidf_topterm shape — never a per-group sort window.
+    best = labeled.groupBy("component").agg(
+        F.min_by(
+            F.col("node"),
+            F.struct(
+                F.col("centroid_sim").alias("s"), F.col("node").alias("n")
+            ),
+        ).alias("__keep_id")
+    )
+    return (
+        labeled.hint(corpus_join_strategy())
+        .join(best.hint(corpus_join_strategy()), "component")
+        .select(
+            F.col("node").alias(id_col),
+            "cell",
+            "component",
+            "centroid_sim",
+            (F.col("node") == F.col("__keep_id")).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_reference(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    threshold: float,
+) -> dict[int, tuple[int, bool]]:
+    """Driver-side numpy oracle for :func:`semantic_dedup` — same
+    quantized-cosine arithmetic, brute-force within-cell pairs, union-find
+    components, identical keep rule. Test-support code (used by the
+    differential in ``tests/test_semantic.py``); lives here so the two
+    implementations' arithmetic stays side by side.
+
+    Returns ``{id: (component, keep)}``.
+    """
+    from stupidb_spark.operators.similarity import QUANT_SCALE
+
+    def qdot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        return np.floor(A * B * QUANT_SCALE + 0.5).astype(np.int64).sum(axis=1)
+
+    def qcos(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        d = qdot(A, B).astype(np.float64) / QUANT_SCALE
+        na = np.sqrt(qdot(A, A).astype(np.float64) / QUANT_SCALE)
+        nb = np.sqrt(qdot(B, B).astype(np.float64) / QUANT_SCALE)
+        return d / (na * nb)
+
+    X = vecs.astype(np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Cn = centroids.astype(np.float64)
+    cn = np.linalg.norm(Cn, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    assign = np.argmax((X / norms) @ (Cn / cn).T, axis=1)
+
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root to mirror connected_components' label contract
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for c in np.unique(assign):
+        m = np.where(assign == c)[0]
+        for ii in range(len(m)):
+            a = m[ii]
+            if len(m) > ii + 1:
+                sims = qcos(
+                    np.repeat(X[a][None, :], len(m) - ii - 1, axis=0),
+                    X[m[ii + 1 :]],
+                )
+                for jj, s in zip(m[ii + 1 :], sims):
+                    if s >= threshold:
+                        union(int(ids[a]), int(ids[jj]))
+
+    csim = qcos(X, centroids.astype(np.float64)[assign])
+    comp_of = {int(i): find(int(i)) for i in ids}
+    # keep = argmin (centroid_sim, id) per component
+    best: dict[int, tuple[float, int]] = {}
+    for idx, i in enumerate(ids):
+        key = comp_of[int(i)]
+        cand = (float(csim[idx]), int(i))
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    return {
+        int(i): (comp_of[int(i)], best[comp_of[int(i)]][1] == int(i))
+        for i in ids
+    }

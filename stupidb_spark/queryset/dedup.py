@@ -419,3 +419,33 @@ def dedup_simhash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_pairs", 3).alias("est_pairs"),
         F.round("pairs_per_doc", 6).alias("pairs_per_doc"),
     )
+
+
+@q("dedup_semantic")  # approximate path (k-means cells aren't SQL); the
+# numpy differential in tests/test_semantic.py re-derives components and
+# keep decisions with identical quantized arithmetic — exact equality
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023): quantizer cells as dedup blocks,
+    # within-cell cosine groups via connected components, keep the group
+    # member FARTHEST from its centroid. The end-to-end "semantic dedup at
+    # scale" path — every stage bounded (driver sees only the n_train
+    # sample and the k×dim centroid table). threshold 0.4 matches
+    # dedup_embedding_cosine's calibration on the fixture embeddings.
+    from stupidb_spark.operators.semantic import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=16,
+        threshold=0.4,
+        max_block=1024,
+    )
+    return out.select(
+        "vec_id",
+        "cell",
+        "component",
+        X.dround(F.col("centroid_sim"), 9).alias("centroid_sim"),
+        "keep",
+    )

@@ -563,3 +563,27 @@ def test_corpus_join_strategy_merge_override(spark, monkeypatch):
 
     with pytest.raises(ValueError, match="SPARK_GRAFT_CORPUS_JOIN"):
         corpus_join_strategy()
+
+
+def test_semantic_dedup_broadcasts_only_bounded_sides(spark):
+    # dedup_semantic's corpus-sized id-keyed joins (labels↔scores,
+    # labels↔group-survivors) are strategy-pinned like every other corpus
+    # join; the ONLY broadcasts allowed in the plan are the two
+    # bounded-by-construction model/metadata sides — the k×dim centroid
+    # table and salted_block_tasks' per-block count table (≤ k rows each,
+    # both explicitly F.broadcast by contract, never estimate-driven).
+    import re
+
+    plan = formatted_plan(QUERIES["dedup_semantic"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+    assert n_bhj <= 2, plan
+
+
+def test_dup_spans_never_broadcasts_corpus_sides(spark):
+    # text_dup_spans' ngram-df hit join and the doc-keyed rollup join are
+    # both corpus-sized post-explode (the Catalyst estimate-undercount
+    # shape of the 100x probe) — strategy-pinned, never broadcast.
+    plan = formatted_plan(QUERIES["text_dup_spans"](spark, SF_DIR))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
