@@ -94,6 +94,11 @@ HEADLINE = [
     "terms_topk",
     "batch_shaping",
     "text_rarity_score",
+    "text_lm_perplexity",
+    "text_lm_backoff",
+    "text_dup_spans",
+    "text_entropy",
+    "dedup_semantic",
 ]
 
 

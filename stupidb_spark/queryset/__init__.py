@@ -66,6 +66,13 @@ PRIORITY: tuple[str, ...] = (
     "win_navigation",
     "win_dynamic_frame",
     "pipeline_prep",
+    # 9-12: oracled queries NEW this round — no driver row exists yet, so
+    # they outrank every refresh: the two LM scorers (trained AND scored
+    # under the oracle) and the duplicated-span / entropy quality signals.
+    "text_lm_perplexity",
+    "text_lm_backoff",
+    "text_dup_spans",
+    "text_entropy",
     # 9-25: the full r5-stale cohort — every oracled query whose most
     # recent driver row is CORRECTNESS_r05: the 12 queries deferred from
     # the round-7 rotation (they carried sf1 spot-gate rows meanwhile),
@@ -112,13 +119,17 @@ PRIORITY: tuple[str, ...] = (
     "join_theta",
     "join_full_outer",
     "join_left_nullpad",
+    # --- 51+: recently-gated queries and twins; all still run in
+    # tests/test_oracle_parity.py every session and in the full
+    # stability sweep. join_right / sort_limit_offset / sort_nulls_first /
+    # sort_topk dropped out of the top 50 to make room for the four
+    # new-this-round oracled queries above; all four kept their r6 driver
+    # rows and local pins, and round 9 owes them (plus the remaining 16 r6
+    # rows) next.
     "join_right",
     "sort_limit_offset",
     "sort_nulls_first",
     "sort_topk",
-    # --- 51+: recently-gated queries and twins; all still run in
-    # tests/test_oracle_parity.py every session and in the full
-    # stability sweep.
     "agg_grouped_stats",
     "agg_global_all12",
     "agg_udaf_sum_sq",
@@ -199,8 +210,7 @@ PRIORITY: tuple[str, ...] = (
     # round-8 additions (density estimator + maintenance loop + LM filter)
     "dedup_simhash_density",
     "ann_ivf_rebalance_stats",
-    "text_lm_perplexity",
-    "text_lm_backoff",
+    "dedup_semantic",
 )
 
 
