@@ -97,6 +97,7 @@ HEADLINE = [
     "text_lm_perplexity",
     "text_lm_backoff",
     "text_dup_spans",
+    "text_strip_dup_spans",
     "text_entropy",
     "dedup_semantic",
 ]

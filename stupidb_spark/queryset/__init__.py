@@ -66,13 +66,15 @@ PRIORITY: tuple[str, ...] = (
     "win_navigation",
     "win_dynamic_frame",
     "pipeline_prep",
-    # 9-12: oracled queries NEW this round — no driver row exists yet, so
+    # 9-13: oracled queries NEW this round — no driver row exists yet, so
     # they outrank every refresh: the two LM scorers (trained AND scored
-    # under the oracle) and the duplicated-span / entropy quality signals.
+    # under the oracle), the duplicated-span signal + strip action, and
+    # the entropy quality signal.
     "text_lm_perplexity",
     "text_lm_backoff",
     "text_dup_spans",
     "text_entropy",
+    "text_strip_dup_spans",
     # 9-25: the full r5-stale cohort — every oracled query whose most
     # recent driver row is CORRECTNESS_r05: the 12 queries deferred from
     # the round-7 rotation (they carried sf1 spot-gate rows meanwhile),
@@ -118,14 +120,14 @@ PRIORITY: tuple[str, ...] = (
     "join_cross",
     "join_theta",
     "join_full_outer",
-    "join_left_nullpad",
     # --- 51+: recently-gated queries and twins; all still run in
     # tests/test_oracle_parity.py every session and in the full
-    # stability sweep. join_right / sort_limit_offset / sort_nulls_first /
-    # sort_topk dropped out of the top 50 to make room for the four
-    # new-this-round oracled queries above; all four kept their r6 driver
-    # rows and local pins, and round 9 owes them (plus the remaining 16 r6
-    # rows) next.
+    # stability sweep. join_left_nullpad / join_right / sort_limit_offset /
+    # sort_nulls_first / sort_topk dropped out of the top 50 to make room
+    # for the five new-this-round oracled queries above; all five kept
+    # their r6 driver rows and local pins, and round 9 owes them (plus the
+    # remaining 16 r6 rows) next.
+    "join_left_nullpad",
     "join_right",
     "sort_limit_offset",
     "sort_nulls_first",

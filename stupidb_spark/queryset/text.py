@@ -901,3 +901,122 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_words").cast("double") * F.lit(1000000.0))
         ).alias("entropy"),
     )
+
+
+@q(
+    "text_strip_dup_spans",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_duck_words()} AS t FROM documents
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n_tokens FROM base),
+    starts AS (
+        SELECT doc_id, t, unnest(range(0, n_tokens - {_SPAN_W - 1})) AS pos
+        FROM sized WHERE n_tokens >= {_SPAN_W}
+    ),
+    ngrams AS (
+        SELECT doc_id, pos,
+               array_to_string(t[pos + 1 : pos + {_SPAN_W}], ' ') AS ng
+        FROM starts
+    ),
+    dup AS (
+        SELECT ng FROM ngrams GROUP BY ng
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+        SELECT doc_id, list(DISTINCT p) AS cov_ps FROM (
+            SELECT doc_id, unnest(range(pos, pos + {_SPAN_W})) AS p
+            FROM ngrams WHERE ng IN (SELECT ng FROM dup)
+        ) GROUP BY doc_id
+    ),
+    joined AS (
+        SELECT s.doc_id, s.t, s.n_tokens,
+               coalesce(c.cov_ps, []) AS cov_ps
+        FROM sized s LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(cov_ps) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(
+               list_transform(
+                   list_filter(range(1, len(t) + 1),
+                               i -> NOT list_contains(cov_ps, i - 1)),
+                   i -> t[i]),
+               ' '), '') AS clean_text
+    FROM joined
+    """,
+)
+def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ACTION to text_dup_spans' signal: rewrite each document with
+    # every cross-document duplicated W-token span REMOVED (the
+    # ExactSubstr-dedup cut of Lee et al. 2022, where duplicated substrings
+    # are excised rather than whole documents dropped). A token survives
+    # iff no duplicated window covers its position; survivors rejoin in
+    # original order.
+    #
+    # Same inverted-index subtree as text_dup_spans (map-side window
+    # enumeration, strategy-pinned ngram joins). The reassembly avoids a
+    # second corpus explode: covered positions fold into ONE per-doc
+    # collect_set (bounded by the doc's own token count — the mega-doc
+    # guard upstream bounds that), and the surviving tokens are selected
+    # array-side with a positional filter, so the doc-keyed join carries
+    # one compact int set per doc instead of re-shuffled token rows.
+    W = _SPAN_W
+    sized = (
+        _docs(spark, sf_dir)
+        .select("doc_id", T.words(F.col("text")).alias("t"))
+        .withColumn("n_tokens", F.size("t"))
+    )
+    spans = (
+        sized.where(F.col("n_tokens") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n_tokens - {W}), i -> "
+                    f"struct(i AS pos, array_join(slice(t, i + 1, {W}), ' ') AS ng))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.ng").alias("ng"))
+    )
+    dup = (
+        spans.groupBy("ng")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("ng")
+    )
+    hits = spans.hint(corpus_join_strategy()).join(
+        dup.hint(corpus_join_strategy()), "ng"
+    )
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(W - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov_ps"))
+    )
+    joined = (
+        sized.hint(corpus_join_strategy())
+        .join(cov.hint(corpus_join_strategy()), "doc_id", "left")
+        .select(
+            "doc_id",
+            "t",
+            "n_tokens",
+            F.coalesce(F.col("cov_ps"), F.array().cast("array<int>")).alias(
+                "cov_ps"
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("cov_ps").cast("long").alias("n_removed"),
+        F.array_join(
+            F.filter(F.col("t"), lambda x, i: ~F.array_contains("cov_ps", i)),
+            " ",
+        ).alias("clean_text"),
+    )
