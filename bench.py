@@ -100,6 +100,7 @@ HEADLINE = [
     "text_strip_dup_spans",
     "text_entropy",
     "dedup_semantic",
+    "dedup_ingest_candidates",
 ]
 
 

@@ -777,3 +777,122 @@ def simhash_radius_stats(
         "max_hamming int, sample_pairs long, est_pairs double, "
         "pairs_per_doc double",
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> DataFrame:
+    """``(doc, bucket)`` MinHash band index over a document corpus — the
+    STATIC side of ingest-time dedup (:func:`minhash_probe_candidates`).
+
+    Identical hash construction to :func:`minhash_lsh_pairs` (per-band
+    xxhash64 over the band's signature rows), built the scale way: exploded
+    shingle rows → hash-agg signature (map-side partials, whole-stage
+    codegen), n_bands rows per doc. Persist it partitioned/bucketed by
+    ``bucket`` at scale so every ingest batch probes without reshuffling
+    the corpus.
+    """
+    rows_per_band = n_hashes // n_bands
+    ex = doc_shingles(
+        df, id_col=id_col, text_col=text_col, k=k, max_doc_bytes=max_doc_bytes
+    )
+    sig = ex.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
+def minhash_probe_candidates(
+    index: DataFrame,
+    probe: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> DataFrame:
+    """Near-duplicate CANDIDATES of ``probe`` documents against a
+    :func:`minhash_band_index` — the dedup-at-ingest primitive: "is this
+    incoming document a near-dup of anything already in the corpus?".
+
+    The probe side is deliberately MAP-ONLY until the join — array-side
+    shingles (:func:`word_shingles`), the :func:`minhash_signature` fold,
+    and band buckets as a single projected explode, with no window and no
+    pre-join aggregation — so the SAME function runs unchanged on a
+    ``readStream`` DataFrame as a stream-static join
+    (:func:`stupidb_spark.streaming.documents.dup_flagged_stream`). The
+    array HOF path re-runs nothing per-document-pair (one fold per doc)
+    and the probe batch is ingest-sized, so the ~10× HOF-vs-window penalty
+    doc_shingles documents is paid on the small side only; the corpus side
+    stays on the window/hash-agg path inside the index.
+
+    A probe document with identical text to an indexed document collides
+    in EVERY band (same distinct-shingle set → same signature → same
+    bucket hashes — pinned by test), so exact re-ingests are always
+    caught; near-dups follow the usual LSH S-curve. Returns distinct
+    ``(probe_id, corpus_doc)``, self-matches excluded.
+    """
+    rows_per_band = n_hashes // n_bands
+    base = probe.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
+    )
+    base = _doc_bytes_guard(
+        base, "__text", max_doc_bytes, "minhash_probe_candidates"
+    )
+    base = (
+        base.withColumn("__w", words(F.col("__text")))
+        .withColumn("__sh", word_shingles(F.col("__w"), k))
+        .where(F.size("__sh") >= 1)
+        .withColumn("__sig", minhash_signature(F.col("__sh"), n_hashes))
+    )
+    buckets = F.explode(
+        F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.element_at("__sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    probed = base.select(F.col("doc").alias("probe_id"), buckets.alias("bucket"))
+    # Stream-static (or batch) bucket join: the index is corpus-sized —
+    # strategy-pinned, never estimate-broadcast.
+    return (
+        probed.join(index.hint(corpus_join_strategy()), "bucket")
+        .where(F.col("doc") != F.col("probe_id"))
+        .select("probe_id", F.col("doc").alias("corpus_doc"))
+        .dropDuplicates(["probe_id", "corpus_doc"])
+    )

@@ -213,6 +213,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash_density",
     "ann_ivf_rebalance_stats",
     "dedup_semantic",
+    "dedup_ingest_candidates",
 )
 
 

@@ -449,3 +449,30 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.dround(F.col("centroid_sim"), 9).alias("centroid_sim"),
         "keep",
     )
+
+
+@q("dedup_ingest_candidates")  # approximate (LSH banding isn't SQL); the
+# identical-text recall guarantee and the streaming twin's stream==batch
+# equality are pinned in tests/test_dedup.py / tests/test_streaming.py
+def dedup_ingest_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dedup-at-ingest: the corpus (doc_id % 5 != 0) is banded once into a
+    # (doc, bucket) MinHash index; the "incoming" docs (doc_id % 5 == 0)
+    # are banded MAP-SIDE and bucket-joined against it — the membership
+    # check a crawl pipeline runs per ingest batch before paying for full
+    # processing. Same function drives the streaming twin
+    # (streaming.documents.dup_flagged_stream) unchanged.
+    from stupidb_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_probe_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = minhash_band_index(
+        docs.filter(F.col("doc_id") % 5 != 0), id_col="doc_id", text_col="text"
+    )
+    return minhash_probe_candidates(
+        idx,
+        docs.filter(F.col("doc_id") % 5 == 0),
+        id_col="doc_id",
+        text_col="text",
+    )

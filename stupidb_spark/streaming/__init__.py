@@ -9,7 +9,11 @@ transfers to the stream, and adds a custom stateful operator built on
 ``step/combine/finalize`` aggregate surface, `stupidb/aggregator.py:38-61`).
 """
 
-from stupidb_spark.streaming.documents import lm_scored_stream, stream_documents
+from stupidb_spark.streaming.documents import (
+    dup_flagged_stream,
+    lm_scored_stream,
+    stream_documents,
+)
 from stupidb_spark.streaming.events import (
     attribution_stream,
     deduped_stream,
@@ -32,4 +36,5 @@ __all__ = [
     "run_to_memory",
     "stream_documents",
     "lm_scored_stream",
+    "dup_flagged_stream",
 ]

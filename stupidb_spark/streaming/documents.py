@@ -49,3 +49,17 @@ def lm_scored_stream(docs_stream: DataFrame, model: NgramLM) -> DataFrame:
         text_col="text",
         lang_col="lang",
     )
+
+
+def dup_flagged_stream(docs_stream: DataFrame, index: DataFrame, **kw) -> DataFrame:
+    """Ingest-time near-dup flagging: each streamed document is banded
+    map-side and stream-static-joined against a batch
+    :func:`~stupidb_spark.operators.dedup.minhash_band_index`. Emits
+    distinct ``(probe_id, corpus_doc)`` candidate pairs — the "have we
+    already got this?" check a crawl-ingest pipeline runs before paying
+    for full processing. Stream == batch pinned in tests."""
+    from stupidb_spark.operators.dedup import minhash_probe_candidates
+
+    return minhash_probe_candidates(
+        index, docs_stream, id_col="doc_id", text_col="text", **kw
+    )

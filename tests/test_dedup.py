@@ -338,3 +338,107 @@ def test_simhash_radius_stats_subsample_scales(spark):
     # corpus pair count
     assert stats[0].sample_pairs == 50 * 49 // 2
     assert abs(stats[0].est_pairs - 200 * 199 / 2) < 1e-6
+
+
+class TestIngestCandidates:
+    """minhash_band_index + minhash_probe_candidates: the dedup-at-ingest
+    primitive. The probe side rebuilds the signature with array HOFs (the
+    streaming-safe path) — these tests pin that it produces EXACTLY the
+    index's hash construction."""
+
+    def test_identical_text_always_caught(self, spark):
+        from stupidb_spark.operators.dedup import (
+            minhash_band_index,
+            minhash_probe_candidates,
+        )
+
+        corpus = _docs(spark).filter(F.col("doc_id") % 5 != 0)
+        idx = minhash_band_index(corpus, id_col="doc_id", text_col="text")
+        # re-ingest 10 corpus docs verbatim under fresh ids: every one
+        # must collide with its source in every band (exact recall on
+        # exact re-ingests — the signature construction matches bit-wise)
+        probes = (
+            corpus.orderBy("doc_id")
+            .limit(10)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        got = {
+            (r.probe_id, r.corpus_doc)
+            for r in minhash_probe_candidates(
+                idx, probes, id_col="doc_id", text_col="text"
+            ).collect()
+        }
+        for r in probes.select("doc_id").collect():
+            assert any(p == r.doc_id and c == r.doc_id - 1000000 for p, c in got)
+
+    def test_probe_banding_matches_index_banding(self, spark):
+        # Self-probe: band the SAME corpus through both code paths (index:
+        # exploded rows + window shingles + hash agg; probe: array HOF
+        # shingles + signature fold). Identical (doc, bucket) relations —
+        # the strongest equivalence check between the two constructions.
+        from stupidb_spark.operators.dedup import minhash_band_index
+        from stupidb_spark.operators.dedup import (
+            _doc_bytes_guard,  # noqa: F401 (documents the shared guard)
+        )
+
+        corpus = _docs(spark).filter(F.col("doc_id") < 100)
+        idx = {
+            (r.doc, r.bucket)
+            for r in minhash_band_index(
+                corpus, id_col="doc_id", text_col="text"
+            ).collect()
+        }
+        # probe path exposed through minhash_probe_candidates' internals:
+        # run it against a 1-row dummy index per bucket is awkward, so
+        # rebuild the probe projection directly
+        from stupidb_spark.functions.text import words
+        from stupidb_spark.operators.dedup import (
+            minhash_signature,
+            word_shingles,
+        )
+
+        n_hashes, n_bands = 32, 8
+        rpb = n_hashes // n_bands
+        base = (
+            corpus.select(F.col("doc_id").alias("doc"), "text")
+            .withColumn("__w", words(F.col("text")))
+            .withColumn("__sh", word_shingles(F.col("__w"), 3))
+            .where(F.size("__sh") >= 1)
+            .withColumn(
+                "__sig", minhash_signature(F.col("__sh"), n_hashes)
+            )
+        )
+        probe = {
+            (r.doc, r.bucket)
+            for r in base.select(
+                "doc",
+                F.explode(
+                    F.array(
+                        *[
+                            F.xxhash64(
+                                F.lit(b),
+                                *[
+                                    F.element_at("__sig", b * rpb + r + 1)
+                                    for r in range(rpb)
+                                ],
+                            )
+                            for b in range(n_bands)
+                        ]
+                    )
+                ).alias("bucket"),
+            ).collect()
+        }
+        assert probe == idx
+
+    def test_no_self_matches_and_deterministic(self, spark):
+        from stupidb_spark.queryset import QUERIES
+        from tests.conftest import SF_DIR
+
+        a = sorted(
+            map(tuple, QUERIES["dedup_ingest_candidates"](spark, SF_DIR).collect())
+        )
+        b = sorted(
+            map(tuple, QUERIES["dedup_ingest_candidates"](spark, SF_DIR).collect())
+        )
+        assert a == b
+        assert all(p != c for p, c in a)

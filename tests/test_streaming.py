@@ -238,3 +238,55 @@ def test_lm_scored_stream_equals_batch(spark):
         _assert_same(got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dup_flagged_stream_equals_batch(spark):
+    """Ingest-time dedup: documents streamed in two micro-batches, banded
+    map-side and stream-static-joined against the batch MinHash band
+    index, must emit exactly the batch probe's candidate pairs."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_probe_candidates,
+    )
+    from stupidb_spark.streaming import dup_flagged_stream, stream_documents
+
+    d = SCRATCH / f"stream-ingest-{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    try:
+        # stage the "incoming" docs (doc_id % 5 == 0) as TWO files so
+        # candidates assemble across micro-batches
+        import duckdb
+
+        con = duckdb.connect()
+        t = con.sql(
+            f"SELECT * FROM '{SF_DIR}/documents.parquet' WHERE doc_id % 5 = 0"
+        ).arrow()
+        con.close()
+        n = t.num_rows
+        pq.write_table(t.slice(0, n // 2), d / "part-000.parquet")
+        pq.write_table(t.slice(n // 2), d / "part-001.parquet")
+
+        from stupidb_spark.sources import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        idx = minhash_band_index(corpus, id_col="doc_id", text_col="text")
+        stream = dup_flagged_stream(
+            stream_documents(spark, str(d), max_files_per_trigger=1), idx
+        )
+        # dropDuplicates (not an aggregation) ⇒ append mode; dedup state
+        # carries across the two micro-batches
+        got = run_to_memory(stream, "t_ingest_candidates", output_mode="append")
+        want = minhash_probe_candidates(
+            idx,
+            docs.filter(F.col("doc_id") % 5 == 0),
+            id_col="doc_id",
+            text_col="text",
+        )
+        _assert_same(got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
