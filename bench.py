@@ -99,6 +99,7 @@ HEADLINE = [
     "text_dup_spans",
     "text_strip_dup_spans",
     "text_entropy",
+    "text_nb_lang",
     "dedup_semantic",
     "dedup_ingest_candidates",
 ]

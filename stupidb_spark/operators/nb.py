@@ -1,0 +1,164 @@
+"""Multinomial Naive Bayes text classifier as RELATIONS — the trainable
+counterpart to the heuristic scorers in ``queryset/text.py`` (lang-id from
+stopword hits, quality from ratios): train per-class word counts on a
+labeled reference slice, then score every document under EVERY class and
+argmax. The fastText-style "train a classifier, sweep the corpus" step of
+an LLM data pipeline, with count tables instead of learned dense weights —
+so the model persists as parquet, merges by summing counts, and joins like
+any other relation (the ``NgramLM`` lifecycle, one level up the stack).
+
+Scoring is exact and engine-identical via the quantized-ln grid
+(``operators/lm.py`` construction): every per-word log-likelihood and the
+log-prior are floored once onto a 1e-6 grid, and a document's class score
+is an exact int64 sum of quantized values — order-independent, so the
+argmax (ties broken by class name) is deterministic on any engine. The
+DuckDB twin in ``queryset/text.py::text_nb_lang`` replays the identical
+construction.
+
+Scale shape: one corpus aggregation for training tf, one for scoring tf;
+the per-(class, word) likelihood table is VOCABULARY-sized and rides
+strategy-pinned joins (never estimate-broadcast — the 100x-probe rule);
+the per-class prior/default table is |classes| rows and broadcasts by
+construction. The class fan-out multiplies the tf relation by |classes|
+(4 here) BEFORE its aggregation — linear, map-side, skew-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stupidb_spark.functions.text import words
+from stupidb_spark.operators.dedup import corpus_join_strategy
+
+_GRID = 1000000.0
+
+
+def _q(col: F.Column) -> F.Column:
+    """ln → 1e-6 grid → exact long (the lm.py construction)."""
+    return F.floor(F.log(col) * F.lit(_GRID) + F.lit(0.5)).cast("long")
+
+
+@dataclass
+class NaiveBayesModel:
+    """Trained model as relations: per-(class, word) quantized
+    log-likelihoods ``(cls, w, qw)`` (vocabulary-sized) and the per-class
+    table ``(cls, q_prior, q_def)`` (|classes| rows; ``q_def`` is the
+    unseen-word likelihood ln(k / (ct + k·V)))."""
+
+    word_q: DataFrame
+    classes: DataFrame
+    k: float
+
+
+def nb_train(
+    ref: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    cls_col: str,
+    k: float = 0.5,
+) -> NaiveBayesModel:
+    """Fit add-k multinomial NB on a labeled reference corpus — two
+    aggregates over the exploded tokens plus class-count rollups; no
+    driver-side state."""
+    toks = ref.select(
+        F.col(id_col).alias("doc"),
+        F.col(cls_col).alias("cls"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    )
+    wc = toks.groupBy("cls", "w").agg(F.count(F.lit(1)).alias("cw"))
+    # class token totals and the GLOBAL vocabulary size derive from wc
+    # (one heavy aggregation feeds everything, as in ngram_lm_train)
+    cc = wc.groupBy("cls").agg(F.sum("cw").alias("ct"))
+    v = wc.agg(F.count_distinct("w").alias("v"))
+    nd = ref.groupBy(F.col(cls_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    n = ref.agg(F.count(F.lit(1)).alias("n"))
+
+    # per-class scalar table: prior + unseen-word default, both on the grid
+    classes = (
+        nd.join(cc, "cls")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cls",
+            _q(F.col("nd").cast("double") / F.col("n")).alias("q_prior"),
+            _q(
+                F.lit(k)
+                / (F.col("ct") + F.lit(k) * F.col("v"))
+            ).alias("q_def"),
+        )
+    )
+    word_q = (
+        wc.join(cc, "cls")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "cls",
+            "w",
+            _q(
+                (F.col("cw") + F.lit(k))
+                / (F.col("ct") + F.lit(k) * F.col("v"))
+            ).alias("qw"),
+        )
+    )
+    return NaiveBayesModel(word_q=word_q, classes=classes, k=k)
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: NaiveBayesModel,
+    *,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score every document under every class; return the argmax.
+
+    Output: ``(doc, pred_cls, score_q, n_tokens)`` — ``score_q`` is the
+    winning class's exact quantized log-score (prior + Σ count·loglik, an
+    int64 of grid units). Ties break to the lexicographically first class;
+    the per-doc argmax is a min_by HASH aggregate over the total order
+    (-score, cls), never a per-doc sort window. Documents with zero
+    tokens drop out (no evidence — same on the SQL side).
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        )
+        .groupBy("doc", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # fan out each (doc, word, c) row to all classes, then attach the
+    # likelihood (vocabulary-sized join — pinned) with the per-class
+    # unseen default as the null fallback
+    fanned = tf.crossJoin(F.broadcast(model.classes))
+    scored = fanned.hint(corpus_join_strategy()).join(
+        model.word_q.hint(corpus_join_strategy()), ["cls", "w"], "left"
+    )
+    per_cls = scored.groupBy("doc", "cls").agg(
+        (
+            F.first("q_prior")
+            + F.sum(F.col("c") * F.coalesce(F.col("qw"), F.col("q_def")))
+        ).alias("total"),
+        F.sum("c").alias("n_tokens"),
+    )
+    best = per_cls.groupBy("doc").agg(
+        F.min_by(
+            F.struct(
+                F.col("cls").alias("pred_cls"),
+                F.col("total").alias("score_q"),
+                F.col("n_tokens").alias("n_tokens"),
+            ),
+            F.struct((-F.col("total")).alias("s"), F.col("cls").alias("c")),
+        ).alias("b")
+    )
+    return best.select(
+        "doc",
+        F.col("b.pred_cls").alias("pred_cls"),
+        F.col("b.score_q").alias("score_q"),
+        F.col("b.n_tokens").alias("n_tokens"),
+    )

@@ -66,16 +66,17 @@ PRIORITY: tuple[str, ...] = (
     "win_navigation",
     "win_dynamic_frame",
     "pipeline_prep",
-    # 9-13: oracled queries NEW this round — no driver row exists yet, so
+    # 9-14: oracled queries NEW this round — no driver row exists yet, so
     # they outrank every refresh: the two LM scorers (trained AND scored
     # under the oracle), the duplicated-span signal + strip action, and
-    # the entropy quality signal.
+    # the entropy quality signal, and the trained NB language classifier.
     "text_lm_perplexity",
     "text_lm_backoff",
     "text_dup_spans",
     "text_entropy",
     "text_strip_dup_spans",
-    # 9-25: the full r5-stale cohort — every oracled query whose most
+    "text_nb_lang",
+    # 15-31: the full r5-stale cohort — every oracled query whose most
     # recent driver row is CORRECTNESS_r05: the 12 queries deferred from
     # the round-7 rotation (they carried sf1 spot-gate rows meanwhile),
     # sample_stratified, and the four TPC-H near-twins q7/q14/q19/q22.
@@ -96,7 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # 26-50: the 25 oldest r6-gated queries. After this rotation every
+    # 32-50: the oldest r6-gated queries. After this rotation every
     # oracled query has a driver row within rounds 6-8 (the 20 remaining
     # r6-gated queries and the 50 r7-gated ones stay within that window);
     # the round-9 rotation owes those 20 r6 rows next.
@@ -119,14 +120,14 @@ PRIORITY: tuple[str, ...] = (
     "agg_median_disc",
     "join_cross",
     "join_theta",
-    "join_full_outer",
     # --- 51+: recently-gated queries and twins; all still run in
     # tests/test_oracle_parity.py every session and in the full
-    # stability sweep. join_left_nullpad / join_right / sort_limit_offset /
-    # sort_nulls_first / sort_topk dropped out of the top 50 to make room
-    # for the five new-this-round oracled queries above; all five kept
+    # stability sweep. join_full_outer / join_left_nullpad / join_right /
+    # sort_limit_offset / sort_nulls_first / sort_topk dropped out of the top 50 to make room
+    # for the six new-this-round oracled queries above; all six kept
     # their r6 driver rows and local pins, and round 9 owes them (plus the
     # remaining 16 r6 rows) next.
+    "join_full_outer",
     "join_left_nullpad",
     "join_right",
     "sort_limit_offset",

@@ -1020,3 +1020,80 @@ def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+@q(
+    "text_nb_lang",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_duck_words()}) AS w FROM documents
+    ),
+    rtoks AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+    wc AS (SELECT lang AS cls, w, count(*) AS cw FROM rtoks GROUP BY 1, 2),
+    cc AS (SELECT cls, CAST(sum(cw) AS BIGINT) AS ct FROM wc GROUP BY 1),
+    vv AS (SELECT count(DISTINCT w) AS v FROM rtoks),
+    nd AS (SELECT lang AS cls, count(*) AS nd FROM documents
+           WHERE doc_id % 5 = 0 GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM documents WHERE doc_id % 5 = 0),
+    classes AS (
+        SELECT cls,
+               CAST(floor(ln(CAST(nd AS DOUBLE) / n) * 1000000.0 + 0.5)
+                    AS BIGINT) AS q_prior,
+               CAST(floor(ln(0.5 / (ct + 0.5 * v)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS q_def
+        FROM nd JOIN cc USING (cls) CROSS JOIN vv CROSS JOIN nn
+    ),
+    wq AS (
+        SELECT cls, w,
+               CAST(floor(ln((cw + 0.5) / (ct + 0.5 * v)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS qw
+        FROM wc JOIN cc USING (cls) CROSS JOIN vv
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    per_cls AS (
+        SELECT tf.doc_id, cl.cls,
+               CAST(any_value(cl.q_prior)
+                    + sum(tf.c * coalesce(wq.qw, cl.q_def)) AS BIGINT)
+                   AS total,
+               CAST(sum(tf.c) AS BIGINT) AS n_tokens
+        FROM tf CROSS JOIN classes cl
+        LEFT JOIN wq ON wq.cls = cl.cls AND wq.w = tf.w
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT doc_id, cls, total, n_tokens,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY total DESC, cls) AS rk
+        FROM per_cls
+    )
+    SELECT doc_id, cls AS pred_lang, total AS score_q, n_tokens
+    FROM ranked WHERE rk = 1
+    """,
+)
+def text_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TRAINED language identification: add-0.5 multinomial Naive Bayes fit
+    # on the labeled reference slice (doc_id % 5 == 0), scored over the
+    # whole corpus under every class, argmax per doc — the learned upgrade
+    # of text_lang_id's stopword heuristic, and the "train a classifier,
+    # sweep the corpus" pipeline step with count relations as the model
+    # (operators/nb.py; the NgramLM lifecycle one level up). Training AND
+    # classification both run under the oracle: scores are exact int64
+    # sums of 1e-6-grid quantized log-likelihoods, so prediction ties and
+    # argmax order are engine-identical by construction.
+    from stupidb_spark.operators.nb import nb_classify, nb_train
+
+    docs = _docs(spark, sf_dir)
+    model = nb_train(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        id_col="doc_id",
+        text_col="text",
+        cls_col="lang",
+        k=0.5,
+    )
+    out = nb_classify(docs, model, id_col="doc_id", text_col="text")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        F.col("pred_cls").alias("pred_lang"),
+        "score_q",
+        "n_tokens",
+    )
