@@ -102,6 +102,7 @@ HEADLINE = [
     "text_nb_lang",
     "dedup_semantic",
     "dedup_ingest_candidates",
+    "emb_pca_project",
 ]
 
 

@@ -215,6 +215,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivf_rebalance_stats",
     "dedup_semantic",
     "dedup_ingest_candidates",
+    "emb_pca_project",
 )
 
 

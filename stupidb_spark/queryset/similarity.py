@@ -206,3 +206,27 @@ def ann_ivf_rebalance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended = ivf_append(idx, skew)
     res = ivf_rebalance(appended, max_ratio=3.0, target_ratio=2.0)
     return ivf_cell_stats(res.index.indexed).select("cell", "n")
+
+
+@q("emb_pca_project")  # model fit is an SVD — no SQL oracle; the Arrow
+# transform is pinned bit-identical to the numpy reference in
+# tests/test_projection.py, and the axes obey PCA laws there
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sample-trained PCA → map-only projection (operators/projection.py):
+    # the dimensionality-reduction pre-step an ANN pipeline runs before
+    # IVF/PQ at corpus scale. Zero shuffles; the model is a (k × dim)
+    # bounded broadcast like the PQ codebooks. Output rounded to 9 dp for
+    # the stability hash (the underlying per-row dot products are already
+    # batch-composition-independent).
+    from stupidb_spark.operators.projection import pca_project, pca_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_train(emb, k=8)
+    out = pca_project(emb, model)
+    return out.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("projected"), lambda x: F.round(x, 9)).alias(
+            "projected"
+        ),
+    )

@@ -1,0 +1,74 @@
+"""PCA projection differential: the distributed Arrow transform must equal
+the driver-side numpy twin bit-for-bit, and the fitted axes must behave
+like principal axes (orthonormal, variance-ordered, sign-canonical)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stupidb_spark.operators.projection import (
+    pca_project,
+    pca_reference,
+    pca_train,
+)
+from stupidb_spark.sources import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def _X(emb_df):
+    rows = emb_df.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    return ids, X
+
+
+def test_projection_matches_numpy_bitwise(spark, emb):
+    model = pca_train(emb, k=8)
+    got = {
+        r.vec_id: np.array(r.projected)
+        for r in pca_project(emb, model).select("vec_id", "projected").collect()
+    }
+    ids, X = _X(emb)
+    want = pca_reference(X, model)
+    for i, vid in enumerate(ids):
+        assert got[vid].shape == (8,)
+        # same float64 ops in the same order ⇒ bit-identical
+        assert all(
+            a.hex() == b.hex() for a, b in zip(got[vid], want[i])
+        ), vid
+
+
+def test_axes_are_orthonormal_and_variance_ordered(spark, emb):
+    model = pca_train(emb, k=8)
+    C = model.components
+    G = C @ C.T
+    assert np.allclose(G, np.eye(len(C)), atol=1e-9)
+    v = model.explained_var
+    assert all(v[i] >= v[i + 1] - 1e-12 for i in range(len(v) - 1))
+    # sign canonicalization: largest-|loading| coordinate positive
+    for row in C:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_projection_captures_more_variance_than_random_axes(spark, emb):
+    ids, X = _X(emb)
+    model = pca_train(emb, k=4)
+    proj_var = pca_reference(X, model).var(axis=0).sum()
+    rng = np.random.default_rng(0)
+    Q, _ = np.linalg.qr(rng.standard_normal((X.shape[1], 4)))
+    rand_var = ((X - X.mean(0)) @ Q).var(axis=0).sum()
+    assert proj_var > rand_var
+
+
+def test_train_is_deterministic(spark, emb):
+    a = pca_train(emb, k=6)
+    b = pca_train(emb, k=6)
+    assert np.array_equal(a.components, b.components)
+    assert np.array_equal(a.mean, b.mean)
