@@ -103,6 +103,7 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_ingest_candidates",
     "emb_pca_project",
+    "dedup_containment",
 ]
 
 

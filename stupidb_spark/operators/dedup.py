@@ -257,23 +257,102 @@ def jaccard_pairs(
 
     Returns columns: id_a, id_b, jaccard.
     """
+    joined = _pair_overlap_counts(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        max_doc_freq=max_doc_freq,
+        max_doc_bytes=max_doc_bytes,
+        uncapped_ok=uncapped_ok,
+        what="jaccard_pairs",
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return joined.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+    uncapped_ok: bool = False,
+) -> DataFrame:
+    """Exact n-gram-CONTAINMENT near-duplicate pairs (i < j,
+    ``n_common / min(|A|, |B|)`` ≥ threshold).
+
+    The asymmetric companion to :func:`jaccard_pairs` (Broder's resemblance
+    vs containment distinction): a short document pasted verbatim inside a
+    much longer one has containment 1.0 but Jaccard ≈ |A|/|B| → 0, so
+    resemblance-based dedup structurally misses subset/superset duplication
+    — the dominant mode in crawl corpora (boilerplate wrappers, quoted
+    articles, aggregator pages). Emitted score is the max-directional
+    containment (smaller set in the larger); both directions share it.
+
+    Same inverted-index plan, skew guard (``max_doc_freq`` caps stop-
+    shingle df — scores become exact containment over the informative-
+    shingle universe), mega-document guard, corpus-join pinning, and
+    :class:`ScaleWarning` envelope as :func:`jaccard_pairs` — the two
+    differ only in the final score projection over the identical
+    (n_common, n_a, n_b) pair counts.
+
+    Returns columns: id_a, id_b, containment.
+    """
+    joined = _pair_overlap_counts(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        max_doc_freq=max_doc_freq,
+        max_doc_bytes=max_doc_bytes,
+        uncapped_ok=uncapped_ok,
+        what="containment_pairs",
+    )
+    cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+    return joined.select(
+        "id_a", "id_b", cont.alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
+def _pair_overlap_counts(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_doc_freq: int | None,
+    max_doc_bytes: int | None,
+    uncapped_ok: bool,
+    what: str,
+) -> DataFrame:
+    """Shared candidate stage of :func:`jaccard_pairs` /
+    :func:`containment_pairs`: exact per-pair shingle-overlap counts
+    ``(id_a, id_b, n_common, n_a, n_b)`` for every i < j pair sharing at
+    least one (sub-cap) shingle. All set-overlap scores (Jaccard,
+    containment, Dice, ...) are projections over these three counts."""
     from pyspark.sql.window import Window as W
 
     if max_doc_freq is None and not uncapped_ok:
-        # The docstring's scale envelope, enforced at runtime: a caller at
-        # corpus scale should get a loud warning, not a melting job. Opt in
-        # with uncapped_ok=True (exact classical Jaccard on a corpus known
-        # to be small / vocabulary-sparse).
+        # The scale envelope, enforced at runtime: a caller at corpus scale
+        # should get a loud warning, not a melting job. Opt in with
+        # uncapped_ok=True (exact scores on a corpus known to be small /
+        # vocabulary-sparse).
         warnings.warn(
-            "jaccard_pairs(max_doc_freq=None) is exact classical Jaccard —"
+            f"{what}(max_doc_freq=None) is exact all-pairs set overlap —"
             " candidate volume is Σ_shingle df·(df−1)/2, which is"
             " unaffordable on a large or boilerplate-heavy corpus. Set"
-            " max_doc_freq (exact Jaccard over the informative-shingle"
+            " max_doc_freq (exact scores over the informative-shingle"
             " universe), use minhash_lsh_pairs / dedup_components_lsh (the"
             " sub-quadratic scale paths), or pass uncapped_ok=True to"
             " acknowledge the envelope.",
             ScaleWarning,
-            stacklevel=2,
+            stacklevel=3,
         )
     ex = doc_shingles(
         df, id_col=id_col, text_col=text_col, k=k, max_doc_bytes=max_doc_bytes
@@ -309,7 +388,7 @@ def jaccard_pairs(
     exv = ex.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc")))
     a = exv.alias("a").hint(corpus_join_strategy())
     b = exv.alias("b").hint(corpus_join_strategy())
-    joined = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -322,10 +401,6 @@ def jaccard_pairs(
             F.min(F.col("b.n_sh")).alias("n_b"),
         )
     )
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return joined.select(
-        "id_a", "id_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
 
 
 def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -66,16 +66,19 @@ PRIORITY: tuple[str, ...] = (
     "win_navigation",
     "win_dynamic_frame",
     "pipeline_prep",
-    # 9-14: oracled queries NEW this round — no driver row exists yet, so
+    # 9-15: oracled queries NEW this round — no driver row exists yet, so
     # they outrank every refresh: the two LM scorers (trained AND scored
-    # under the oracle), the duplicated-span signal + strip action, and
-    # the entropy quality signal, and the trained NB language classifier.
+    # under the oracle), the duplicated-span signal + strip action, the
+    # entropy quality signal, the trained NB language classifier, and the
+    # asymmetric containment near-dup (displaces join_theta to slot 51;
+    # its r6 driver row and local pins stand, round 9 owes the refresh).
     "text_lm_perplexity",
     "text_lm_backoff",
     "text_dup_spans",
     "text_entropy",
     "text_strip_dup_spans",
     "text_nb_lang",
+    "dedup_containment",
     # 15-31: the full r5-stale cohort — every oracled query whose most
     # recent driver row is CORRECTNESS_r05: the 12 queries deferred from
     # the round-7 rotation (they carried sf1 spot-gate rows meanwhile),

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from stupidb_spark.functions import exact as X
 from stupidb_spark.functions.text import fingerprint_md5
 from stupidb_spark.operators.dedup import (
+    containment_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -124,6 +125,38 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", k=3, threshold=0.5, max_doc_freq=2
     )
     return out.select("id_a", "id_b", X.dround("jaccard").alias("jaccard"))
+
+
+@q(
+    "dedup_containment",
+    f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / least(len(a.s), len(b.s)) AS containment
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.s) > 0 AND len(b.s) > 0
+    )
+    SELECT id_a, id_b, {X.sql_dround('containment')} AS containment
+    FROM pairs WHERE containment >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Asymmetric set-overlap near-dup: containment = common / min(|A|, |B|)
+    # (Broder's containment vs resemblance) — catches a short document
+    # pasted inside a much longer one, where Jaccard ≈ |A|/|B| → 0 and
+    # resemblance dedup structurally misses the pair. Same inverted-index
+    # plan + skew/mega-doc guards as jaccard_pairs; only the final score
+    # projection differs. The DuckDB oracle's zero-shingle filter mirrors
+    # Spark, where shingle-less docs never reach the exploded index.
+    docs = load_table(spark, sf_dir, "documents")
+    out = containment_pairs(
+        # uncapped_ok: fixture corpus is small; at scale set max_doc_freq
+        # (shared skew guard) or use the LSH paths.
+        docs, id_col="doc_id", text_col="text", k=3, threshold=0.6, uncapped_ok=True
+    )
+    return out.select("id_a", "id_b", X.dround("containment").alias("containment"))
 
 
 @q(

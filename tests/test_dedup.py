@@ -442,3 +442,82 @@ class TestIngestCandidates:
         )
         assert a == b
         assert all(p != c for p, c in a)
+
+
+def test_containment_catches_subset_docs(spark):
+    # A short document pasted verbatim inside a much longer one: containment
+    # is exactly 1.0 while Jaccard ~ |A|/|B| stays under any useful
+    # resemblance threshold — the asymmetric operator exists for this pair.
+    from stupidb_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = small + (
+        " iota kappa lam mu nu xi omicron pi rho sigma tau upsilon phi chi"
+        " psi omega one two three four five six seven eight nine ten eleven"
+        " twelve thirteen fourteen fifteen sixteen"
+    )
+    docs = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    kw = dict(id_col="doc_id", text_col="text", k=3, uncapped_ok=True)
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, threshold=0.9, **kw).collect()
+    }
+    assert cont[(1, 2)] == 1.0
+    jac = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, threshold=0.5, **kw).collect()
+    }
+    assert (1, 2) not in jac  # resemblance structurally misses the subset
+
+
+def test_containment_dominates_jaccard(spark):
+    # n_common/min(n_a,n_b) >= n_common/(n_a+n_b-n_common) always, so at the
+    # same threshold the containment pair set is a superset of Jaccard's and
+    # the per-pair score is never smaller (equality iff A == B as sets).
+    from stupidb_spark.operators.dedup import containment_pairs
+
+    kw = dict(id_col="doc_id", text_col="text", k=3, uncapped_ok=True)
+    docs = _docs(spark)
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, threshold=0.5, **kw).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.5, **kw).collect()
+    }
+    assert jac and set(jac) <= set(cont)
+    for pair, j in jac.items():
+        assert cont[pair] >= j - 1e-12
+
+
+def test_containment_shares_scale_envelope_and_skew_guard(spark):
+    # The shared candidate stage: same ScaleWarning contract and the same
+    # max_doc_freq stop-shingle cap as jaccard_pairs.
+    import warnings
+
+    import pytest
+
+    from stupidb_spark.operators.dedup import ScaleWarning, containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    kw = dict(id_col="doc_id", text_col="text", k=3, threshold=0.5)
+    with pytest.warns(ScaleWarning, match="containment_pairs"):
+        containment_pairs(docs, **kw)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ScaleWarning)
+        containment_pairs(docs, uncapped_ok=True, **kw)
+        containment_pairs(docs, max_doc_freq=8, **kw)
+    # capped form executes end-to-end on the fixtures (shared helper, but
+    # the projection must survive the join-back too)
+    capped = containment_pairs(
+        _docs(spark), id_col="doc_id", text_col="text", k=3,
+        threshold=0.6, max_doc_freq=2,
+    )
+    assert capped.filter(
+        (F.col("containment") < 0.6) | (F.col("id_a") >= F.col("id_b"))
+    ).count() == 0
