@@ -103,7 +103,10 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_ingest_candidates",
     "emb_pca_project",
-    "dedup_containment",
+    # dedup_containment is gate-only, like the other raw pair queries
+    # (dedup_ngram_jaccard / dedup_jaccard_capped): the headline carries
+    # the dedup PATHS (components/LSH/minhash/...), not each exact
+    # pairwise scorer.
 ]
 
 
