@@ -41,6 +41,7 @@ from stupidb_spark.queryset import multimodal  # noqa: E402,F401
 from stupidb_spark.queryset import udaf  # noqa: E402,F401
 from stupidb_spark.queryset import sampling  # noqa: E402,F401
 from stupidb_spark.queryset import prep  # noqa: E402,F401
+from stupidb_spark.queryset import tokenize  # noqa: E402,F401
 
 # Registration priority. The driver's correctness gate records rows for the
 # first N (observed: 50) registered queries, so the first 50 positions below
