@@ -175,3 +175,53 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("best_ticket", "doc_id")
         .limit(100)
     )
+
+
+@q(
+    "sample_group_topk",
+    """
+    -- Deterministic exactly-k-per-group sampling: each source keeps its 3
+    -- documents with the smallest md5(doc_id) — a fixed-size, seedless,
+    -- reproducible group sample (the hash is the shuffle; the order is a
+    -- total order, so both engines select the identical rows).
+    SELECT source, rk, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 3
+    """,
+)
+def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample, skew-safe.
+
+    The naive single window (the oracle's form) buffers a WHOLE group in
+    one WindowExec task — at 100 TB a hot source is the mega-document
+    problem again. Spark side therefore runs the salted two-phase top-k:
+    phase 1 ranks within (source, salt) and keeps k per salt bucket
+    (bounding every task at group/n_salts rows), phase 2 re-ranks the
+    ≤ k·n_salts survivors per source — the true top-k survive phase 1 by
+    construction (each ranks ≤ k inside its own bucket). Same rows, same
+    ranks as the single window; n_salts scales with expected group size.
+    """
+    from pyspark.sql.window import Window
+
+    k, n_salts = 3, 8
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("__h"),
+    )
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
+    w1 = Window.partitionBy("source", salt).orderBy("__h", "doc_id")
+    survivors = d.withColumn("__rn", F.row_number().over(w1)).where(
+        F.col("__rn") <= k
+    )
+    w2 = Window.partitionBy("source").orderBy("__h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select("source", "rk", "doc_id")
+    )
