@@ -10,6 +10,7 @@ transfers to the stream, and adds a custom stateful operator built on
 """
 
 from stupidb_spark.streaming.documents import (
+    bpe_tokens_stream,
     dup_flagged_stream,
     lm_scored_stream,
     stream_documents,
@@ -37,4 +38,5 @@ __all__ = [
     "stream_documents",
     "lm_scored_stream",
     "dup_flagged_stream",
+    "bpe_tokens_stream",
 ]

@@ -63,3 +63,16 @@ def dup_flagged_stream(docs_stream: DataFrame, index: DataFrame, **kw) -> DataFr
     return minhash_probe_candidates(
         index, docs_stream, id_col="doc_id", text_col="text", **kw
     )
+
+
+def bpe_tokens_stream(docs_stream: DataFrame, merges) -> DataFrame:
+    """Tokenize a document stream under a batch-trained BPE rule list —
+    the tokenizer is FROZEN model state (trained by
+    :func:`~stupidb_spark.operators.bpe.bpe_train` on a corpus snapshot,
+    persisted via ``bpe_merges_df``); encoding is the same map-only
+    Arrow UDF as the batch path, so it attaches to a stream unchanged
+    (no shuffle, no state — pure per-row transform, append mode).
+    Stream == batch pinned in tests."""
+    from stupidb_spark.operators.bpe import bpe_encode
+
+    return bpe_encode(docs_stream, merges, id_col="doc_id", text_col="text")

@@ -290,3 +290,33 @@ def test_dup_flagged_stream_equals_batch(spark):
         _assert_same(got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bpe_tokens_stream_equals_batch(spark):
+    """Streaming tokenization under a frozen batch-trained BPE rule list:
+    two micro-batches of documents must emit exactly the batch encoder's
+    token streams (map-only, append mode, no state)."""
+    import pyarrow.parquet as pq
+
+    from stupidb_spark.operators.bpe import bpe_encode, bpe_train
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.streaming import bpe_tokens_stream, stream_documents
+
+    d = SCRATCH / f"stream-bpe-{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    try:
+        t = pq.read_table(f"{SF_DIR}/documents.parquet")
+        n = t.num_rows
+        pq.write_table(t.slice(0, n // 2), d / "part-000.parquet")
+        pq.write_table(t.slice(n // 2), d / "part-001.parquet")
+
+        docs = load_table(spark, SF_DIR, "documents")
+        merges = bpe_train(docs, n_merges=16, batch_size=8)
+        stream = bpe_tokens_stream(
+            stream_documents(spark, str(d), max_files_per_trigger=1), merges
+        ).select("doc_id", "tokens")
+        got = run_to_memory(stream, "t_bpe_tokens", output_mode="append")
+        want = bpe_encode(docs, merges).select("doc_id", "tokens")
+        _assert_same(got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
