@@ -181,50 +181,65 @@ def ngram_lm_apply(
     def pin(df: DataFrame) -> DataFrame:
         return df if streaming else df.hint(corpus_join_strategy())
 
-    # vocabulary-sized model relations join the corpus-sized bigram stream:
-    # both sides pinned (batch), never estimate-broadcast
-    joined = (
-        pin(doc_bg)
-        .join(pin(model.bigram_c), ["lang", "w1", "w2"], "left")
-    )
-    joined = pin(joined).join(pin(model.context_c), ["lang", "w1"], "left")
-    # INNER join on the per-language V table: a language with no
-    # reference data has no model — its documents drop out here rather
-    # than dividing by the k*0 denominator (ANSI division-by-zero).
-    # Filter upstream if unmodeled-language docs need to be surfaced.
-    joined = joined.join(F.broadcast(model.vocab), "lang")
-    logp = F.log(
-        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
-        / (
-            F.coalesce(F.col("c1"), F.lit(0))
-            + F.lit(k) * F.coalesce(F.col("v"), F.lit(0))
+    def score_frame(frame: DataFrame) -> DataFrame:
+        # vocabulary-sized model relations join a (lang, w1, w2)-keyed
+        # frame: both sides pinned (batch), never estimate-broadcast
+        joined = pin(frame).join(pin(model.bigram_c), ["lang", "w1", "w2"], "left")
+        joined = pin(joined).join(pin(model.context_c), ["lang", "w1"], "left")
+        # INNER join on the per-language V table: a language with no
+        # reference data has no model — its documents drop out here rather
+        # than dividing by the k*0 denominator (ANSI division-by-zero).
+        # Filter upstream if unmodeled-language docs need to be surfaced.
+        joined = joined.join(F.broadcast(model.vocab), "lang")
+        logp = F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+            / (
+                F.coalesce(F.col("c1"), F.lit(0))
+                + F.lit(k) * F.coalesce(F.col("v"), F.lit(0))
+            )
         )
-    )
-    # Order-independent mean (the emb_label_centroids quantized-grid trick):
-    # a plain F.avg over doubles varies with partition order (float addition
-    # is non-associative), which would flake the hash-stability sweep and
-    # the DuckDB comparison. Each logp is floored once onto a 1e-6 grid
-    # (identical construction on the SQL side; ln's ≤1-ulp cross-engine
-    # wobble is ~1e9× finer than the grid) and summed EXACTLY as longs, so
-    # the mean is a deterministic rational of the quantized values.
-    q = F.floor(logp * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-    return (
-        joined.groupBy("doc", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(q).alias("__qsum"),
+        # Order-independent mean (the emb_label_centroids quantized-grid
+        # trick): a plain F.avg over doubles varies with partition order
+        # (float addition is non-associative), which would flake the
+        # hash-stability sweep and the DuckDB comparison. Each logp is
+        # floored once onto a 1e-6 grid (identical construction on the SQL
+        # side; ln's ≤1-ulp cross-engine wobble is ~1e9× finer than the
+        # grid) and summed EXACTLY as longs, so the mean is a deterministic
+        # rational of the quantized values.
+        q = F.floor(logp * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        return joined.select(*frame.columns, q.alias("q"))
+
+    def rollup(j: DataFrame, n_expr, qsum_expr) -> DataFrame:
+        return (
+            j.groupBy("doc", "lang")
+            .agg(n_expr.alias("n_bigrams"), qsum_expr.alias("__qsum"))
+            .select(
+                "doc",
+                "lang",
+                "n_bigrams",
+                (
+                    (F.col("__qsum").cast("double") / F.lit(1000000.0))
+                    / F.col("n_bigrams")
+                ).alias("avg_logp"),
+            )
+            .withColumn("ppl", F.exp(-F.col("avg_logp")))
         )
-        .select(
-            "doc",
-            "lang",
-            "n_bigrams",
-            (
-                (F.col("__qsum").cast("double") / F.lit(1000000.0))
-                / F.col("n_bigrams")
-            ).alias("avg_logp"),
+
+    if not streaming:
+        # Batch plan (the backoff_lm_apply shape): fold occurrences to
+        # (doc, gram, n_occ), score each DISTINCT gram once at gram scale,
+        # carry q back with ONE corpus-sized join. Σ q·n_occ equals the
+        # per-occurrence sum exactly (long arithmetic) — scores unchanged.
+        occ = doc_bg.groupBy("doc", "lang", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("n_occ")
         )
-        .withColumn("ppl", F.exp(-F.col("avg_logp")))
-    )
+        scored = score_frame(occ.select("lang", "w1", "w2").distinct())
+        j = pin(occ).join(pin(scored), ["lang", "w1", "w2"])
+        return rollup(j, F.sum("n_occ"), F.sum(F.col("q") * F.col("n_occ")))
+
+    # Streaming plan: per-occurrence scoring (chained stateful
+    # aggregations are not expressible in a stream), one rollup.
+    return rollup(score_frame(doc_bg), F.count(F.lit(1)), F.sum("q"))
 
 
 def ngram_lm_score(
@@ -356,47 +371,16 @@ def backoff_lm_train(
     )
 
 
-def backoff_lm_apply(
-    docs: DataFrame,
-    model: StupidBackoffLM,
-    *,
-    id_col: str,
-    text_col: str,
-    lang_col: str,
-    max_doc_bytes: int | None = DOC_BYTES_CAP,
-) -> DataFrame:
-    """Score documents under Stupid Backoff: per trigram,
-    S = C3(w1w2w3)/C2(w1w2), backing off to α·C2(w2w3)/C1(w2), then to
-    α²·(C1(w3)+k0)/N — the ``k0`` floor (our documented deviation from the
-    pure recipe) keeps ln(S) finite for unseen words, the same add-k
-    philosophy as the bigram model. Scores are NOT probabilities (Stupid
-    Backoff never normalizes — its whole point); avg_logs is the mean ln S
-    on the 1e-6 quantized grid (order-independent, engine-identical).
-
-    Every count join is vocabulary-sized and pinned (batch path); only the
-    one-row-per-language totals table broadcasts; unmodeled languages drop
-    out at the inner totals join. Docs with < 3 tokens have no trigrams
-    and are omitted.
-
-    Returns: ``doc, lang, n_trigrams, avg_logs``.
-    """
+def _backoff_scored_grams(frame: DataFrame, model, *, pin) -> DataFrame:
+    """Attach the quantized Stupid Backoff score ``q`` to any relation
+    carrying ``(lang, w1, w2, w3)`` (plus passthrough columns): the five
+    count-table left joins, the broadcast totals join, and the 1e-6
+    grid-quantized ln S — one arithmetic definition shared by the batch
+    (distinct-gram) and streaming (per-occurrence) plans."""
     alpha, k0 = model.alpha, model.k0
-    tg = doc_ngrams(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        n=3,
-        lang_col=lang_col,
-        max_doc_bytes=max_doc_bytes,
-    )
-    streaming = bool(docs.isStreaming)
-
-    def pin(df: DataFrame) -> DataFrame:
-        return df if streaming else df.hint(corpus_join_strategy())
-
     c2 = model.bigram_c
     c1 = model.unigram_c
-    j = pin(tg).join(pin(model.trigram_c), ["lang", "w1", "w2", "w3"], "left")
+    j = pin(frame).join(pin(model.trigram_c), ["lang", "w1", "w2", "w3"], "left")
     j = pin(j).join(pin(c2), ["lang", "w1", "w2"], "left")
     j = pin(j).join(
         pin(
@@ -439,9 +423,89 @@ def backoff_lm_apply(
         )
     )
     q = F.floor(F.log(s) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    keep = [c for c in frame.columns]
+    return j.select(*keep, q.alias("q"))
+
+
+def backoff_lm_apply(
+    docs: DataFrame,
+    model: StupidBackoffLM,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    max_doc_bytes: int | None = DOC_BYTES_CAP,
+) -> DataFrame:
+    """Score documents under Stupid Backoff: per trigram,
+    S = C3(w1w2w3)/C2(w1w2), backing off to α·C2(w2w3)/C1(w2), then to
+    α²·(C1(w3)+k0)/N — the ``k0`` floor (our documented deviation from the
+    pure recipe) keeps ln(S) finite for unseen words, the same add-k
+    philosophy as the bigram model. Scores are NOT probabilities (Stupid
+    Backoff never normalizes — its whole point); avg_logs is the mean ln S
+    on the 1e-6 quantized grid (order-independent, engine-identical).
+
+    Batch plan: the occurrence stream folds to (doc, gram, n_occ), the
+    five count-table joins score each DISTINCT gram once (gram-scale
+    relations on both sides, all pinned), and ONE corpus-sized join
+    carries q back — Σ q·n_occ is exactly the per-occurrence sum, so
+    scores are unchanged while corpus-sized shuffle joins drop 5 → 1.
+    Only the one-row-per-language totals table broadcasts; unmodeled
+    languages drop out at the inner totals join. Docs with < 3 tokens
+    have no trigrams and are omitted.
+
+    Returns: ``doc, lang, n_trigrams, avg_logs``.
+    """
+    tg = doc_ngrams(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=3,
+        lang_col=lang_col,
+        max_doc_bytes=max_doc_bytes,
+    )
+    streaming = bool(docs.isStreaming)
+
+    def pin(df: DataFrame) -> DataFrame:
+        return df if streaming else df.hint(corpus_join_strategy())
+
+    if not streaming:
+        # Batch plan: score each DISTINCT (doc, trigram) once instead of
+        # every occurrence. The occurrence stream folds to (doc, gram,
+        # n_occ) in one keyed aggregate, the five count-table joins then
+        # run against the distinct-gram relation (gram-scale, not
+        # occurrence-scale), and one join carries the quantized score back
+        # — corpus-sized shuffle joins drop 5 → 1. Σ q·n_occ is exactly
+        # Σ-per-occurrence q (long arithmetic), so scores are unchanged.
+        # The streaming path below keeps the per-occurrence shape: chained
+        # stateful aggregations are not expressible in a stream.
+        occ = tg.groupBy("doc", "lang", "w1", "w2", "w3").agg(
+            F.count(F.lit(1)).alias("n_occ")
+        )
+        grams = occ.select("lang", "w1", "w2", "w3").distinct()
+        scored = _backoff_scored_grams(grams, model, pin=pin)
+        return (
+            pin(occ)
+            .join(pin(scored), ["lang", "w1", "w2", "w3"])
+            .groupBy("doc", "lang")
+            .agg(
+                F.sum("n_occ").alias("n_trigrams"),
+                F.sum(F.col("q") * F.col("n_occ")).alias("__qsum"),
+            )
+            .select(
+                "doc",
+                "lang",
+                "n_trigrams",
+                (
+                    (F.col("__qsum").cast("double") / F.lit(1000000.0))
+                    / F.col("n_trigrams")
+                ).alias("avg_logs"),
+            )
+        )
+
+    j = _backoff_scored_grams(tg, model, pin=pin)
     return (
         j.groupBy("doc", "lang")
-        .agg(F.count(F.lit(1)).alias("n_trigrams"), F.sum(q).alias("__qsum"))
+        .agg(F.count(F.lit(1)).alias("n_trigrams"), F.sum("q").alias("__qsum"))
         .select(
             "doc",
             "lang",

@@ -136,6 +136,27 @@ def test_vocab_joins_never_broadcast(spark):
             )
 
 
+def test_lm_scoring_joins_never_broadcast_count_tables(spark):
+    # The LM scorers' count tables (bigram/trigram/context counts) are
+    # VOCABULARY-sized — billions of n-grams at 100 TB — and after the
+    # distinct-gram restructure they join gram-scale relations whose
+    # Catalyst estimates are even smaller (the jaccard failure shape).
+    # Every count join must stay shuffle-pinned; the only broadcasts
+    # allowed are the per-language bounded tables (totals / V — one row
+    # per language, keyed [lang] alone).
+    import re
+
+    for name in ("text_lm_perplexity", "text_lm_backoff"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "ShuffledHashJoin" in plan, name
+        for m in re.finditer(
+            r"\(\d+\) BroadcastHashJoin[^\n]*\n(?:[^\n]*\n){0,3}", plan
+        ):
+            block = m.group(0)
+            keys = re.search(r"Left keys \[(\d+)\]", block)
+            assert keys is not None and keys.group(1) == "1", (name, block)
+
+
 def test_range_join_is_broadcast_nested_loop(spark):
     # the general operator (data-driven / overlapping intervals): broadcast-
     # NLJ of the tiny ranges side is the intended strategy (zero shuffle of
