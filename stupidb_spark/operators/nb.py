@@ -132,33 +132,56 @@ def nb_classify(
         .groupBy("doc", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # fan out each (doc, word, c) row to all classes, then attach the
-    # likelihood (vocabulary-sized join — pinned) with the per-class
-    # unseen default as the null fallback
-    fanned = tf.crossJoin(F.broadcast(model.classes))
-    scored = fanned.hint(corpus_join_strategy()).join(
-        model.word_q.hint(corpus_join_strategy()), ["cls", "w"], "left"
+    # The class table is |classes| rows by contract (it broadcasts in the
+    # original plan for the same reason) — collecting it is the bounded
+    # model-side movement of the IVF-centroid class. Sorted so the column
+    # order, and with it the tie-break, is deterministic.
+    cls_rows = sorted(model.classes.collect(), key=lambda r: r["cls"])
+    # Pivot the vocabulary-sized likelihood table to ONE row per word with
+    # a column per class (gram-scale aggregate on the model side), so the
+    # corpus tf stream rides a single 1x-width join instead of being
+    # fanned x|classes| through the shuffle.
+    wvec = (
+        model.word_q.groupBy("w")
+        .pivot("cls", [r["cls"] for r in cls_rows])
+        .agg(F.first("qw"))
     )
-    per_cls = scored.groupBy("doc", "cls").agg(
+    scored = tf.hint(corpus_join_strategy()).join(
+        wvec.hint(corpus_join_strategy()), "w", "left"
+    )
+    # One per-doc aggregate computes every class total: prior + sum of
+    # c * (per-word likelihood, falling back to the class's unseen-word
+    # default) — exact int64 grid sums, identical regrouping of the
+    # per-(doc, cls) totals the fan-out plan produced.
+    totals = [
         (
-            F.first("q_prior")
-            + F.sum(F.col("c") * F.coalesce(F.col("qw"), F.col("q_def")))
-        ).alias("total"),
-        F.sum("c").alias("n_tokens"),
+            F.lit(int(r["q_prior"]))
+            + F.sum(
+                F.col("c")
+                * F.coalesce(F.col(f"`{r['cls']}`"), F.lit(int(r["q_def"])))
+            )
+        ).alias(f"__t{i}")
+        for i, r in enumerate(cls_rows)
+    ]
+    per_doc = scored.groupBy("doc").agg(
+        *totals, F.sum("c").alias("n_tokens")
     )
-    best = per_cls.groupBy("doc").agg(
-        F.min_by(
-            F.struct(
-                F.col("cls").alias("pred_cls"),
-                F.col("total").alias("score_q"),
-                F.col("n_tokens").alias("n_tokens"),
-            ),
-            F.struct((-F.col("total")).alias("s"), F.col("cls").alias("c")),
-        ).alias("b")
+    # argmax with ties to the lexicographically first class: array_min over
+    # (-total, cls) structs — pure Column work, no second shuffle
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"__t{i}")).alias("s"),
+                    F.lit(r["cls"]).alias("c"),
+                )
+                for i, r in enumerate(cls_rows)
+            ]
+        )
     )
-    return best.select(
+    return per_doc.select(
         "doc",
-        F.col("b.pred_cls").alias("pred_cls"),
-        F.col("b.score_q").alias("score_q"),
-        F.col("b.n_tokens").alias("n_tokens"),
+        best["c"].alias("pred_cls"),
+        (-best["s"]).alias("score_q"),
+        "n_tokens",
     )
