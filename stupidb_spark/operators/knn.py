@@ -1,0 +1,242 @@
+"""Distributed k-nearest-neighbor join over embedding columns — for EVERY
+query vector, its k most-cosine-similar base vectors. The primitive behind
+kNN classification, diversity/novelty sampling, and retrieval-style data
+curation sweeps, sitting between :func:`~stupidb_spark.operators.similarity.
+brute_force_topk` (bounded query set, collected to the driver) and
+:func:`~stupidb_spark.operators.similarity.embedding_near_dup_pairs`
+(threshold semantics, no per-row k) — here BOTH sides are corpus-sized and
+nothing unbounded ever reaches the driver.
+
+Beyond-reference surface (SURVEY.md §7: the reference has no embedding
+operators). Blocking is the IVF recipe: a sample-trained k-means quantizer
+assigns every base vector to a cell (map-only Arrow pass), every query
+probes its ``n_probe`` nearest cells (map-only — the centroid matrix is a
+bounded closure constant, the PQ-codebook movement class), and scoring
+happens inside (cell, sub-block) tasks.
+
+Scale design (100 TB):
+- **One corpus shuffle per side.** Base rows shuffle once on (cell, sub);
+  query rows replicate to (cell, sub) task keys (``n_probe × s`` rows per
+  query, where s is the per-cell salt factor) — the only other shuffles
+  are the n_cells-row count table and the final candidate aggregate.
+- **No task ever exceeds ~max_block base rows.** Oversized cells are
+  hash-split like `salted_block_tasks`: a hot semantic cluster degrades to
+  s parallel tasks, never one mega-task (the WindowExec mega-partition
+  rule applied to ANN).
+- **Bounded final state.** Each task emits at most k candidates per query,
+  so the per-query top-k aggregate holds ≤ k·Σ(probed-cell salt factors)
+  structs — bounded by construction, unlike aggregating raw candidates.
+- **Exact-by-construction arithmetic.** Similarities use the quantized-dot
+  grid (`similarity.QUANT_SCALE`), ties break on neighbor id, so results
+  are deterministic under any partitioning, and with ``n_probe = n_cells``
+  the join is EXACT brute-force kNN (pinned by the differential test —
+  the recall knob degrades coverage, never correctness of what it scores).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stupidb_spark.operators.dedup import corpus_join_strategy, spread_small_scan
+from stupidb_spark.operators.ivf import _normalize, ivf_index, ivf_train
+from stupidb_spark.operators.similarity import QUANT_SCALE, _qdot, _quant_sims
+
+
+def knn_join(
+    base: DataFrame,
+    queries: DataFrame | None = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_neighbors: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    iters: int = 3,
+    n_train: int = 4096,
+    max_block: int = 2048,
+) -> DataFrame:
+    """For each query row, its ``k_neighbors`` nearest base rows by
+    quantized cosine. ``queries=None`` is the self-join (each vector's
+    neighbors among the OTHERS — self pairs excluded).
+
+    Returns ``(query_id, rank, neighbor_id, cosine_sim)`` with ``rank``
+    1-based by (similarity DESC, neighbor_id ASC). Queries whose probed
+    cells hold no base rows are omitted (no candidates — raise ``n_probe``
+    for total coverage; ``n_probe = n_cells`` is exact brute force).
+    """
+    self_join = queries is None
+    centroids = ivf_train(
+        base, id_col=id_col, vec_col=vec_col, k=n_cells, iters=iters,
+        n_train=n_train,
+    )
+    C = _normalize(centroids.astype(np.float64))
+
+    indexed = ivf_index(base, centroids, id_col=id_col, vec_col=vec_col)
+    b = indexed.select(
+        F.col("neighbor_id").alias("id"),
+        F.col("b_vec").cast("array<double>").alias("vec"),
+        "cell",
+    )
+    # n_cells rows — the bounded salt table (broadcast by construction)
+    cell_counts = b.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    cell_s = cell_counts.select(
+        "cell", F.ceil(F.col("__n") / F.lit(max_block)).cast("int").alias("__s")
+    )
+
+    b = b.join(F.broadcast(cell_s), "cell").select(
+        "cell",
+        F.pmod(F.xxhash64("id"), F.col("__s")).cast("int").alias("sub"),
+        "id",
+        "vec",
+        F.lit(True).alias("is_base"),
+    )
+
+    qsrc = base if self_join else queries
+    qraw = spread_small_scan(
+        qsrc.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+    )
+
+    @F.pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        M = _normalize(np.stack(v.to_numpy()).astype(np.float64))
+        sims = M @ C.T
+        # stable argsort: centroid-similarity ties break to the lower cell
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([[int(c) for c in row] for row in top])
+
+    q = (
+        qraw.withColumn("cell", F.explode(probe(F.col("vec"))))
+        # a probed cell with no base rows contributes nothing: inner join
+        # on the bounded salt table drops it
+        .join(F.broadcast(cell_s), "cell")
+        .select(
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.col("__s") - F.lit(1))).alias("sub"),
+            "id",
+            "vec",
+            F.lit(False).alias("is_base"),
+        )
+    )
+
+    id_type = dict(b.dtypes)["id"]
+    cand_schema = f"query {id_type}, neighbor {id_type}, sim double"
+    k = k_neighbors
+
+    def task(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        Bp = pdf[pdf["is_base"]]
+        Qp = pdf[~pdf["is_base"]]
+        if len(Bp) == 0 or len(Qp) == 0:
+            return pd.DataFrame({"query": [], "neighbor": [], "sim": []}).astype(
+                {"sim": "float64"}
+            )
+        Bm = np.stack(Bp["vec"].to_numpy()).astype(np.float64)
+        Qm = np.stack(Qp["vec"].to_numpy()).astype(np.float64)
+        b_ids = Bp["id"].to_numpy()
+        q_ids = Qp["id"].to_numpy()
+        qnorms = np.sqrt(_qdot(Qm, Qm).astype(np.float64) / QUANT_SCALE)
+        sims = _quant_sims(Bm, Qm, qnorms)  # (nB, nQ)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(q_ids)):
+            col = sims[:, j]
+            mask = b_ids != q_ids[j] if self_join else np.ones(len(b_ids), bool)
+            ids_j = b_ids[mask]
+            col_j = col[mask]
+            if len(ids_j) == 0:
+                continue
+            # local top-k by (sim DESC, id ASC): lexsort's last key is
+            # primary
+            order = np.lexsort((ids_j, -col_j))[:k]
+            out_q.append(np.repeat(q_ids[j], len(order)))
+            out_n.append(ids_j[order])
+            out_s.append(col_j[order])
+        if not out_q:
+            return pd.DataFrame({"query": [], "neighbor": [], "sim": []}).astype(
+                {"sim": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "query": np.concatenate(out_q),
+                "neighbor": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    cand = (
+        b.unionByName(q)
+        .groupBy("cell", "sub")
+        .applyInPandas(task, cand_schema)
+    )
+
+    # Per-query merge of the ≤ k-per-task candidates: sort_array over
+    # (-sim, neighbor) structs — negation is exact in IEEE doubles, so the
+    # recovered sim is bit-identical to the task's quantized value.
+    top = (
+        cand.groupBy("query")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("sim")).alias("s"),
+                            F.col("neighbor").alias("n"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+    )
+    return top.select(
+        F.col("query").alias("query_id"),
+        F.posexplode("top").alias("__pos", "__t"),
+    ).select(
+        "query_id",
+        (F.col("__pos") + 1).alias("rank"),
+        F.col("__t.n").alias("neighbor_id"),
+        (-F.col("__t.s")).alias("cosine_sim"),
+    )
+
+
+def knn_join_reference(
+    base_ids: np.ndarray,
+    base_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    *,
+    k_neighbors: int,
+    self_join: bool,
+) -> list[tuple]:
+    """Driver-side exact brute-force mirror with the identical quantized
+    arithmetic and (sim DESC, id ASC) tie-break — the ground truth for the
+    exactness (n_probe = n_cells) and recall tests. Test-support code.
+
+    Returns sorted ``(query_id, rank, neighbor_id, sim)`` tuples.
+    """
+    B = base_vecs.astype(np.float64)
+    Q = query_vecs.astype(np.float64)
+    qnorms = np.sqrt(_qdot(Q, Q).astype(np.float64) / QUANT_SCALE)
+    sims = _quant_sims(B, Q, qnorms)  # (nB, nQ)
+    out = []
+    for j in range(len(query_ids)):
+        col = sims[:, j]
+        mask = (
+            base_ids != query_ids[j]
+            if self_join
+            else np.ones(len(base_ids), bool)
+        )
+        ids_j = base_ids[mask]
+        col_j = col[mask]
+        order = np.lexsort((ids_j, -col_j))[:k_neighbors]
+        for r, o in enumerate(order):
+            out.append(
+                (query_ids[j].item(), r + 1, ids_j[o].item(), float(col_j[o]))
+            )
+    return sorted(out)

@@ -230,3 +230,26 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "projected"
         ),
     )
+
+
+@q("ann_knn_join")  # approximate + iterative (k-means cells) — no SQL
+# oracle; exactness at full probe coverage, recall floor, and salting
+# invariance pinned in tests/test_knn.py
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-scale kNN self-join (operators/knn.py): every vector's 5
+    # nearest others, IVF-blocked with multi-probe — both sides
+    # corpus-sized, nothing unbounded at the driver, no task above
+    # max_block base rows. n_probe=4 of 8 cells = 2x cell pruning at 0.76
+    # measured recall on the (quasi-random, worst-case) fixture
+    # embeddings; n_probe=n_cells is exact.
+    from stupidb_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join(
+        emb, id_col="vec_id", vec_col="embedding",
+        k_neighbors=5, n_cells=8, n_probe=4,
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id",
+        X.dround("cosine_sim").alias("cosine_sim"),
+    )

@@ -1,0 +1,104 @@
+"""kNN join differentials: exact equality to the brute-force mirror at
+full probe coverage (the correctness pin — the recall knob prunes
+coverage, never what gets scored), a recall floor at the registered
+pruning level, salting invariance, and the two-table mode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from stupidb_spark.operators.knn import knn_join, knn_join_reference
+from stupidb_spark.sources import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def ground(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.stack([np.array(r.embedding) for r in rows])
+    return ids, V
+
+
+def _tuples(df):
+    return sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim) for r in df.collect()
+    )
+
+
+def test_full_probe_is_exact_brute_force(emb, ground):
+    ids, V = ground
+    got = _tuples(knn_join(emb, k_neighbors=5, n_cells=8, n_probe=8))
+    want = knn_join_reference(ids, V, ids, V, k_neighbors=5, self_join=True)
+    assert got == want
+    assert len(got) == 5 * len(ids)
+
+
+def test_salting_does_not_change_results(emb):
+    # tiny max_block forces every cell through the sub-block split; the
+    # split may only bound task sizes, never alter candidates or ranks
+    a = _tuples(knn_join(emb, k_neighbors=5, n_cells=8, n_probe=8))
+    b = _tuples(
+        knn_join(emb, k_neighbors=5, n_cells=8, n_probe=8, max_block=20)
+    )
+    assert a == b
+
+
+def test_recall_floor_at_registered_pruning(emb, ground):
+    # the registered query's setting (8 cells, 4 probes = 2x pruning);
+    # 0.76 measured on the quasi-random fixture — floor with headroom
+    ids, V = ground
+    want = {
+        (q, n)
+        for (q, _, n, _) in knn_join_reference(
+            ids, V, ids, V, k_neighbors=5, self_join=True
+        )
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_join(emb, k_neighbors=5, n_cells=8, n_probe=4).collect()
+    }
+    assert len(got & want) / len(want) >= 0.65
+
+
+def test_two_table_mode_exact(emb, ground):
+    ids, V = ground
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    qrows = queries.orderBy("vec_id").collect()
+    q_ids = np.array([r.vec_id for r in qrows])
+    Q = np.stack([np.array(r.embedding) for r in qrows])
+    got = _tuples(
+        knn_join(emb, queries, k_neighbors=3, n_cells=8, n_probe=8)
+    )
+    # two-table mode keeps self matches (the query table is not the base)
+    want = knn_join_reference(
+        ids, V, q_ids, Q, k_neighbors=3, self_join=False
+    )
+    assert got == want
+    # each query's own vector is its rank-1 neighbor at sim 1.0
+    by_q = {(q, r): (n, s) for (q, r, n, s) in got}
+    for qid in q_ids:
+        n, s = by_q[(int(qid), 1)]
+        assert n == int(qid) and s == pytest.approx(1.0, abs=1e-9)
+
+
+def test_registered_query_shape(spark):
+    from stupidb_spark.queryset import QUERIES
+
+    out = QUERIES["ann_knn_join"](spark, SF_DIR)
+    assert out.columns == ["query_id", "rank", "neighbor_id", "cosine_sim"]
+    rows = out.collect()
+    assert len(rows) > 0
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+        assert r.neighbor_id != r.query_id  # self-join excludes self
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
