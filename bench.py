@@ -103,6 +103,12 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_ingest_candidates",
     "emb_pca_project",
+    "tok_bpe_merges",
+    "sample_group_topk",
+    "ann_knn_join",
+    # tok_bpe_encode is gate-only: a standalone run re-trains the same
+    # merge table tok_bpe_merges already times, so the headline would
+    # double-count the trainer; the encoder itself is a map-only UDF.
     # dedup_containment is gate-only, like the other raw pair queries
     # (dedup_ngram_jaccard / dedup_jaccard_capped): the headline carries
     # the dedup PATHS (components/LSH/minhash/...), not each exact

@@ -67,6 +67,12 @@ def knn_join(
     1-based by (similarity DESC, neighbor_id ASC). Queries whose probed
     cells hold no base rows are omitted (no candidates — raise ``n_probe``
     for total coverage; ``n_probe = n_cells`` is exact brute force).
+
+    Sizing rule (100 TB): within-cell comparison volume is
+    Θ(N²·n_probe/n_cells), so grow ``n_cells`` proportionally to the base
+    corpus (constant cell occupancy ≈ a few × ``max_block``) — total work
+    is then Θ(N·n_probe·max_block), linear in N, with the quantizer
+    retrain amortized exactly like the IVF index lifecycle.
     """
     self_join = queries is None
     centroids = ivf_train(
