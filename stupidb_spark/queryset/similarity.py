@@ -253,3 +253,50 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rank", "neighbor_id",
         X.dround("cosine_sim").alias("cosine_sim"),
     )
+
+
+@q("emb_knn_classify")  # approximate (IVF-blocked kNN); the vote rule is
+# differentially pinned vs the brute-force mirror in tests/test_knn.py
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kNN classification — the knn_join composed into a label propagator:
+    # unlabeled-slice vectors (vec_id % 5 == 0) take the majority label of
+    # their k=5 nearest labeled vectors (ties: higher vote count first,
+    # then lexicographically first label). The label attach is one
+    # id-keyed join of the (k x queries)-sized candidate relation against
+    # the labeled base — corpus-join-pinned — and the vote is a hash
+    # aggregate + min_by argmax, never a per-query sort window.
+    from stupidb_spark.operators.dedup import corpus_join_strategy
+    from stupidb_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    knn = knn_join(
+        base, queries, id_col="vec_id", vec_col="embedding",
+        k_neighbors=5, n_cells=8, n_probe=4,
+    )
+    labeled = knn.hint(corpus_join_strategy()).join(
+        base.select(F.col("vec_id").alias("neighbor_id"), "label").hint(
+            corpus_join_strategy()
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    best = votes.groupBy("query_id").agg(
+        F.min_by(
+            F.struct(
+                F.col("label").alias("pred_label"),
+                F.col("n_votes").alias("n_votes"),
+            ),
+            F.struct((-F.col("n_votes")).alias("v"), F.col("label").alias("l")),
+        ).alias("b"),
+        F.sum("n_votes").alias("k_used"),
+    )
+    return best.select(
+        "query_id",
+        F.col("b.pred_label").alias("pred_label"),
+        F.col("b.n_votes").alias("n_votes"),
+        "k_used",
+    )

@@ -102,3 +102,60 @@ def test_registered_query_shape(spark):
         per_q.setdefault(r.query_id, []).append(r.rank)
         assert r.neighbor_id != r.query_id  # self-join excludes self
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_knn_classify_vote_matches_reference(spark, emb, ground):
+    # full-probe kNN + majority vote (ties: count desc, label asc) must
+    # equal the driver-side mirror exactly
+    from collections import Counter
+
+    from stupidb_spark.operators.dedup import corpus_join_strategy
+
+    ids, V = ground
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    knn = knn_join(
+        base, queries, k_neighbors=5, n_cells=8, n_probe=8
+    )
+    labeled = knn.hint(corpus_join_strategy()).join(
+        base.select(F.col("vec_id").alias("neighbor_id"), "label").hint(
+            corpus_join_strategy()
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = votes.groupBy("query_id").agg(
+        F.min_by(
+            F.col("label"),
+            F.struct((-F.col("n")).alias("v"), F.col("label").alias("l")),
+        ).alias("pred")
+    )
+    got = {r.query_id: r.pred for r in best.collect()}
+
+    label_of = {r.vec_id: r.label for r in emb.collect()}
+    b_mask = ids % 5 != 0
+    want_knn = knn_join_reference(
+        ids[b_mask], V[b_mask], ids[~b_mask], V[~b_mask],
+        k_neighbors=5, self_join=False,
+    )
+    by_q: dict[int, list[str]] = {}
+    for q, _, n, _ in want_knn:
+        by_q.setdefault(q, []).append(label_of[n])
+    want = {
+        q: min(Counter(ls).items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for q, ls in by_q.items()
+    }
+    assert got == want
+
+
+def test_registered_knn_classify_shape(spark):
+    from stupidb_spark.queryset import QUERIES
+
+    out = QUERIES["emb_knn_classify"](spark, SF_DIR)
+    assert out.columns == ["query_id", "pred_label", "n_votes", "k_used"]
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.n_votes <= r.k_used <= 5
