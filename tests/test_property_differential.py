@@ -355,3 +355,34 @@ def test_second_moment_split_sum_survives_int64_overflow(spark):
     ), (got, o)
     # var(x) == cov(x, x) by definition; the split path must preserve it
     assert got.v == got.c
+
+
+# random little corpora over a 3-letter alphabet: dense pair-count ties,
+# so the (count DESC, left, right) tie-break and the batched disjointness
+# rule both get exercised hard
+CORPUS = st.lists(
+    st.text(alphabet="abc xyz", min_size=0, max_size=24),
+    min_size=1,
+    max_size=6,
+)
+
+BPE_SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(texts=CORPUS, batch=st.sampled_from([1, 3]))
+@BPE_SLOW
+def test_bpe_train_matches_mirror_on_random_corpora(spark, texts, batch):
+    from stupidb_spark.operators.bpe import bpe_train, bpe_train_reference
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(df, n_merges=6, batch_size=batch, min_pair_count=2)
+    want, _ = bpe_train_reference(
+        texts, n_merges=6, batch_size=batch, min_pair_count=2
+    )
+    assert got == want
