@@ -122,15 +122,20 @@ PRIORITY: tuple[str, ...] = (
     "agg_count_distinct",
     "agg_grouping_sets",
     "agg_median_disc",
+    # sample_group_topk is oracled and NEW post-rehearsal — no driver row
+    # exists yet, so it outranks the last r6 refresh slot (join_cross
+    # drops to 51; its r6 driver row and local pins stand, and round 9
+    # owes it with the rest of the r6 cohort).
+    "sample_group_topk",
     "join_cross",
-    "join_theta",
     # --- 51+: recently-gated queries and twins; all still run in
     # tests/test_oracle_parity.py every session and in the full
     # stability sweep. join_full_outer / join_left_nullpad / join_right /
     # sort_limit_offset / sort_nulls_first / sort_topk dropped out of the top 50 to make room
     # for the six new-this-round oracled queries above; all six kept
     # their r6 driver rows and local pins, and round 9 owes them (plus the
-    # remaining 16 r6 rows) next.
+    # remaining 16 r6 rows and join_theta) next.
+    "join_theta",
     "join_full_outer",
     "join_left_nullpad",
     "join_right",
