@@ -46,6 +46,35 @@ from stupidb_spark.operators.ivf import _normalize, ivf_index, ivf_train
 from stupidb_spark.operators.similarity import QUANT_SCALE, _qdot, _quant_sims
 
 
+def _norm_guard(df: DataFrame, what: str) -> DataFrame:
+    """Fail loudly on a zero-norm vector (columns must already be named
+    ``id``/``vec``). Cosine against the zero vector is undefined — the NaN
+    would otherwise rank nondeterministically in the top-k merge. The
+    mega-document-guard philosophy: a loud error naming the offending id
+    beats silently wrong neighbors; callers with legitimate zero vectors
+    (empty documents embedded as 0) filter them upstream."""
+    nonzero = F.exists(F.col("vec"), lambda x: x != F.lit(0.0))
+    ok = F.assert_true(
+        nonzero,
+        F.concat(
+            F.lit(f"{what}: vector "),
+            F.col("id").cast("string"),
+            F.lit(
+                " has zero norm; cosine is undefined and its neighbors"
+                " would be nondeterministic. Filter zero-norm vectors"
+                " upstream (e.g. sift(norm(vec) > 0))"
+            ),
+        ),
+    )
+    # assert_true returns NULL when the predicate holds — the repo's
+    # guard idiom (dedup._doc_bytes_guard): a no-op wrapper on the vec
+    # column that errors per offending row otherwise
+    others = [c for c in df.columns if c != "vec"]
+    return df.select(
+        *others, F.when(ok.isNull(), F.col("vec")).alias("vec")
+    )
+
+
 def knn_join(
     base: DataFrame,
     queries: DataFrame | None = None,
@@ -82,10 +111,13 @@ def knn_join(
     C = _normalize(centroids.astype(np.float64))
 
     indexed = ivf_index(base, centroids, id_col=id_col, vec_col=vec_col)
-    b = indexed.select(
-        F.col("neighbor_id").alias("id"),
-        F.col("b_vec").cast("array<double>").alias("vec"),
-        "cell",
+    b = _norm_guard(
+        indexed.select(
+            F.col("neighbor_id").alias("id"),
+            F.col("b_vec").cast("array<double>").alias("vec"),
+            "cell",
+        ),
+        "knn_join",
     )
     # n_cells rows — the bounded salt table (broadcast by construction)
     cell_counts = b.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
@@ -103,9 +135,12 @@ def knn_join(
 
     qsrc = base if self_join else queries
     qraw = spread_small_scan(
-        qsrc.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
+        _norm_guard(
+            qsrc.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            ),
+            "knn_join",
         )
     )
 

@@ -159,3 +159,18 @@ def test_registered_knn_classify_shape(spark):
     assert len(rows) > 0
     for r in rows:
         assert 1 <= r.n_votes <= r.k_used <= 5
+
+
+def test_zero_norm_query_fails_loudly(spark, emb):
+    import pyspark.errors
+
+    bad = emb.unionByName(
+        spark.createDataFrame(
+            [(99999, [0.0] * 64, "x")], "vec_id long, embedding array<double>, label string"
+        ).select(
+            "vec_id", F.col("embedding").cast(dict(emb.dtypes)["embedding"]), "label"
+        )
+    )
+    with pytest.raises(Exception) as ei:
+        knn_join(bad, k_neighbors=3, n_cells=8, n_probe=2).collect()
+    assert "zero norm" in str(ei.value)
