@@ -15,14 +15,16 @@ bounded closure constant, the PQ-codebook movement class), and scoring
 happens inside (cell, sub-block) tasks.
 
 Scale design (100 TB):
-- **One corpus shuffle per side.** Base rows shuffle once on (cell, sub);
-  query rows replicate to (cell, sub) task keys (``n_probe × s`` rows per
-  query, where s is the per-cell salt factor) — the only other shuffles
-  are the n_cells-row count table and the final candidate aggregate.
-- **No task ever exceeds ~max_block base rows.** Oversized cells are
-  hash-split like `salted_block_tasks`: a hot semantic cluster degrades to
-  s parallel tasks, never one mega-task (the WindowExec mega-partition
-  rule applied to ANN).
+- **One corpus shuffle per side.** Base rows shuffle once onto
+  (cell, sub, qchunk) task keys; query rows replicate to ``n_probe × s``
+  of them — the only other shuffles are the n_cells-row count tables and
+  the final candidate aggregate.
+- **No task ever exceeds ~max_block rows on EITHER side.** Oversized
+  cells are hash-split like `salted_block_tasks` on the base axis, and
+  per-cell probed-query counts chunk the query axis symmetrically — a
+  hot semantic cluster OR a skewed query distribution degrades to
+  parallel bounded tasks, never one mega-task (the WindowExec
+  mega-partition rule applied to ANN on both dimensions).
 - **Bounded final state.** Each task emits at most k candidates per query,
   so the per-query top-k aggregate holds ≤ k·Σ(probed-cell salt factors)
   structs — bounded by construction, unlike aggregating raw candidates.
@@ -125,14 +127,6 @@ def knn_join(
         "cell", F.ceil(F.col("__n") / F.lit(max_block)).cast("int").alias("__s")
     )
 
-    b = b.join(F.broadcast(cell_s), "cell").select(
-        "cell",
-        F.pmod(F.xxhash64("id"), F.col("__s")).cast("int").alias("sub"),
-        "id",
-        "vec",
-        F.lit(True).alias("is_base"),
-    )
-
     qsrc = base if self_join else queries
     qraw = spread_small_scan(
         _norm_guard(
@@ -152,14 +146,42 @@ def knn_join(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([[int(c) for c in row] for row in top])
 
+    qprobed = qraw.withColumn("cell", F.explode(probe(F.col("vec"))))
+
+    # The QUERY side of a task must be bounded too: a skewed query
+    # distribution (every query probing one hot cell) would otherwise pile
+    # the whole query set into that cell's tasks. Per-cell probed-query
+    # counts (n_cells rows, cheap recompute of the map-side probe — the
+    # salted_block_tasks counts_from pattern) set a chunk factor, giving
+    # symmetric 2D blocking: task (cell, sub, qc) holds ≤ max_block base
+    # rows AND ≤ max_block query rows by construction; each (query, base)
+    # pair lands in exactly one task — (cell, sub(base), qc(query)).
+    qcnt = qprobed.groupBy("cell").agg(F.count(F.lit(1)).alias("__qn"))
+    cell_tasks = cell_s.join(qcnt, "cell", "left").select(
+        "cell",
+        "__s",
+        F.coalesce(
+            F.ceil(F.col("__qn") / F.lit(max_block)).cast("int"), F.lit(1)
+        ).alias("__qc"),
+    )
+
+    b = b.join(F.broadcast(cell_tasks), "cell").select(
+        "cell",
+        F.pmod(F.xxhash64("id"), F.col("__s")).cast("int").alias("sub"),
+        F.explode(F.sequence(F.lit(0), F.col("__qc") - F.lit(1))).alias("qc"),
+        "id",
+        "vec",
+        F.lit(True).alias("is_base"),
+    )
+
     q = (
-        qraw.withColumn("cell", F.explode(probe(F.col("vec"))))
         # a probed cell with no base rows contributes nothing: inner join
-        # on the bounded salt table drops it
-        .join(F.broadcast(cell_s), "cell")
+        # on the bounded task table drops it
+        qprobed.join(F.broadcast(cell_tasks), "cell")
         .select(
             "cell",
             F.explode(F.sequence(F.lit(0), F.col("__s") - F.lit(1))).alias("sub"),
+            F.pmod(F.xxhash64("id"), F.col("__qc")).cast("int").alias("qc"),
             "id",
             "vec",
             F.lit(False).alias("is_base"),
@@ -211,7 +233,7 @@ def knn_join(
 
     cand = (
         b.unionByName(q)
-        .groupBy("cell", "sub")
+        .groupBy("cell", "sub", "qc")
         .applyInPandas(task, cand_schema)
     )
 
