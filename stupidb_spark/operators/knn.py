@@ -146,16 +146,22 @@ def knn_join(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([[int(c) for c in row] for row in top])
 
-    qprobed = qraw.withColumn("cell", F.explode(probe(F.col("vec"))))
+    # Probed queries feed TWO subtrees (the chunk-factor counts and the
+    # task stream); the lazy localCheckpoint (components.py idiom — the
+    # counts job materializes it) keeps the probe matmul + explode to ONE
+    # pass instead of two full query-side recomputes (measured 2× end to
+    # end at the 100× fixture).
+    qprobed = qraw.withColumn(
+        "cell", F.explode(probe(F.col("vec")))
+    ).localCheckpoint(eager=False)
 
     # The QUERY side of a task must be bounded too: a skewed query
     # distribution (every query probing one hot cell) would otherwise pile
     # the whole query set into that cell's tasks. Per-cell probed-query
-    # counts (n_cells rows, cheap recompute of the map-side probe — the
-    # salted_block_tasks counts_from pattern) set a chunk factor, giving
-    # symmetric 2D blocking: task (cell, sub, qc) holds ≤ max_block base
-    # rows AND ≤ max_block query rows by construction; each (query, base)
-    # pair lands in exactly one task — (cell, sub(base), qc(query)).
+    # counts (n_cells rows) set a chunk factor, giving symmetric 2D
+    # blocking: task (cell, sub, qc) holds ≤ max_block base rows AND
+    # ≤ max_block query rows by construction; each (query, base) pair
+    # lands in exactly one task — (cell, sub(base), qc(query)).
     qcnt = qprobed.groupBy("cell").agg(F.count(F.lit(1)).alias("__qn"))
     cell_tasks = cell_s.join(qcnt, "cell", "left").select(
         "cell",
