@@ -361,3 +361,25 @@ def bpe_train_reference(
                     acc.append(s)
             state[w] = acc
     return merges, state
+
+
+def save_bpe_merges(
+    spark: SparkSession, merges: list[BpeMerge], path: str
+) -> None:
+    """Persist a trained rule list as parquet — the durable model form
+    (the `save_ivf_index` lifecycle): a tokenizer is trained once per
+    corpus snapshot and then shared by every encoding job, including the
+    streaming twin's frozen rule table."""
+    bpe_merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def load_bpe_merges(spark: SparkSession, path: str) -> list[BpeMerge]:
+    """Load a :func:`save_bpe_merges` table back into the rank-ordered
+    rule list :func:`bpe_encode` consumes."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [
+        BpeMerge(int(r["rank"]), r["left"], r["right"], r["merged"], int(r["pair_count"]))
+        for r in rows
+    ]

@@ -164,3 +164,17 @@ def test_encode_is_map_only(spark, corpus):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_merges_roundtrip_through_parquet(spark, corpus, tmp_path):
+    from stupidb_spark.operators.bpe import load_bpe_merges, save_bpe_merges
+
+    merges = bpe_train(corpus, n_merges=10, batch_size=4)
+    p = str(tmp_path / "bpe_model")
+    save_bpe_merges(spark, merges, p)
+    loaded = load_bpe_merges(spark, p)
+    assert loaded == merges
+    # the loaded model encodes identically
+    a = bpe_encode(corpus, merges).orderBy("doc_id").collect()
+    b = bpe_encode(corpus, loaded).orderBy("doc_id").collect()
+    assert [r.tokens for r in a] == [r.tokens for r in b]
