@@ -15,6 +15,10 @@ from stupidb_spark.streaming.documents import (
     lm_scored_stream,
     stream_documents,
 )
+from stupidb_spark.streaming.embeddings import (
+    knn_label_stream,
+    stream_embeddings,
+)
 from stupidb_spark.streaming.events import (
     attribution_stream,
     deduped_stream,
@@ -39,4 +43,6 @@ __all__ = [
     "lm_scored_stream",
     "dup_flagged_stream",
     "bpe_tokens_stream",
+    "stream_embeddings",
+    "knn_label_stream",
 ]

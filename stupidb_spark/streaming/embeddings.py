@@ -1,0 +1,95 @@
+"""Streaming embedding classification — ingest-time kNN labeling.
+
+The batch kNN join blocks both corpus-sized sides into (cell, sub,
+qchunk) tasks via ``applyInPandas`` — a shape Structured Streaming cannot
+run (grouped-map over a stream needs state semantics). The streaming
+counterpart therefore flips the boundedness contract, exactly like
+``brute_force_topk`` does for batch retrieval: the LABELED REFERENCE is
+the bounded side (collected once, rides the UDF closure like the PQ
+codebooks / BPE rank tables), and the unbounded stream is scored map-only
+— zero shuffles, append mode, no state, so it attaches to any ingest
+stream unchanged. For corpus-sized reference sets, run the batch
+``knn_join`` + vote on a schedule instead and stream-static-join its
+output.
+
+Arithmetic is the shared quantized-grid construction and the vote rule is
+identical to ``emb_knn_classify`` (count DESC, label ASC) — stream ==
+batch-mirror pinned in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupidb_spark.operators.similarity import QUANT_SCALE, _qdot, _quant_sims
+from stupidb_spark.sources.catalog import FIXTURE_SCHEMAS
+
+
+def stream_embeddings(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of embeddings parquet files dropped into
+    ``source_dir`` (the fixture ``embeddings`` schema, pinned)."""
+    reader = spark.readStream.schema(FIXTURE_SCHEMAS["embeddings"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def knn_label_stream(
+    emb_stream: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k_neighbors: int = 5,
+) -> DataFrame:
+    """Label every streamed vector with the majority label of its
+    ``k_neighbors`` nearest reference vectors.
+
+    Output columns: ``(id_col, pred_label, n_votes)``. Ties break to the
+    higher vote count, then the smaller label; neighbor order inside the
+    vote is (similarity DESC, reference id ASC) — the batch vote rule.
+    """
+    rows = reference.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(label_col).alias("_l"),
+    ).collect()
+    rows.sort(key=lambda r: r._id)
+    r_ids = np.array([r._id for r in rows])
+    R = np.stack([np.array(r._v, dtype=np.float64) for r in rows])
+    r_labels = [r._l for r in rows]
+    k = min(k_neighbors, len(r_ids))
+    label_type = dict(reference.dtypes)[label_col]
+
+    @F.pandas_udf(f"pred_label {label_type}, n_votes int")
+    def classify(v: pd.Series) -> pd.DataFrame:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        mnorms = np.sqrt(_qdot(M, M).astype(np.float64) / QUANT_SCALE)
+        sims = _quant_sims(R, M, mnorms)  # (n_ref, batch)
+        preds, votes = [], []
+        for j in range(M.shape[0]):
+            order = np.lexsort((r_ids, -sims[:, j]))[:k]
+            counts: dict = {}
+            for o in order:
+                counts[r_labels[o]] = counts.get(r_labels[o], 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            preds.append(best[0])
+            votes.append(best[1])
+        return pd.DataFrame({"pred_label": preds, "n_votes": votes})
+
+    out = emb_stream.withColumn("__c", classify(F.col(vec_col)))
+    return out.select(
+        id_col,
+        F.col("__c.pred_label").alias("pred_label"),
+        F.col("__c.n_votes").alias("n_votes"),
+    )

@@ -320,3 +320,62 @@ def test_bpe_tokens_stream_equals_batch(spark):
         _assert_same(got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_knn_label_stream_matches_batch_mirror(spark):
+    """Ingest-time kNN labeling: streamed vectors classified against a
+    bounded labeled reference must reproduce the exact brute-force vote
+    (the emb_knn_classify rule) per micro-batch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.operators.knn import knn_join_reference
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.streaming import knn_label_stream, stream_embeddings
+
+    d = SCRATCH / f"stream-knnlab-{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        t = con.sql(
+            f"SELECT * FROM '{SF_DIR}/embeddings.parquet' WHERE vec_id % 5 = 0"
+        ).arrow()
+        con.close()
+        n = t.num_rows
+        pq.write_table(t.slice(0, n // 2), d / "part-000.parquet")
+        pq.write_table(t.slice(n // 2), d / "part-001.parquet")
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        reference = emb.filter(F.col("vec_id") % 5 != 0)
+        stream = knn_label_stream(
+            stream_embeddings(spark, str(d), max_files_per_trigger=1),
+            reference,
+            k_neighbors=5,
+        )
+        got_rows = run_to_memory(stream, "t_knn_labels", output_mode="append")
+        got = {r.vec_id: (r.pred_label, r.n_votes) for r in got_rows.collect()}
+
+        rows = emb.orderBy("vec_id").collect()
+        ids = np.array([r.vec_id for r in rows])
+        V = np.stack([np.array(r.embedding) for r in rows])
+        label_of = {r.vec_id: r.label for r in rows}
+        m = ids % 5 != 0
+        knn = knn_join_reference(
+            ids[m], V[m], ids[~m], V[~m], k_neighbors=5, self_join=False
+        )
+        by_q: dict[int, list] = {}
+        for q, _, nb, _ in knn:
+            by_q.setdefault(q, []).append(label_of[nb])
+        want = {
+            q: min(Counter(ls).items(), key=lambda kv: (-kv[1], kv[0]))
+            for q, ls in by_q.items()
+        }
+        assert got == {q: (l, c) for q, (l, c) in want.items()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
