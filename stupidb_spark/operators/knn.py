@@ -45,36 +45,12 @@ from pyspark.sql import functions as F
 
 from stupidb_spark.operators.dedup import corpus_join_strategy, spread_small_scan
 from stupidb_spark.operators.ivf import _normalize, ivf_index, ivf_train
-from stupidb_spark.operators.similarity import QUANT_SCALE, _qdot, _quant_sims
-
-
-def _norm_guard(df: DataFrame, what: str) -> DataFrame:
-    """Fail loudly on a zero-norm vector (columns must already be named
-    ``id``/``vec``). Cosine against the zero vector is undefined — the NaN
-    would otherwise rank nondeterministically in the top-k merge. The
-    mega-document-guard philosophy: a loud error naming the offending id
-    beats silently wrong neighbors; callers with legitimate zero vectors
-    (empty documents embedded as 0) filter them upstream."""
-    nonzero = F.exists(F.col("vec"), lambda x: x != F.lit(0.0))
-    ok = F.assert_true(
-        nonzero,
-        F.concat(
-            F.lit(f"{what}: vector "),
-            F.col("id").cast("string"),
-            F.lit(
-                " has zero norm; cosine is undefined and its neighbors"
-                " would be nondeterministic. Filter zero-norm vectors"
-                " upstream (e.g. sift(norm(vec) > 0))"
-            ),
-        ),
-    )
-    # assert_true returns NULL when the predicate holds — the repo's
-    # guard idiom (dedup._doc_bytes_guard): a no-op wrapper on the vec
-    # column that errors per offending row otherwise
-    others = [c for c in df.columns if c != "vec"]
-    return df.select(
-        *others, F.when(ok.isNull(), F.col("vec")).alias("vec")
-    )
+from stupidb_spark.operators.similarity import (
+    QUANT_SCALE,
+    _qdot,
+    _quant_sims,
+    norm_guard,
+)
 
 
 def knn_join(
@@ -113,7 +89,7 @@ def knn_join(
     C = _normalize(centroids.astype(np.float64))
 
     indexed = ivf_index(base, centroids, id_col=id_col, vec_col=vec_col)
-    b = _norm_guard(
+    b = norm_guard(
         indexed.select(
             F.col("neighbor_id").alias("id"),
             F.col("b_vec").cast("array<double>").alias("vec"),
@@ -129,7 +105,7 @@ def knn_join(
 
     qsrc = base if self_join else queries
     qraw = spread_small_scan(
-        _norm_guard(
+        norm_guard(
             qsrc.select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).cast("array<double>").alias("vec"),

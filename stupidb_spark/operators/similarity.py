@@ -332,6 +332,32 @@ def lsh_topk(
     )
 
 
+def norm_guard(df: DataFrame, what: str) -> DataFrame:
+    """Fail loudly on a zero-norm vector (columns must already be named
+    ``id``/``vec``; all other columns pass through). Cosine against the
+    zero vector is undefined — a NaN similarity silently drops pairs at
+    the threshold and ranks nondeterministically in top-k merges. The
+    mega-document-guard philosophy: a loud error naming the offending id
+    beats silently wrong similarities; callers with legitimate zero
+    vectors (empty documents embedded as 0) filter them upstream."""
+    nonzero = F.exists(F.col("vec"), lambda x: x != F.lit(0.0))
+    ok = F.assert_true(
+        nonzero,
+        F.concat(
+            F.lit(f"{what}: vector "),
+            F.col("id").cast("string"),
+            F.lit(
+                " has zero norm; cosine is undefined. Filter zero-norm"
+                " vectors upstream (e.g. sift(norm(vec) > 0))"
+            ),
+        ),
+    )
+    # assert_true returns NULL when the predicate holds — the repo's guard
+    # idiom (dedup._doc_bytes_guard): a no-op wrapper on the vec column
+    others = [c for c in df.columns if c != "vec"]
+    return df.select(*others, F.when(ok.isNull(), F.col("vec")).alias("vec"))
+
+
 def salted_block_tasks(
     work: DataFrame, *, max_block: int, counts_from: DataFrame | None = None
 ) -> DataFrame:
@@ -430,6 +456,7 @@ def embedding_near_dup_pairs(
         raw = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ).withColumn("block", lsh_bucket(F.col("vec"), planes))
+    raw = norm_guard(raw, "embedding_near_dup_pairs")
     work = spread_small_scan(raw)
 
     id_type = dict(work.dtypes)["id"]

@@ -614,3 +614,16 @@ def test_ivf_rebalance_durable_rewrites_only_hot_partitions(spark):
         assert pf and "cell" in pf[0]
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_near_dup_zero_norm_vector_fails_loudly(spark):
+    import pytest
+
+    from stupidb_spark.operators.similarity import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception) as ei:
+        embedding_near_dup_pairs(df, threshold=0.5).collect()
+    assert "zero norm" in str(ei.value)
