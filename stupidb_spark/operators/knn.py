@@ -53,6 +53,16 @@ from stupidb_spark.operators.similarity import (
 )
 
 
+def derive_n_cells(
+    n_base: int, *, target_occupancy: int = 250, n_train: int = 4096
+) -> int:
+    """Occupancy-constant cell count: ``ceil(n / target_occupancy)``,
+    clamped to [1, n_train] (Lloyd seeds one centroid per sample row).
+    The measured-linear sizing rule (SCALE.md "kNN sizing rule") that
+    :func:`knn_join` applies when ``n_cells`` is not passed."""
+    return int(min(max(1, -(-n_base // target_occupancy)), n_train))
+
+
 def knn_join(
     base: DataFrame,
     queries: DataFrame | None = None,
@@ -60,11 +70,12 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k_neighbors: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 2,
     iters: int = 3,
     n_train: int = 4096,
     max_block: int = 2048,
+    target_occupancy: int = 250,
 ) -> DataFrame:
     """For each query row, its ``k_neighbors`` nearest base rows by
     quantized cosine. ``queries=None`` is the self-join (each vector's
@@ -75,13 +86,24 @@ def knn_join(
     cells hold no base rows are omitted (no candidates — raise ``n_probe``
     for total coverage; ``n_probe = n_cells`` is exact brute force).
 
-    Sizing rule (100 TB): within-cell comparison volume is
-    Θ(N²·n_probe/n_cells), so grow ``n_cells`` proportionally to the base
-    corpus (constant cell occupancy ≈ a few × ``max_block``) — total work
-    is then Θ(N·n_probe·max_block), linear in N, with the quantizer
-    retrain amortized exactly like the IVF index lifecycle.
+    Sizing (100 TB): within-cell comparison volume is
+    Θ(N²·n_probe/n_cells), so a FIXED cell count is quadratic by
+    construction. The default (``n_cells=None``) therefore derives the
+    cell count from one cheap base ``count()``:
+    ``n_cells = ceil(n / target_occupancy)`` — constant cell occupancy,
+    which makes total work Θ(N·n_probe·occupancy), linear in N (measured
+    linear at the 100× fixture, SCALE.md "kNN sizing rule"). The derived
+    count is clamped to ``n_train`` so the Lloyd sample can seed every
+    centroid; at corpora where ``n/target_occupancy`` exceeds that, raise
+    ``n_train`` alongside. Passing ``n_cells`` explicitly overrides the
+    rule (small fixtures, recall experiments) and is the caller's
+    assertion that the fixed count is safe at their scale.
     """
     self_join = queries is None
+    if n_cells is None:
+        n_cells = derive_n_cells(
+            base.count(), target_occupancy=target_occupancy, n_train=n_train
+        )
     centroids = ivf_train(
         base, id_col=id_col, vec_col=vec_col, k=n_cells, iters=iters,
         n_train=n_train,
@@ -170,7 +192,13 @@ def knn_join(
         )
     )
 
-    id_type = dict(b.dtypes)["id"]
+    # Task-input id type comes from the UNIONED relation, not the base
+    # side: union promotes (e.g. int base ids vs long query ids → long),
+    # and typing the applyInPandas output from the base side alone would
+    # silently cast wider query ids back down. One promoted type for both
+    # output id columns is lossless — neighbor ids always fit in it.
+    tasks_input = b.unionByName(q)
+    id_type = dict(tasks_input.dtypes)["id"]
     cand_schema = f"query {id_type}, neighbor {id_type}, sim double"
     k = k_neighbors
 
@@ -213,10 +241,8 @@ def knn_join(
             }
         )
 
-    cand = (
-        b.unionByName(q)
-        .groupBy("cell", "sub", "qc")
-        .applyInPandas(task, cand_schema)
+    cand = tasks_input.groupBy("cell", "sub", "qc").applyInPandas(
+        task, cand_schema
     )
 
     # Per-query merge of the ≤ k-per-task candidates: sort_array over

@@ -239,15 +239,19 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus-scale kNN self-join (operators/knn.py): every vector's 5
     # nearest others, IVF-blocked with multi-probe — both sides
     # corpus-sized, nothing unbounded at the driver, no task above
-    # max_block base rows. n_probe=4 of 8 cells = 2x cell pruning at 0.76
-    # measured recall on the (quasi-random, worst-case) fixture
-    # embeddings; n_probe=n_cells is exact.
+    # max_block base rows. n_cells is the operator's occupancy-constant
+    # auto-sizing (the measured-linear rule, SCALE.md "kNN sizing rule"):
+    # sf0.1's 2,000 vectors derive the same 8 cells the old fixed fixture
+    # used, so the bench series is continuous — but the registered form
+    # now scales linearly instead of quadratically. n_probe=4 multi-probe
+    # (0.76 measured recall at 8 cells on the quasi-random worst-case
+    # fixture); n_probe>=n_cells is exact.
     from stupidb_spark.operators.knn import knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = knn_join(
         emb, id_col="vec_id", vec_col="embedding",
-        k_neighbors=5, n_cells=8, n_probe=4,
+        k_neighbors=5, n_probe=4,
     )
     return out.select(
         "query_id", "rank", "neighbor_id",
@@ -271,9 +275,11 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 0)
     queries = emb.filter(F.col("vec_id") % 5 == 0)
+    # occupancy-constant auto-sized cells (linear rule) — sf0.1's labeled
+    # base derives ~7 cells, matching the old fixed-8 fixture's regime.
     knn = knn_join(
         base, queries, id_col="vec_id", vec_col="embedding",
-        k_neighbors=5, n_cells=8, n_probe=4,
+        k_neighbors=5, n_probe=4,
     )
     labeled = knn.hint(corpus_join_strategy()).join(
         base.select(F.col("vec_id").alias("neighbor_id"), "label").hint(

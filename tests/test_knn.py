@@ -161,6 +161,35 @@ def test_registered_knn_classify_shape(spark):
         assert 1 <= r.n_votes <= r.k_used <= 5
 
 
+def test_derive_n_cells_rule():
+    from stupidb_spark.operators.knn import derive_n_cells
+
+    # ceil(n / occupancy), floored at 1, capped at the Lloyd sample size
+    assert derive_n_cells(0) == 1
+    assert derive_n_cells(1) == 1
+    assert derive_n_cells(250) == 1
+    assert derive_n_cells(251) == 2
+    assert derive_n_cells(2_000) == 8  # the sf0.1 fixture regime
+    assert derive_n_cells(200_000) == 800  # SCALE.md's measured 100× point
+    assert derive_n_cells(10_000_000) == 4096  # clamped to n_train
+    assert derive_n_cells(10_000_000, n_train=65536) == 40000
+    assert derive_n_cells(2_000, target_occupancy=500) == 4
+
+
+def test_auto_sized_join_is_linear_rule_and_correct(emb, ground):
+    # default n_cells derives from the base count; at the test fixture the
+    # derived count is small enough that n_probe=8 covers every cell, so
+    # the auto-sized join must equal exact brute force
+    from stupidb_spark.operators.knn import derive_n_cells
+
+    ids, V = ground
+    derived = derive_n_cells(len(ids))
+    assert derived == -(-len(ids) // 250)
+    got = _tuples(knn_join(emb, k_neighbors=5, n_probe=max(8, derived)))
+    want = knn_join_reference(ids, V, ids, V, k_neighbors=5, self_join=True)
+    assert got == want
+
+
 def test_zero_norm_query_fails_loudly(spark, emb):
     import pyspark.errors
 
