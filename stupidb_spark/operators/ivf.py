@@ -351,6 +351,34 @@ def _local_lloyd(X: np.ndarray, k: int, iters: int) -> np.ndarray:
     return centroids
 
 
+def _cell_sample(
+    indexed: DataFrame, cell: int, n_train: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded Lloyd sample for one cell: ``n_train`` members drawn EVENLY
+    across the cell's id range (deterministic hash order, id tie-break),
+    returned id-sorted as ``(ids, X)``.
+
+    Lowest-id sampling would be wrong here: rebalance exists because
+    appends piled into the cell, and appended rows carry the HIGHEST ids —
+    a cell with ≥ n_train pre-append members would contribute a sample with
+    zero pile members, the fitted sub-centroids would never see the hot
+    region, and the split would fail to reduce skew. Hash-ordered
+    draw gives every id segment (tenured and appended alike)
+    representation proportional to its population."""
+    rows = (
+        indexed.filter(F.col("cell") == cell)
+        .orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
+        .limit(n_train)
+        .collect()
+    )
+    ids = np.array([r.neighbor_id for r in rows])
+    X = np.stack([np.array(r.b_vec, dtype=np.float64) for r in rows])
+    # id-sort so _local_lloyd's evenly-spaced seeds span the id range —
+    # tenured lows and appended highs both get seeds in proportion
+    order = np.argsort(ids)
+    return ids[order], X[order]
+
+
 def ivf_rebalance(
     idx: _CachedIndex,
     *,
@@ -371,7 +399,9 @@ def ivf_rebalance(
       cells count — drift that hollows out cells raises the pressure on the
       hot ones, as it should).
     - Per hot cell, a local deterministic Lloyd (the :func:`ivf_train`
-      recipe) on that cell's ``n_train`` lowest-id members fits
+      recipe) on ``n_train`` members drawn evenly across the cell's id
+      range (:func:`_cell_sample` — so an appended high-id pile is
+      represented even when the cell had ≥ n_train tenured rows) fits
       ``ceil(pop / (target_ratio × mean))`` ≤ ``max_split`` sub-centroids —
       a bounded driver-side sample per hot cell, exactly like training.
     - Cell ids are STABLE: the first sub-centroid takes the parent's row in
@@ -408,13 +438,7 @@ def ivf_rebalance(
     families: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for c in hot:
         n_sub = int(min(max_split, max(2, np.ceil(counts[c] / (target_ratio * mean)))))
-        rows = (
-            idx.indexed.filter(F.col("cell") == c)
-            .orderBy("neighbor_id")
-            .limit(n_train)
-            .collect()
-        )
-        X = np.stack([np.array(r.b_vec, dtype=np.float64) for r in rows])
+        _, X = _cell_sample(idx.indexed, c, n_train)
         n_sub = min(n_sub, len(X))
         sub = _local_lloyd(X, n_sub, iters)
         ids = [c] + list(range(len(centroids), len(centroids) + n_sub - 1))
@@ -455,12 +479,17 @@ def rebalance_ivf_index(spark, path: str, **kwargs) -> dict[int, list[int]]:
     Only the AFFECTED partitions are rewritten (dynamic partition
     overwrite: the hot parents plus the appended sub-cells); cold ``cell=N``
     directories are untouched, so the probe-side PartitionFilters contract
-    survives the rebalance exactly as it survives appends. One edge falls
-    back to a full rewrite: a hot parent whose rows ALL moved to new
-    sub-cells would leave its stale directory behind under dynamic
-    overwrite (duplicate neighbors on probe), so if any parent ends empty
-    the whole cells table is rewritten instead — detected with one bounded
-    aggregate before writing.
+    survives the rebalance exactly as it survives appends. One edge needs
+    explicit cleanup: a hot parent whose rows ALL moved to new sub-cells
+    has no rows in the written data, so dynamic overwrite never touches its
+    ``cell=N`` directory and the stale files would double-count those
+    neighbors on probe — detected with one bounded aggregate before
+    writing, and the emptied parent directories are deleted (Hadoop
+    FileSystem, so it works on any cluster store) after the write commits.
+    The delete is a separate action after the commit, so a crash between
+    the two can leave a stale parent dir; re-running the rebalance (or any
+    load + distinct check) detects and the next delete clears it — the
+    same non-transactional contract every bare-parquet layout has.
     """
     idx = load_ivf_index(spark, path)
     res = ivf_rebalance(idx, **kwargs)
@@ -482,16 +511,21 @@ def rebalance_ivf_index(spark, path: str, **kwargs) -> dict[int, list[int]]:
     )
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        if parents_emptied:
-            new.indexed.write.partitionBy("cell").mode("overwrite").parquet(
-                f"{path}/cells"
-            )
-        else:
-            changed.write.partitionBy("cell").mode("overwrite").parquet(
-                f"{path}/cells"
-            )
+        changed.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{path}/cells"
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    if parents_emptied:
+        # Dynamic overwrite replaces only the partitions PRESENT in the
+        # written data; an emptied parent has none, so its stale directory
+        # must be deleted explicitly or the reloaded index would return
+        # those neighbors twice on probe.
+        hconf = spark._jsc.hadoopConfiguration()
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        for c in parents_emptied:
+            p = jpath(f"{path}/cells/cell={c}")
+            p.getFileSystem(hconf).delete(p, True)
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(new.centroids)]
     spark.createDataFrame(
         rows, "cell int, centroid array<double>"

@@ -137,14 +137,17 @@ def nb_classify(
     # model-side movement of the IVF-centroid class. Sorted so the column
     # order, and with it the tie-break, is deterministic.
     cls_rows = sorted(model.classes.collect(), key=lambda r: r["cls"])
-    # Pivot the vocabulary-sized likelihood table to ONE row per word with
-    # a column per class (gram-scale aggregate on the model side), so the
+    # Fold the vocabulary-sized likelihood table to ONE row per word with a
+    # cls→qw MAP column (gram-scale aggregate on the model side), so the
     # corpus tf stream rides a single 1x-width join instead of being
-    # fanned x|classes| through the shuffle.
-    wvec = (
-        model.word_q.groupBy("w")
-        .pivot("cls", [r["cls"] for r in cls_rows])
-        .agg(F.first("qw"))
+    # fanned x|classes| through the shuffle. A map — not a pivot — because
+    # class labels are user data: pivoted labels become column NAMES, and a
+    # label holding a backtick (or shadowing 'doc'/'w'/'c') would break or
+    # ambiguate the downstream references; map keys are plain values.
+    wvec = model.word_q.groupBy("w").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("cls", "qw"))
+        ).alias("__clsmap")
     )
     scored = tf.hint(corpus_join_strategy()).join(
         wvec.hint(corpus_join_strategy()), "w", "left"
@@ -158,7 +161,10 @@ def nb_classify(
             F.lit(int(r["q_prior"]))
             + F.sum(
                 F.col("c")
-                * F.coalesce(F.col(f"`{r['cls']}`"), F.lit(int(r["q_def"])))
+                * F.coalesce(
+                    F.col("__clsmap")[F.lit(r["cls"])],
+                    F.lit(int(r["q_def"])),
+                )
             )
         ).alias(f"__t{i}")
         for i, r in enumerate(cls_rows)

@@ -527,6 +527,105 @@ def test_ivf_rebalance_splits_hot_cells(spark):
     assert not ivf_rebalance(new, max_ratio=4.0).split
 
 
+def test_rebalance_lloyd_sample_spans_id_range(spark):
+    """The hot-cell Lloyd sample must represent appended HIGH-id rows, not
+    just the n_train lowest ids: append-drift piles are high-id, and a
+    lowest-id sample from a cell with >= n_train tenured rows would contain
+    zero pile members, so the fitted sub-centroids would never see the hot
+    region."""
+    import numpy as np
+
+    from stupidb_spark.operators.ivf import _cell_sample
+
+    rows = [
+        (int(i), [float((i * 13 + d) % 7) for d in range(4)], 0)
+        for i in range(300)
+    ]
+    indexed = spark.createDataFrame(
+        rows, "neighbor_id long, b_vec array<double>, cell int"
+    )
+    ids, X = _cell_sample(indexed, 0, 100)
+    assert len(ids) == 100 and X.shape == (100, 4)
+    assert list(ids) == sorted(ids)  # id-sorted for evenly-spaced seeds
+    # evenly drawn: the top-third id segment (the "appended pile") is
+    # represented roughly proportionally — a lowest-id sample has none
+    high = (ids >= 200).sum()
+    assert 15 <= high <= 55, f"high-id rows in sample: {high}"
+    # deterministic draw
+    ids2, _ = _cell_sample(indexed, 0, 100)
+    assert list(ids) == list(ids2)
+
+
+def test_durable_rebalance_emptied_parent_leaves_no_stale_partition(spark):
+    """If every row of a hot parent moves to new sub-cells, the parent's
+    cell=N directory must not survive the durable rebalance: dynamic
+    partition overwrite only replaces partitions present in the written
+    data, so a stale parent dir would double-count its neighbors on every
+    probe of the reloaded index."""
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+
+    from stupidb_spark.operators import ivf as ivf_mod
+    from stupidb_spark.operators.ivf import (
+        _CachedIndex,
+        RebalanceResult,
+        build_ivf_index,
+        load_ivf_index,
+        rebalance_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = _emb(spark)
+    idx = build_ivf_index(emb, cache_key=None)
+    k_old = len(idx.centroids)
+    # a parent cell that actually has rows
+    parent = idx.indexed.groupBy("cell").count().orderBy(
+        F.col("count").desc()
+    ).first().cell
+
+    path = f"/root/repo/.scratch/ivfempty-{uuid.uuid4().hex[:8]}"
+    try:
+        save_ivf_index(idx, path)
+        loaded = load_ivf_index(spark, path)
+
+        def crafted_rebalance(ix, **kwargs):
+            # every row of `parent` moves to the new appended sub-cell —
+            # the parent ends EMPTY (the hazard under dynamic overwrite)
+            moved = ix.indexed.withColumn(
+                "cell",
+                F.when(F.col("cell") == parent, F.lit(k_old)).otherwise(
+                    F.col("cell")
+                ),
+            )
+            cents = np.vstack([ix.centroids, ix.centroids[parent]])
+            return RebalanceResult(
+                _CachedIndex(centroids=cents, indexed=moved),
+                {parent: [parent, k_old]},
+            )
+
+        orig = ivf_mod.ivf_rebalance
+        ivf_mod.ivf_rebalance = crafted_rebalance
+        try:
+            split = rebalance_ivf_index(spark, path)
+        finally:
+            ivf_mod.ivf_rebalance = orig
+        assert split == {parent: [parent, k_old]}
+        # stale parent dir is gone; the sub-cell dir exists
+        assert not os.path.exists(f"{path}/cells/cell={parent}")
+        assert os.path.exists(f"{path}/cells/cell={k_old}")
+        # the reloaded index has no duplicate neighbors and no lost rows
+        re = load_ivf_index(spark, path)
+        total = emb.count()
+        assert re.indexed.count() == total
+        assert re.indexed.select("neighbor_id").distinct().count() == total
+        assert re.indexed.filter(F.col("cell") == parent).count() == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_ivf_rebalance_durable_rewrites_only_hot_partitions(spark):
     """Durable rebalance: only hot parents + new sub-cells are rewritten;
     cold cell=N directories keep their files; probes against the reloaded

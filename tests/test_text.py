@@ -243,3 +243,50 @@ def test_backoff_lm_hand_computed(spark):
         ).count()
         == 0
     )
+
+
+def test_nb_hostile_class_labels(spark):
+    """Class labels are user data and must never become column names: a
+    label with a backtick or one shadowing an internal column ('doc', 'w',
+    'c') has to classify identically to the same data under safe labels."""
+    from stupidb_spark.operators.nb import nb_classify, nb_train
+
+    hostile = ["a`b", "doc", "w"]
+    safe = ["c0", "c1", "c2"]
+    texts = {
+        0: "apple apple banana",
+        1: "car car car road",
+        2: "wind rain wind storm",
+    }
+    ref_rows = [
+        (i * 10 + j, texts[i] + f" extra{i}", lab)
+        for i, lab in enumerate(hostile)
+        for j in range(3)
+    ]
+    docs_rows = [
+        (100, "apple banana banana"),
+        (101, "road car"),
+        (102, "storm wind"),
+        (103, "unseen words only"),
+    ]
+
+    def run(labels):
+        remap = dict(zip(hostile, labels))
+        ref = spark.createDataFrame(
+            [(i, t, remap[l]) for i, t, l in ref_rows],
+            "id long, text string, cls string",
+        )
+        docs = spark.createDataFrame(docs_rows, "id long, text string")
+        model = nb_train(ref, id_col="id", text_col="text", cls_col="cls")
+        out = nb_classify(docs, model, id_col="id", text_col="text")
+        return {
+            r.doc: (r.pred_cls, r.score_q, r.n_tokens) for r in out.collect()
+        }
+
+    got = run(hostile)
+    want = run(safe)
+    remap = dict(zip(safe, hostile))
+    assert got == {
+        d: (remap[c], s, n) for d, (c, s, n) in want.items()
+    }
+    assert got[100][0] == "a`b" and got[101][0] == "doc" and got[102][0] == "w"
