@@ -59,6 +59,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stupidb_spark.functions.text import words
+from stupidb_spark.operators.lineage import cut_lineage
 from stupidb_spark.operators.dedup import (
     DOC_BYTES_CAP,
     _doc_bytes_guard,
@@ -221,9 +222,14 @@ def bpe_train(
         for a, b, merged, c in batch:
             merges.append(BpeMerge(len(merges), a, b, merged, c))
         rules = {a + _SEP + b: m for a, b, m, _ in batch}
-        vocab = vocab.select(
-            "w", "cnt", _apply_batch_expr(F.col("syms"), rules).alias("syms")
-        ).localCheckpoint(eager=False)
+        vocab = cut_lineage(
+            vocab.select(
+                "w",
+                "cnt",
+                _apply_batch_expr(F.col("syms"), rules).alias("syms"),
+            ),
+            eager=False,
+        )
     return merges
 
 

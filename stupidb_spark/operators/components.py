@@ -28,9 +28,12 @@ Scale notes (100 TB): the symmetrized edge set is checkpointed *eagerly*
 (it is read by two branches of the very first job, so materializing it up
 front is a measured win), while per-round label state is cut with a *lazy*
 ``localCheckpoint`` — without the cuts the plan doubles per round and
-Catalyst analysis time, not the data, becomes the bottleneck. On a real cluster use a reliable
-checkpoint dir (``spark.sparkContext.setCheckpointDir``) so recomputation
-after executor loss doesn't cascade. Each round issues exactly ONE driver
+Catalyst analysis time, not the data, becomes the bottleneck. Both cuts go
+through :func:`stupidb_spark.operators.lineage.cut_lineage`: on a real
+cluster set ``SPARK_GRAFT_CHECKPOINT_DIR`` to a durable path and every cut
+becomes a reliable ``checkpoint()``, so executor loss mid-loop re-reads
+checkpoint files instead of cascading recomputation (mode parity pinned in
+``tests/test_components.py``). Each round issues exactly ONE driver
 action: the changed-label ``count`` scans every partition, which materializes
 the lazy checkpoint and decides convergence in the same job (an eager
 checkpoint plus a separate emptiness probe would pay two jobs of fixed driver
@@ -44,6 +47,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from stupidb_spark.operators.lineage import cut_lineage
 
 
 def connected_components(
@@ -93,7 +98,7 @@ def connected_components(
     # materialized partitions. The lazy form measured *slower* (both branches
     # recompute sym before its partitions land) — only the per-round `labels`
     # checkpoint stays lazy, where the single count() action materializes it.
-    sym = sym.localCheckpoint()
+    sym = cut_lineage(sym)
 
     # Propagate over edge-participating nodes ONLY. In a dedup graph almost
     # every document is a singleton — iterating over all of them would put
@@ -141,8 +146,8 @@ def connected_components(
                     < F.max(F.when(F.col("is_old"), F.col("component")))
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=False)
         )
+        new_labels = cut_lineage(new_labels, eager=False)
         labels = new_labels.drop("_changed")
         # ONE driver action per round: count() scans every partition, which
         # both materializes the lazy checkpoint (cutting lineage exactly as
@@ -224,8 +229,8 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
     )
+    cur = cut_lineage(cur)
 
     for _ in range(max_iterations):
         # ---- large-star: link each node's LARGER neighbors to its local min
@@ -261,8 +266,8 @@ def connected_components_star(
                 F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
             )
             .distinct()
-            .localCheckpoint(eager=False)
         )
+        new_edges = cut_lineage(new_edges, eager=False)
 
         # One action: the symmetric-difference probe's except shuffles scan
         # every partition of new_edges, materializing the lazy checkpoint in

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stupidb_spark.operators.dedup import corpus_join_strategy, spread_small_scan
+from stupidb_spark.operators.lineage import cut_lineage
 from stupidb_spark.operators.ivf import _normalize, ivf_index, ivf_train
 from stupidb_spark.operators.similarity import (
     QUANT_SCALE,
@@ -149,9 +150,9 @@ def knn_join(
     # counts job materializes it) keeps the probe matmul + explode to ONE
     # pass instead of two full query-side recomputes (measured 2× end to
     # end at the 100× fixture).
-    qprobed = qraw.withColumn(
-        "cell", F.explode(probe(F.col("vec")))
-    ).localCheckpoint(eager=False)
+    qprobed = cut_lineage(
+        qraw.withColumn("cell", F.explode(probe(F.col("vec")))), eager=False
+    )
 
     # The QUERY side of a task must be bounded too: a skewed query
     # distribution (every query probing one hot cell) would otherwise pile

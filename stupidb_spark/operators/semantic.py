@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stupidb_spark.operators.dedup import corpus_join_strategy
+from stupidb_spark.operators.lineage import cut_lineage
 from stupidb_spark.operators.ivf import ivf_index, ivf_train
 from stupidb_spark.operators.components import connected_components
 from stupidb_spark.operators.similarity import (
@@ -80,10 +81,11 @@ def semantic_dedup(
     # write + local re-reads; a durable SemDeDup pipeline materializes
     # this same relation as its index (ivf_index's parquet form). Measured
     # ~10% end-to-end at sf0.1; at corpus scale it is two saved full-scan
-    # decode+UDF passes. On a real cluster set a reliable checkpoint dir.
-    indexed = ivf_index(
-        df, centroids, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=False)
+    # decode+UDF passes. On a real cluster set SPARK_GRAFT_CHECKPOINT_DIR
+    # (operators/lineage.py) to make this cut a reliable checkpoint.
+    indexed = cut_lineage(
+        ivf_index(df, centroids, id_col=id_col, vec_col=vec_col), eager=False
+    )
 
     # Model side: k×dim doubles — broadcast by construction (bounded like
     # the PQ codebooks), never estimate-driven.

@@ -138,3 +138,49 @@ def test_components_lsh_matches_exact_components(spark):
     exact = sorted(map(tuple, QUERIES["dedup_components"](spark, SF_DIR).collect()))
     lsh = sorted(map(tuple, QUERIES["dedup_components_lsh"](spark, SF_DIR).collect()))
     assert exact == lsh
+
+
+def test_reliable_checkpoint_mode_parity(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_CHECKPOINT_DIR switches every lineage cut from
+    localCheckpoint to a reliable checkpoint(); results must be identical
+    in both modes, the checkpoint dir must actually receive files, and the
+    knob must not leak into later local-mode calls."""
+    import os
+
+    from stupidb_spark.operators.components import connected_components_star
+    from stupidb_spark.operators.knn import knn_join
+    from stupidb_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6), (30, 0)],
+        "src long, dst long",
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def snap():
+        comp = sorted(
+            map(tuple, connected_components(edges).collect())
+        )
+        star = sorted(
+            map(tuple, connected_components_star(edges).collect())
+        )
+        knn = sorted(
+            map(tuple, knn_join(emb, k_neighbors=3, n_probe=8).collect())
+        )
+        return comp, star, knn
+
+    local = snap()
+    ckdir = str(tmp_path / "ck")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+    durable = snap()
+    assert durable == local
+    # the reliable path was actually taken: checkpoint files exist
+    found = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert found, "no checkpoint files written under SPARK_GRAFT_CHECKPOINT_DIR"
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+    assert snap() == local
