@@ -31,14 +31,53 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stupidb_spark.operators.dedup import corpus_join_strategy
+import pandas as pd
+
+from stupidb_spark.operators.dedup import corpus_join_strategy, spread_small_scan
 from stupidb_spark.operators.lineage import cut_lineage
 from stupidb_spark.operators.ivf import ivf_index, ivf_train
 from stupidb_spark.operators.components import connected_components
 from stupidb_spark.operators.similarity import (
+    QUANT_SCALE,
+    _qdot,
     embedding_near_dup_pairs,
     pair_cosine,
 )
+
+
+def _quant_assign_udf(centroids: np.ndarray):
+    """Cell assignment on the quantized-cosine grid (tie → lowest cell) —
+    the engine-portable twin of ``ivf._assign_udf``. The float64-matmul
+    assignment is faster but its dot products depend on summation order,
+    so near-ties can flip across engines; this one is the exact
+    ``sql_pair_cosine`` construction per (vector, centroid), making the
+    assignment (and everything downstream of it) DuckDB-replayable."""
+    C = centroids.astype(np.float64)
+    cn = np.array(
+        [
+            np.sqrt(
+                _qdot(C[j][None, :], C[j][None, :]).astype(np.float64)[0]
+                / QUANT_SCALE
+            )
+            for j in range(len(C))
+        ]
+    )
+
+    def fn(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        nm = np.sqrt(_qdot(M, M).astype(np.float64) / QUANT_SCALE)
+        sims = np.empty((len(M), len(C)))
+        for j in range(len(C)):
+            d = (
+                _qdot(M, np.broadcast_to(C[j], M.shape)).astype(np.float64)
+                / QUANT_SCALE
+            )
+            sims[:, j] = d / (nm * cn[j])
+        # np.argmax returns the FIRST max — tie → lowest cell, matching
+        # the oracle's ORDER BY sim DESC, cell
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return F.pandas_udf(fn, "int")
 
 
 def semantic_dedup(
@@ -51,6 +90,8 @@ def semantic_dedup(
     iters: int = 3,
     n_train: int = 4096,
     max_block: int = 2048,
+    centroids: np.ndarray | None = None,
+    assign: str = "float",
 ) -> DataFrame:
     """One row per input vector: ``(id, cell, component, centroid_sim,
     keep)``.
@@ -67,11 +108,20 @@ def semantic_dedup(
     (`similarity.pair_cosine`), so the keep decision is reproducible
     run-to-run AND replicable by the numpy differential in
     ``tests/test_semantic.py``.
+
+    Exact mode: pass ``centroids`` to skip training (e.g. a persisted or
+    literal quantizer) and ``assign="quantized"`` to put the cell
+    assignment itself on the quantized-cosine grid — then EVERY step
+    (assignment, pairs, centroid_sim, components, keep) is an identical
+    deterministic op on any engine, which is what makes the
+    ``dedup_semantic_exact`` DuckDB oracle possible.
     """
     spark = df.sparkSession
-    centroids = ivf_train(
-        df, id_col=id_col, vec_col=vec_col, k=k, iters=iters, n_train=n_train
-    )
+    if centroids is None:
+        centroids = ivf_train(
+            df, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+            n_train=n_train,
+        )
     # (neighbor_id, b_vec, cell) — map-only assignment pass. THREE subtrees
     # consume it (centroid scoring, the within-cell pair scorer, the
     # component node universe); without a cut each one re-reads the source
@@ -83,9 +133,21 @@ def semantic_dedup(
     # ~10% end-to-end at sf0.1; at corpus scale it is two saved full-scan
     # decode+UDF passes. On a real cluster set SPARK_GRAFT_CHECKPOINT_DIR
     # (operators/lineage.py) to make this cut a reliable checkpoint.
-    indexed = cut_lineage(
-        ivf_index(df, centroids, id_col=id_col, vec_col=vec_col), eager=False
-    )
+    if assign == "quantized":
+        # engine-portable assignment (see _quant_assign_udf) — same relation
+        # shape as ivf_index, same single map-only pass
+        raw = spread_small_scan(
+            df.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("b_vec"),
+            )
+        )
+        assigned = raw.withColumn(
+            "cell", _quant_assign_udf(centroids)("b_vec")
+        )
+    else:
+        assigned = ivf_index(df, centroids, id_col=id_col, vec_col=vec_col)
+    indexed = cut_lineage(assigned, eager=False)
 
     # Model side: k×dim doubles — broadcast by construction (bounded like
     # the PQ codebooks), never estimate-driven.

@@ -51,39 +51,72 @@ from stupidb_spark.queryset import tokenize  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # --- gate slots 1-50 (round-8 rotation; ledger in CHANGELOG.md) ---
-    # 1-8: flagship + every oracled query whose code changed this round:
-    # the four jaccard_pairs/doc_shingles consumers (mega-document guard +
-    # uncapped warning: dedup_ngram_jaccard, dedup_jaccard_capped,
-    # dedup_components, dedup_canonical), the two navigation consumers
-    # (frame-scope metadata + _UNSET sentinel: win_navigation,
-    # win_dynamic_frame), and pipeline_prep (doc_shingles via contamination
-    # prep).
+    # --- gate slots 1-50 (round-9 rotation; ledger in CHANGELOG.md) ---
     "tpch_q1",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_capped",
+    "ann_knn_join_exact",
+    "emb_knn_classify_exact",
+    "dedup_semantic_exact",
+    "text_nb_lang",
     "dedup_components",
     "dedup_canonical",
+    "join_theta",
+    "join_cross",
+    "join_inner_star",
+    "join_outer_trio",
+    "join_full_outer",
+    "join_left_nullpad",
+    "join_right",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "sort_limit_offset",
+    "sort_nulls_first",
+    "sort_nulls_offset",
+    "sort_topk",
+    "filter_compound",
+    "project_scalar",
+    "mutate_derived",
+    "win_rank",
+    "win_running_sum",
+    "win_range_numeric",
+    "win_range_temporal",
+    "agg_computed_key",
+    "agg_distinct_sets",
+    "agg_salted_skew",
+    "pii_redact",
+    "range_join_buckets",
+    "shuffle_deterministic",
+    "terms_topk",
+    "text_metrics",
+    "agg_global_all12",
+    "agg_grouped_stats",
+    "agg_udaf_sum_sq",
+    "agg_udaf_salted",
+    "setop_six",
+    "win_moving_median",
+    "win_running_distinct",
+    "dedup_exact",
+    "dedup_keep_best",
+    "events_tumbling",
+    "events_session",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q10",
+    # --- 51+: recently-gated queries and twins; all still run in
+    # tests/test_oracle_parity.py every session and in the full
+    # stability sweeps. The r7 rows not refreshed above stay within
+    # the r7-r9 window; round 10 owes them next.
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_capped",
     "win_navigation",
     "win_dynamic_frame",
     "pipeline_prep",
-    # 9-15: oracled queries NEW this round — no driver row exists yet, so
-    # they outrank every refresh: the two LM scorers (trained AND scored
-    # under the oracle), the duplicated-span signal + strip action, the
-    # entropy quality signal, the trained NB language classifier, and the
-    # asymmetric containment near-dup (displaces join_theta to slot 51;
-    # its r6 driver row and local pins stand, round 9 owes the refresh).
     "text_lm_perplexity",
     "text_lm_backoff",
     "text_dup_spans",
     "text_entropy",
     "text_strip_dup_spans",
-    "text_nb_lang",
     "dedup_containment",
-    # 15-31: the full r5-stale cohort — every oracled query whose most
-    # recent driver row is CORRECTNESS_r05: the 12 queries deferred from
-    # the round-7 rotation (they carried sf1 spot-gate rows meanwhile),
-    # sample_stratified, and the four TPC-H near-twins q7/q14/q19/q22.
     "asof_join_orders",
     "contamination_ngram",
     "dedup_embedding_cosine",
@@ -101,10 +134,6 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # 32-50: the oldest r6-gated queries. After this rotation every
-    # oracled query has a driver row within rounds 6-8 (the 20 remaining
-    # r6-gated queries and the 50 r7-gated ones stay within that window);
-    # the round-9 rotation owes those 20 r6 rows next.
     "batch_shaping",
     "text_rarity_score",
     "agg_having",
@@ -122,39 +151,15 @@ PRIORITY: tuple[str, ...] = (
     "agg_count_distinct",
     "agg_grouping_sets",
     "agg_median_disc",
-    # sample_group_topk is oracled and NEW post-rehearsal — no driver row
-    # exists yet, so it outranks the last r6 refresh slot (join_cross
-    # drops to 51; its r6 driver row and local pins stand, and round 9
-    # owes it with the rest of the r6 cohort).
     "sample_group_topk",
-    "join_cross",
-    # --- 51+: recently-gated queries and twins; all still run in
-    # tests/test_oracle_parity.py every session and in the full
-    # stability sweep. join_full_outer / join_left_nullpad / join_right /
-    # sort_limit_offset / sort_nulls_first / sort_topk dropped out of the top 50 to make room
-    # for the six new-this-round oracled queries above; all six kept
-    # their r6 driver rows and local pins, and round 9 owes them (plus the
-    # remaining 16 r6 rows and join_theta) next.
-    "join_theta",
-    "join_full_outer",
-    "join_left_nullpad",
-    "join_right",
-    "sort_limit_offset",
-    "sort_nulls_first",
-    "sort_topk",
-    "agg_grouped_stats",
-    "agg_global_all12",
-    "agg_udaf_sum_sq",
     "tpch_q17",
     "tpch_q18",
     "join_skew_replicate",
-    "events_tumbling",
     "mixture_epochs",
     "chunk_documents",
     "events_props_running",
     "join_extras",
     "agg_pivot_unpivot",
-    "tpch_q10",
     "prep_winsorize",
     "fuzzy_match_names",
     "events_attribution",
@@ -162,11 +167,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_pivot_priority",
     "agg_unpivot_measures",
     "join_null_safe",
-    "win_running_distinct",
     "text_token_stats",
-    "tpch_q9",
-    "tpch_q13",
-    "tpch_q15",
     "text_lang_id",
     "text_quality",
     "text_fingerprint_md5",
@@ -177,33 +178,7 @@ PRIORITY: tuple[str, ...] = (
     "text_fingerprint_rolling",
     "emb_label_centroids",
     "sample_weighted",
-    "dedup_keep_best",
-    "win_moving_median",
-    "dedup_exact",
     "ann_topk_bruteforce",
-    "events_session",
-    "setop_six",
-    "agg_udaf_salted",
-    "project_scalar",
-    "mutate_derived",
-    "filter_compound",
-    "join_inner_star",
-    "join_outer_trio",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "agg_computed_key",
-    "agg_distinct_sets",
-    "agg_salted_skew",
-    "win_running_sum",
-    "win_range_numeric",
-    "win_range_temporal",
-    "win_rank",
-    "sort_nulls_offset",
-    "range_join_buckets",
-    "shuffle_deterministic",
-    "terms_topk",
-    "pii_redact",
-    "text_metrics",
     "agg_approx_sketch",
     "ann_topk_pq",
     "ann_topk_ivfpq",
@@ -219,7 +194,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_topk_lsh",
     "ann_topk_ivf",
     "agg_udaf_geomean",
-    # round-8 additions (density estimator + maintenance loop + LM filter)
     "dedup_simhash_density",
     "ann_ivf_rebalance_stats",
     "dedup_semantic",

@@ -22,8 +22,10 @@ from stupidb_spark.operators.dedup import (
     simhash_pairs,
 )
 from stupidb_spark.operators.similarity import (
+    QUANT_SCALE,
     embedding_near_dup_pairs,
     sql_pair_cosine,
+    sql_qdot,
 )
 from stupidb_spark.queryset import q
 from stupidb_spark.sources import load_table
@@ -474,6 +476,125 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=16,
         threshold=0.4,
         max_block=1024,
+    )
+    return out.select(
+        "vec_id",
+        "cell",
+        "component",
+        X.dround(F.col("centroid_sim"), 9).alias("centroid_sim"),
+        "keep",
+    )
+
+
+# --- dedup_semantic_exact: the fully-oracled configuration -----------------
+# A LITERAL quantizer (all values multiples of 0.25 — exactly representable,
+# so the Python floats and the SQL text denote identical doubles) shared
+# verbatim between the Spark query and the DuckDB oracle. k=4 cells over the
+# 64-dim fixture embeddings.
+_SEM_DIM = 64
+_SEM_CENTROIDS = [
+    [((i * 7 + j * 13) % 9 - 4) * 0.25 for i in range(_SEM_DIM)]
+    for j in range(4)
+]
+_S = f"{QUANT_SCALE:.1f}"
+
+
+def _sem_exact_sql() -> str:
+    cents = "\n        UNION ALL ".join(
+        f"SELECT {j} AS cell, [{', '.join(repr(x) for x in row)}]::DOUBLE[] AS c"
+        for j, row in enumerate(_SEM_CENTROIDS)
+    )
+    qcos = (
+        f"(CAST({sql_qdot('q.v', 'b.v')} AS DOUBLE) / {_S})"
+        f" / (q.nrm * b.nrm)"
+    )
+    return f"""
+    WITH RECURSIVE cents AS ({cents}),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(CAST({sql_qdot("embedding::DOUBLE[]",
+                                   "embedding::DOUBLE[]")} AS DOUBLE)
+                    / {_S}) AS nrm
+        FROM embeddings
+    ),
+    cn AS (
+        SELECT cell, c,
+               sqrt(CAST({sql_qdot("c", "c")} AS DOUBLE) / {_S}) AS cnrm
+        FROM cents
+    ),
+    sims AS (
+        SELECT e.vec_id, cn.cell,
+               (CAST({sql_qdot("e.v", "cn.c")} AS DOUBLE) / {_S})
+                   / (e.nrm * cn.cnrm) AS sim
+        FROM e CROSS JOIN cn
+    ),
+    assign AS (
+        SELECT vec_id, cell, sim AS centroid_sim FROM (
+            SELECT vec_id, cell, sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    av AS (
+        SELECT a.vec_id, a.cell, a.centroid_sim, e.v, e.nrm
+        FROM assign a JOIN e USING (vec_id)
+    ),
+    pairs AS (
+        SELECT q.vec_id AS id_a, b.vec_id AS id_b
+        FROM av q JOIN av b
+          ON q.cell = b.cell AND q.vec_id < b.vec_id
+        WHERE {qcos} >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT vec_id AS node, vec_id AS r FROM embeddings
+        UNION
+        SELECT t.node, x.dst FROM reach t JOIN edges x ON x.src = t.r
+    ),
+    labels AS (
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT l.node, a.cell, l.component, a.centroid_sim,
+               row_number() OVER (PARTITION BY l.component
+                                  ORDER BY a.centroid_sim ASC, l.node ASC)
+                   AS rn
+        FROM labels l JOIN av a ON a.vec_id = l.node
+    )
+    SELECT node AS vec_id, cell, component,
+           {X.sql_dround('centroid_sim', 9)} AS centroid_sim,
+           (rn = 1) AS keep
+    FROM ranked
+    """
+
+
+@q("dedup_semantic_exact", _sem_exact_sql())
+def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup's fully-oracled configuration: an explicit literal quantizer
+    # (no k-means training) and assign="quantized" put EVERY step —
+    # assignment argmax, within-cell pairs, centroid_sim, components, the
+    # keep-the-outlier rule — on the quantized grid, so the DuckDB CTE
+    # chain above replays the whole pipeline value-for-value. This is the
+    # hard-signal twin of dedup_semantic's rows-only row: the trained
+    # quantizer changes WHERE cell boundaries fall, never the arithmetic
+    # this gate pins.
+    import numpy as np
+
+    from stupidb_spark.operators.semantic import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.4,
+        max_block=1024,
+        centroids=np.array(_SEM_CENTROIDS, dtype=np.float64),
+        assign="quantized",
     )
     return out.select(
         "vec_id",

@@ -259,9 +259,9 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("emb_knn_classify")  # approximate (IVF-blocked kNN); the vote rule is
-# differentially pinned vs the brute-force mirror in tests/test_knn.py
-def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knn_classify_pipeline(
+    spark: SparkSession, sf_dir: str, **knn_kwargs
+) -> DataFrame:
     # kNN classification — the knn_join composed into a label propagator:
     # unlabeled-slice vectors (vec_id % 5 == 0) take the majority label of
     # their k=5 nearest labeled vectors (ties: higher vote count first,
@@ -275,11 +275,9 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 0)
     queries = emb.filter(F.col("vec_id") % 5 == 0)
-    # occupancy-constant auto-sized cells (linear rule) — sf0.1's labeled
-    # base derives ~7 cells, matching the old fixed-8 fixture's regime.
     knn = knn_join(
         base, queries, id_col="vec_id", vec_col="embedding",
-        k_neighbors=5, n_probe=4,
+        k_neighbors=5, **knn_kwargs,
     )
     labeled = knn.hint(corpus_join_strategy()).join(
         base.select(F.col("vec_id").alias("neighbor_id"), "label").hint(
@@ -306,3 +304,123 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n_votes").alias("n_votes"),
         "k_used",
     )
+
+
+@q("emb_knn_classify")  # approximate (IVF-blocked kNN); the vote rule is
+# differentially pinned vs the brute-force mirror in tests/test_knn.py and
+# the exact configuration is DuckDB-oracled as emb_knn_classify_exact
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # occupancy-constant auto-sized cells (linear rule) — sf0.1's labeled
+    # base derives ~7 cells, matching the old fixed-8 fixture's regime.
+    return _knn_classify_pipeline(spark, sf_dir, n_probe=4)
+
+
+def _sql_emb_norm_cte() -> str:
+    """Embeddings with the per-vector quantized norm precomputed — the
+    same sqrt(qdot(v,v)/S) every pair recomputes in
+    :func:`sql_pair_cosine`; hoisting it is bit-identical (identical qdot
+    input, and IEEE multiplication is exact-commutative) and cuts the
+    oracle's list folds 3×."""
+    from stupidb_spark.operators.similarity import QUANT_SCALE, sql_qdot
+
+    s = f"{QUANT_SCALE:.1f}"
+    return f"""
+    e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(CAST({sql_qdot("embedding::DOUBLE[]", "embedding::DOUBLE[]")}
+                    AS DOUBLE) / {s}) AS nrm
+        FROM embeddings
+    )"""
+
+
+def _sql_qcos_pair() -> str:
+    """Pair cosine over the ``e`` CTE: exact quantized dot / hoisted
+    norms."""
+    from stupidb_spark.operators.similarity import QUANT_SCALE, sql_qdot
+
+    s = f"{QUANT_SCALE:.1f}"
+    return (
+        f"(CAST({sql_qdot('q.v', 'b.v')} AS DOUBLE) / {s})"
+        f" / (q.nrm * b.nrm)"
+    )
+
+
+@q(
+    "ann_knn_join_exact",
+    f"""
+    WITH {_sql_emb_norm_cte()},
+    scored AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_sql_qcos_pair()} AS cosine_sim
+        FROM e q JOIN e b ON b.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id)
+                   AS "rank"
+        FROM scored
+    )
+    SELECT query_id, "rank", neighbor_id,
+           {X.sql_dround('cosine_sim')} AS cosine_sim
+    FROM ranked WHERE "rank" <= 5
+    """,
+)
+def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The kNN join's EXACT configuration under the full DuckDB oracle:
+    # n_probe = n_cells means every query scores every base row, so the
+    # distributed 2D-blocked plan (same shuffles, same bounded tasks as
+    # the approximate form) must reproduce brute-force kNN bit-for-bit —
+    # quantized-dot cosine, (sim DESC, id ASC) tie-break, top-5 ranks.
+    # This is the hard-signal twin of ann_knn_join's rows-only row: the
+    # recall knob degrades coverage, never the arithmetic this gate pins.
+    from stupidb_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join(
+        emb, id_col="vec_id", vec_col="embedding",
+        k_neighbors=5, n_cells=4, n_probe=4,
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id",
+        X.dround("cosine_sim").alias("cosine_sim"),
+    )
+
+
+@q(
+    "emb_knn_classify_exact",
+    f"""
+    WITH {_sql_emb_norm_cte()},
+    scored AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
+               {_sql_qcos_pair()} AS cosine_sim
+        FROM (SELECT * FROM e WHERE vec_id % 5 = 0) q
+        JOIN (SELECT * FROM e WHERE vec_id % 5 != 0) b ON TRUE
+    ),
+    ranked AS (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, label, count(*) AS n_votes
+        FROM ranked WHERE rk <= 5 GROUP BY query_id, label
+    ),
+    best AS (
+        SELECT query_id, label, n_votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, label) AS r,
+               CAST(sum(n_votes) OVER (PARTITION BY query_id) AS BIGINT)
+                   AS k_used
+        FROM votes
+    )
+    SELECT query_id, label AS pred_label, n_votes, k_used
+    FROM best WHERE r = 1
+    """,
+)
+def emb_knn_classify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The classifier's exact configuration (full probe coverage) under the
+    # DuckDB oracle: distributed exact 5-NN per unlabeled vector, then the
+    # identical majority-vote/tie-break rule replayed as window SQL.
+    return _knn_classify_pipeline(spark, sf_dir, n_cells=4, n_probe=4)
