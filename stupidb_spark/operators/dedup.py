@@ -676,9 +676,16 @@ def simhash_fingerprints(
         return pd.Series(out)
 
     fp = F.pandas_udf(fold, "long")(token_hashes)
+    # coalesce-to-0 never fires (the fold always yields a long; empty docs
+    # fold to 0 already) but marks the column non-nullable, so the band
+    # join's inferred isnotnull(chunk) constraint folds away statically.
+    # Without it that filter pushes below spread_small_scan's repartition
+    # and Catalyst evaluates the pandas UDF TWICE per join side (observed
+    # in the sf1 plan: two ArrowEvalPython nodes per branch — the
+    # fingerprint fold, the query's dominant per-row cost, ran 4x).
     return spread_small_scan(
         df.select(F.col(id_col).alias("doc"), F.col(text_col))
-    ).select("doc", fp.alias("fp"))
+    ).select("doc", F.coalesce(fp, F.lit(0)).alias("fp"))
 
 
 def simhash_pairs(

@@ -133,11 +133,18 @@ def ivf_index(
     """Assign every base vector to its nearest cell — one map-only pass
     (columns: neighbor_id, b_vec, cell). At scale, write this partitioned or
     bucketed by ``cell`` so probes scan only probed cells."""
+    # coalesce-to-0 never fires (argmax always yields an int) but marks
+    # `cell` non-nullable, so downstream joins on it don't infer an
+    # isnotnull(cell) filter — which would push below the scan spread and
+    # make Catalyst evaluate the assignment UDF TWICE per subtree (see
+    # simhash_fingerprints for the observed plan shape).
     return spread_small_scan(
         base.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec")
         )
-    ).withColumn("cell", _assign_udf(centroids)("b_vec"))
+    ).withColumn(
+        "cell", F.coalesce(_assign_udf(centroids)("b_vec"), F.lit(0))
+    )
 
 
 def ivf_probe(

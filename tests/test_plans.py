@@ -611,3 +611,24 @@ def test_dup_spans_never_broadcasts_corpus_sides(spark):
     plan = formatted_plan(QUERIES["text_dup_spans"](spark, SF_DIR))
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_no_python_udf_runs_twice_for_inferred_null_filters(spark):
+    # A join key derived from a pandas-UDF column makes Catalyst infer
+    # isnotnull(key); pushed below a repartition, that filter re-evaluates
+    # the UDF — the sf1 simhash plan ran its fingerprint fold twice per
+    # join side (4x per query) until the UDF outputs were marked
+    # non-nullable via a never-firing coalesce (simhash_fingerprints,
+    # ivf_index). Pin the pattern's absence inventory-wide on the heavy
+    # Python-UDF queries.
+    import re
+
+    for name in (
+        "dedup_simhash",
+        "ann_knn_join",
+        "emb_knn_classify",
+        "ann_knn_join_exact",
+        "dedup_semantic",
+    ):
+        plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Filter isnotnull\(pythonUDF", plan), name
