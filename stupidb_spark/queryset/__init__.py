@@ -199,6 +199,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_semantic",
     "dedup_ingest_candidates",
     "emb_pca_project",
+    # round-9 additions (oracled; rotate forward with the r7 cohort in r10)
+    "text_gopher_rules",
+    "sample_split_leakproof",
 )
 
 

@@ -225,3 +225,43 @@ def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("source", "rk", "doc_id")
     )
+
+
+# group-split mixing constants: same portable-LCG discipline as the
+# sampling hashes above (engine-identical integer arithmetic; production
+# swaps operators/splits.py's xxhash64 form — then the check is rows-only)
+_SA, _SC, _SM = 2654435761, 40503, 1000
+
+
+@q(
+    "sample_split_leakproof",
+    f"""
+    -- Leakage-safe train/val/test split: the split is a hash of the GROUP
+    -- (source), not the row, so every document of a source lands in the
+    -- same split — no near-duplicate pair from one site can straddle the
+    -- train/eval fence. 80/10/10 by group hash.
+    SELECT doc_id, source,
+           CASE WHEN (CAST(substr(source, 4) AS BIGINT) * {_SA} + {_SC}) % {_SM} < 800 THEN 'train'
+                WHEN (CAST(substr(source, 4) AS BIGINT) * {_SA} + {_SC}) % {_SM} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-cohesive dataset split (operators/splits.py semantics): the
+    assignment hashes ``source`` — the leakage group — so same-source
+    documents can never straddle train/eval. Zero shuffles: the tag is a
+    scan-fused Column expression; at 100 TB the split is free.
+
+    This registered form uses the portable LCG hash on the numeric source
+    id so DuckDB replays it bit-identically; production callers use
+    :func:`stupidb_spark.operators.splits.leakproof_split` (xxhash64 on
+    the raw group string — better mixing, Spark-side only)."""
+    src_num = F.substring("source", 4, 10).cast("long")
+    h = F.pmod(src_num * _SA + _SC, F.lit(_SM))
+    split = (
+        F.when(h < 800, F.lit("train"))
+        .when(h < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return _docs(spark, sf_dir).select("doc_id", "source", split.alias("split"))

@@ -1097,3 +1097,108 @@ def text_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_q",
         "n_tokens",
     )
+
+
+_DUCK_WTOKS = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')"
+)
+
+
+@q(
+    "text_gopher_rules",
+    f"""
+    -- Gopher-style composite quality filter (Rae et al. 2021, §A1.1),
+    -- adapted to the signals computable identically in both engines.
+    -- Every PASS/FAIL gate is exact integer arithmetic (cross-multiplied
+    -- ratios), so the booleans can never diverge on a double boundary.
+    WITH m AS (
+        SELECT doc_id,
+               len({_DUCK_WTOKS}) AS n_words,
+               CAST(list_sum(list_transform({_DUCK_WTOKS},
+                    t -> length(t))) AS BIGINT) AS sum_wlen,
+               len(list_filter({_DUCK_WTOKS},
+                    t -> regexp_matches(lower(t), '[a-z]'))) AS n_alpha,
+               len({_duck_words()}) AS n_aw,
+               len(list_distinct({_duck_words()})) AS n_dw,
+               {_duck_score('en')} AS n_stop,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+        FROM documents
+    )
+    SELECT doc_id, n_words,
+           {X.sql_dround('CAST(sum_wlen AS DOUBLE) / greatest(n_words, 1)', 4)} AS mean_word_len,
+           {X.sql_dround('CAST(n_alpha AS DOUBLE) / greatest(n_words, 1)', 4)} AS alpha_frac,
+           {X.sql_dround('CAST(n_dw AS DOUBLE) / greatest(n_aw, 1)', 4)} AS distinct_ratio,
+           n_stop,
+           (n_words >= 50 AND n_words <= 100000)               AS ok_n_words,
+           (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words) AS ok_mean_len,
+           (5 * n_alpha >= 4 * n_words)                        AS ok_alpha,
+           (10 * n_sym < n_words)                              AS ok_symbols,
+           (n_stop >= 2)                                       AS ok_stopwords,
+           (5 * n_dw >= n_aw)                                  AS ok_distinct,
+           (n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+            AND 5 * n_alpha >= 4 * n_words
+            AND 10 * n_sym < n_words
+            AND n_stop >= 2
+            AND 5 * n_dw >= n_aw)                              AS passes_gopher
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length bounds, alphabetic-word fraction,
+    symbol(#/ellipsis)-to-word ratio, required stopwords, and a
+    distinct-word-ratio repetition proxy — the standard cheap rule stack a
+    training-data pipeline runs before any model-based scoring.
+
+    Scale shape: one map-only pass, every signal a codegen'd Column
+    expression over the document's own row (no shuffle, no UDF); at 100 TB
+    the filter fuses into the scan. Each PASS/FAIL gate is exact integer
+    arithmetic (cross-multiplied ratios rather than double thresholds), so
+    the booleans are engine-identical by construction; the displayed
+    ratios use the shared deterministic rounding grid (functions/exact.py).
+    Beyond-reference surface (SURVEY.md §7 — the reference has no text
+    operators)."""
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    n_words = F.size(toks)
+    sum_wlen = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: F.lower(t).rlike("[a-z]")))
+    w = T.words(F.col("text"))
+    n_aw = F.size(w)
+    n_dw = F.size(F.array_distinct(w))
+    n_stop = T.stopword_count("text", "en")
+    n_sym = F.regexp_count("text", F.lit("#")) + F.regexp_count(
+        "text", F.lit(r"\.\.\.")
+    )
+    g1 = F.greatest(n_words, F.lit(1))
+    ok_n_words = (n_words >= 50) & (n_words <= 100000)
+    ok_mean_len = (3 * n_words <= sum_wlen) & (sum_wlen <= 10 * n_words)
+    ok_alpha = 5 * n_alpha >= 4 * n_words
+    ok_symbols = 10 * n_sym < n_words
+    ok_stopwords = n_stop >= 2
+    ok_distinct = 5 * n_dw >= n_aw
+    return _docs(spark, sf_dir) >> select(
+        "doc_id",
+        n_words=n_words,
+        mean_word_len=X.dround(sum_wlen.cast("double") / g1, 4),
+        alpha_frac=X.dround(n_alpha.cast("double") / g1, 4),
+        distinct_ratio=X.dround(
+            n_dw.cast("double") / F.greatest(n_aw, F.lit(1)), 4
+        ),
+        n_stop=n_stop,
+        ok_n_words=ok_n_words,
+        ok_mean_len=ok_mean_len,
+        ok_alpha=ok_alpha,
+        ok_symbols=ok_symbols,
+        ok_stopwords=ok_stopwords,
+        ok_distinct=ok_distinct,
+        passes_gopher=ok_n_words
+        & ok_mean_len
+        & ok_alpha
+        & ok_symbols
+        & ok_stopwords
+        & ok_distinct,
+    )

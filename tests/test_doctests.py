@@ -19,6 +19,7 @@ import stupidb_spark.operators.ordering as order_mod
 import stupidb_spark.operators.packing as pack_mod
 import stupidb_spark.operators.similarity as sim_mod
 import stupidb_spark.operators.skew as skew_mod
+import stupidb_spark.operators.splits as splits_mod
 import stupidb_spark.verbs as verbs_mod
 import stupidb_spark.window as window_mod
 
@@ -106,3 +107,4 @@ def test_operator_doctests(spark):
     _run(chunk_mod, {"spark": spark, "F": F}, 1)
     _run(order_mod, {"spark": spark, "F": F}, 1)
     _run(comp_mod, {"spark": spark, "F": F}, 1)
+    _run(splits_mod, {"spark": spark, "F": F}, 1)
