@@ -123,6 +123,122 @@ def kmeans_centroids(
     return ivf_train(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
 
 
+# component-quantization scale for exact distributed centroid sums: fine
+# enough that refined centroids sit within 1e-6 of the float means, coarse
+# enough that petabyte-scale cell sums stay far below 2^63 (and below 2^53
+# for the exact long→double cast at any cell size under ~8e9 rows)
+REFINE_SCALE = float(1 << 20)
+
+
+def ivf_refine(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+    assign_udf_factory=None,
+) -> np.ndarray:
+    """Full-corpus Lloyd refinement of a (sample-trained) quantizer.
+
+    :func:`ivf_train` fits centroids on an ``n_train`` sample — a
+    distribution sketch, which is what makes training driver-cheap at
+    100 TB. But sample-only cell boundaries can misplace mass the sample
+    never saw; the classic fix is corpus-scale Lloyd passes: assign every
+    vector to its nearest centroid (the map-only assignment UDF), reduce
+    per-(cell, dim) component sums, recompute the k×dim centroid matrix
+    driver-side, repeat. Each iteration is one corpus pass:
+
+    - **Assignment is map-only** (centroid matrix rides the closure, the
+      PQ-codebook movement class).
+    - **The reduce is pre-aggregated map-side**: dims are exploded and
+      hash-aggregated on (cell, dim), so each task emits at most k×dim
+      partial rows — the shuffle carries tasks × k × dim longs, never the
+      corpus.
+    - **Driver state is model-sized**: the collect is k×dim (sum, count)
+      rows per iteration.
+    - **Sums are exact**: components are quantized to the
+      ``REFINE_SCALE`` grid (floor(x·S + 0.5), the shared dround idiom)
+      and summed as longs — order-independent under any partitioning, so
+      refined centroids are bit-identical across reruns, engines, and the
+      numpy mirror (:func:`ivf_refine_reference`). New centroid =
+      sum/n/S in IEEE doubles. Cells with no members keep their previous
+      centroid (standard Lloyd).
+
+    ``assign_udf_factory`` defaults to the float64-matmul
+    :func:`_assign_udf` (fastest); pass
+    ``stupidb_spark.operators.semantic._quant_assign_udf`` for the
+    engine-portable quantized-grid assignment (DuckDB-replayable, used by
+    the oracled ``emb_kmeans_refine`` query).
+    """
+    factory = assign_udf_factory or _assign_udf
+    C = centroids.astype(np.float64).copy()
+    k, dim = C.shape
+    for _ in range(iters):
+        qv = F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(REFINE_SCALE) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        assigned = spread_small_scan(df.select(F.col(vec_col))).select(
+            F.coalesce(factory(C)(vec_col), F.lit(0)).alias("cell"),
+            F.posexplode(qv).alias("dim", "q"),
+        )
+        rows = (
+            assigned.groupBy("cell", "dim")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sq"))
+            .collect()
+        )
+        for r in rows:
+            C[r["cell"], r["dim"]] = (
+                float(r["sq"]) / float(r["n"]) / REFINE_SCALE
+            )
+    return C
+
+
+def ivf_refine_reference(
+    V: np.ndarray, centroids: np.ndarray, *, iters: int = 1, quant: bool = False
+) -> np.ndarray:
+    """Driver-side numpy mirror of :func:`ivf_refine` with the identical
+    quantized-sum arithmetic — the differential ground truth. Test-support
+    code. ``quant=True`` mirrors the quantized-grid assignment
+    (``semantic._quant_assign_udf``); False mirrors :func:`_assign_udf`.
+    """
+    from stupidb_spark.operators.similarity import QUANT_SCALE, _qdot
+
+    C = centroids.astype(np.float64).copy()
+    X = V.astype(np.float64)
+    for _ in range(iters):
+        if quant:
+            nm = np.sqrt(_qdot(X, X).astype(np.float64) / QUANT_SCALE)
+            cn = np.sqrt(
+                np.array(
+                    [
+                        _qdot(C[j][None, :], C[j][None, :]).astype(np.float64)[0]
+                        for j in range(len(C))
+                    ]
+                )
+                / QUANT_SCALE
+            )
+            sims = np.empty((len(X), len(C)))
+            for j in range(len(C)):
+                d = (
+                    _qdot(X, np.broadcast_to(C[j], X.shape)).astype(np.float64)
+                    / QUANT_SCALE
+                )
+                sims[:, j] = d / (nm * cn[j])
+            assign = np.argmax(sims, axis=1)
+        else:
+            assign = np.argmax(_normalize(X) @ _normalize(C).T, axis=1)
+        Q = np.floor(X * REFINE_SCALE + 0.5).astype(np.int64)
+        for c in range(len(C)):
+            members = Q[assign == c]
+            if len(members):
+                C[c] = members.sum(axis=0, dtype=np.int64) / len(members) / REFINE_SCALE
+    return C
+
+
 def ivf_index(
     base: DataFrame,
     centroids: np.ndarray,

@@ -202,6 +202,7 @@ PRIORITY: tuple[str, ...] = (
     # round-9 additions (oracled; rotate forward with the r7 cohort in r10)
     "text_gopher_rules",
     "sample_split_leakproof",
+    "emb_kmeans_refine",
 )
 
 

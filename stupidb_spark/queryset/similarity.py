@@ -424,3 +424,109 @@ def emb_knn_classify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB oracle: distributed exact 5-NN per unlabeled vector, then the
     # identical majority-vote/tie-break rule replayed as window SQL.
     return _knn_classify_pipeline(spark, sf_dir, n_cells=4, n_probe=4)
+
+
+# --- emb_kmeans_refine: corpus-scale Lloyd refinement, fully oracled -------
+# A LITERAL starting quantizer (multiples of 0.25 — exactly representable,
+# so the Python floats and the SQL text denote identical doubles), shared
+# verbatim between the Spark query and the DuckDB oracle. k=4 over the
+# 64-dim fixture embeddings; assignment on the quantized-cosine grid.
+_KM_DIM = 64
+_KM_CENTROIDS = [
+    [((i * 11 + j * 17 + 3) % 9 - 4) * 0.25 for i in range(_KM_DIM)]
+    for j in range(4)
+]
+
+
+def _km_refine_sql() -> str:
+    from stupidb_spark.operators.ivf import REFINE_SCALE
+    from stupidb_spark.operators.similarity import QUANT_SCALE, sql_qdot
+
+    s = f"{QUANT_SCALE:.1f}"
+    sq = f"{REFINE_SCALE:.1f}"
+    cents = "\n        UNION ALL ".join(
+        f"SELECT {j} AS cell, [{', '.join(repr(x) for x in row)}]::DOUBLE[] AS c"
+        for j, row in enumerate(_KM_CENTROIDS)
+    )
+    return f"""
+    WITH cents AS ({cents}),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(CAST({sql_qdot("embedding::DOUBLE[]",
+                                   "embedding::DOUBLE[]")} AS DOUBLE)
+                    / {s}) AS nrm
+        FROM embeddings
+    ),
+    cn AS (
+        SELECT cell, c,
+               sqrt(CAST({sql_qdot("c", "c")} AS DOUBLE) / {s}) AS cnrm
+        FROM cents
+    ),
+    sims AS (
+        SELECT e.vec_id, cn.cell,
+               (CAST({sql_qdot("e.v", "cn.c")} AS DOUBLE) / {s})
+                   / (e.nrm * cn.cnrm) AS sim
+        FROM e CROSS JOIN cn
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    comp AS (
+        SELECT a.cell, d.dim,
+               CAST(floor(e.v[d.dim + 1] * {sq} + 0.5) AS BIGINT) AS qc
+        FROM assign a JOIN e USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(0, {_KM_DIM - 1})) AS dim) d
+    )
+    SELECT cell, dim,
+           count(*) AS n,
+           CAST(sum(qc) AS BIGINT) AS sum_q,
+           CAST(CAST(sum(qc) AS BIGINT) AS DOUBLE) / count(*) / {sq}
+               AS centroid
+    FROM comp GROUP BY cell, dim
+    """
+
+
+@q("emb_kmeans_refine", _km_refine_sql())
+def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus-scale Lloyd refinement pass (operators/ivf.py::
+    ivf_refine) from the literal grid quantizer, as the distributed stats
+    relation the driver folds into new centroids: per-(cell, dim) member
+    count, exact quantized component sum, and the refined centroid value.
+
+    The 100 TB shape under the full oracle: assignment is the map-only
+    quantized-grid UDF (engine-portable — ties break to the lowest cell
+    exactly like the SQL's ORDER BY sim DESC, cell), dims explode and
+    hash-aggregate with map-side combine, so the shuffle carries at most
+    tasks × k × dim partial rows and the output is the k×dim model. Sums
+    are longs on the REFINE_SCALE grid — order-independent, so the
+    relation is hash-stable under any partitioning."""
+    import numpy as np
+
+    from stupidb_spark.operators.dedup import spread_small_scan
+    from stupidb_spark.operators.ivf import REFINE_SCALE
+    from stupidb_spark.operators.semantic import _quant_assign_udf
+
+    C = np.array(_KM_CENTROIDS, dtype=np.float64)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(REFINE_SCALE) + F.lit(0.5)).cast("long"),
+    )
+    assigned = spread_small_scan(emb.select("embedding")).select(
+        F.coalesce(_quant_assign_udf(C)("embedding"), F.lit(0)).alias("cell"),
+        F.posexplode(qv).alias("dim", "qc"),
+    )
+    return assigned.groupBy("cell", F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qc").alias("sum_q"),
+        (
+            F.sum("qc").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(REFINE_SCALE)
+        ).alias("centroid"),
+    )

@@ -1,0 +1,94 @@
+"""Corpus-scale Lloyd refinement (operators/ivf.py::ivf_refine): exact
+differential vs the numpy mirror, quality improvement on clustered data,
+empty-cell retention, and the oracled stats relation's laws."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stupidb_spark.operators.ivf import (
+    REFINE_SCALE,
+    ivf_refine,
+    ivf_refine_reference,
+)
+from stupidb_spark.queryset import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _clustered(n_per=50, k=3, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, dim) * 3
+    X = np.concatenate(
+        [centers[j] + 0.3 * rng.randn(n_per, dim) for j in range(k)]
+    )
+    return X
+
+
+@pytest.fixture(scope="module")
+def clustered_df(spark):
+    X = _clustered()
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        X,
+    )
+
+
+def test_refine_matches_numpy_mirror_bitwise(clustered_df):
+    df, X = clustered_df
+    start = X[:3].copy()  # arbitrary (bad) seeds
+    got = ivf_refine(df, start, iters=2)
+    want = ivf_refine_reference(X, start, iters=2)
+    assert np.array_equal(got, want)  # exact: integer sums, identical IEEE
+
+
+def test_refine_quantized_assignment_matches_mirror(clustered_df):
+    from stupidb_spark.operators.semantic import _quant_assign_udf
+
+    df, X = clustered_df
+    start = X[:3].copy()
+    got = ivf_refine(
+        df, start, iters=1, assign_udf_factory=_quant_assign_udf
+    )
+    want = ivf_refine_reference(X, start, iters=1, quant=True)
+    assert np.array_equal(got, want)
+
+
+def test_refine_improves_quantization_error(clustered_df):
+    df, X = clustered_df
+    start = X[:3].copy()
+
+    def err(C):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return -np.max(Xn @ Cn.T, axis=1).mean()  # mean cosine distance
+
+    refined = ivf_refine(df, start, iters=3)
+    assert err(refined) < err(start)
+
+
+def test_empty_cell_keeps_previous_centroid(spark):
+    # two far clusters, three centroids: one centroid never wins a vector
+    rows = [(i, [10.0, 0.0]) for i in range(5)] + [
+        (i, [0.0, 10.0]) for i in range(5, 10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    start = np.array([[10.0, 0.0], [0.0, 10.0], [-50.0, -50.0]])
+    out = ivf_refine(df, start, iters=1)
+    assert np.array_equal(out[2], start[2])  # untouched
+    assert np.allclose(out[0], [10.0, 0.0], atol=1e-5)
+
+
+def test_registered_refine_stats_fold_to_valid_centroids(spark):
+    # the oracled relation is the distributed half of ivf_refine: n sums to
+    # the corpus size, and sum_q/n/S reproduces the centroid column exactly
+    out = QUERIES["emb_kmeans_refine"](spark, SF_DIR).collect()
+    n_vecs = {r["cell"]: r["n"] for r in out if r["dim"] == 0}
+    total = sum(n_vecs.values())
+    from stupidb_spark.sources import load_table
+
+    assert total == load_table(spark, SF_DIR, "embeddings").count()
+    for r in out:
+        assert r["centroid"] == float(r["sum_q"]) / r["n"] / REFINE_SCALE
