@@ -106,6 +106,9 @@ HEADLINE = [
     "tok_bpe_merges",
     "sample_group_topk",
     "ann_knn_join",
+    "text_gopher_rules",
+    "sample_split_leakproof",
+    "emb_kmeans_refine",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.

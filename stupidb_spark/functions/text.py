@@ -144,3 +144,57 @@ def redact_pii(c: ColumnLike) -> Column:
     (regexp_replace), zero-shuffle at any scale."""
     masked = F.regexp_replace(_col(c), EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(masked, IPV4_RE, "<IP>")
+
+
+def gopher_signals(c: ColumnLike) -> dict[str, Column]:
+    """The Gopher-rule quality signals (Rae et al. 2021, §A1.1) as named
+    Column expressions — shared by the oracled batch query
+    (``queryset/text.py::text_gopher_rules``) and the ingest-time
+    streaming twin. Every PASS/FAIL gate is exact integer arithmetic
+    (cross-multiplied ratios), so the booleans are engine-identical; the
+    ratio columns use the deterministic rounding grid. Stateless per-row
+    expressions: attach to a batch scan or a stream unchanged."""
+    from stupidb_spark.functions import exact as X
+
+    text = _col(c)
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    n_words = F.size(toks)
+    sum_wlen = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: F.lower(t).rlike("[a-z]")))
+    w = words(text)
+    n_aw = F.size(w)
+    n_dw = F.size(F.array_distinct(w))
+    n_stop = stopword_count(text, "en")
+    n_sym = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    g1 = F.greatest(n_words, F.lit(1))
+    ok_n_words = (n_words >= 50) & (n_words <= 100000)
+    ok_mean_len = (3 * n_words <= sum_wlen) & (sum_wlen <= 10 * n_words)
+    ok_alpha = 5 * n_alpha >= 4 * n_words
+    ok_symbols = 10 * n_sym < n_words
+    ok_stopwords = n_stop >= 2
+    ok_distinct = 5 * n_dw >= n_aw
+    return {
+        "n_words": n_words,
+        "mean_word_len": X.dround(sum_wlen.cast("double") / g1, 4),
+        "alpha_frac": X.dround(n_alpha.cast("double") / g1, 4),
+        "distinct_ratio": X.dround(
+            n_dw.cast("double") / F.greatest(n_aw, F.lit(1)), 4
+        ),
+        "n_stop": n_stop,
+        "ok_n_words": ok_n_words,
+        "ok_mean_len": ok_mean_len,
+        "ok_alpha": ok_alpha,
+        "ok_symbols": ok_symbols,
+        "ok_stopwords": ok_stopwords,
+        "ok_distinct": ok_distinct,
+        "passes_gopher": ok_n_words
+        & ok_mean_len
+        & ok_alpha
+        & ok_symbols
+        & ok_stopwords
+        & ok_distinct,
+    }

@@ -1160,45 +1160,6 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios use the shared deterministic rounding grid (functions/exact.py).
     Beyond-reference surface (SURVEY.md §7 — the reference has no text
     operators)."""
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-    n_words = F.size(toks)
-    sum_wlen = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    ).cast("long")
-    n_alpha = F.size(F.filter(toks, lambda t: F.lower(t).rlike("[a-z]")))
-    w = T.words(F.col("text"))
-    n_aw = F.size(w)
-    n_dw = F.size(F.array_distinct(w))
-    n_stop = T.stopword_count("text", "en")
-    n_sym = F.regexp_count("text", F.lit("#")) + F.regexp_count(
-        "text", F.lit(r"\.\.\.")
-    )
-    g1 = F.greatest(n_words, F.lit(1))
-    ok_n_words = (n_words >= 50) & (n_words <= 100000)
-    ok_mean_len = (3 * n_words <= sum_wlen) & (sum_wlen <= 10 * n_words)
-    ok_alpha = 5 * n_alpha >= 4 * n_words
-    ok_symbols = 10 * n_sym < n_words
-    ok_stopwords = n_stop >= 2
-    ok_distinct = 5 * n_dw >= n_aw
     return _docs(spark, sf_dir) >> select(
-        "doc_id",
-        n_words=n_words,
-        mean_word_len=X.dround(sum_wlen.cast("double") / g1, 4),
-        alpha_frac=X.dround(n_alpha.cast("double") / g1, 4),
-        distinct_ratio=X.dround(
-            n_dw.cast("double") / F.greatest(n_aw, F.lit(1)), 4
-        ),
-        n_stop=n_stop,
-        ok_n_words=ok_n_words,
-        ok_mean_len=ok_mean_len,
-        ok_alpha=ok_alpha,
-        ok_symbols=ok_symbols,
-        ok_stopwords=ok_stopwords,
-        ok_distinct=ok_distinct,
-        passes_gopher=ok_n_words
-        & ok_mean_len
-        & ok_alpha
-        & ok_symbols
-        & ok_stopwords
-        & ok_distinct,
+        "doc_id", **T.gopher_signals("text")
     )

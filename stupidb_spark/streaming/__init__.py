@@ -13,6 +13,7 @@ from stupidb_spark.streaming.documents import (
     bpe_tokens_stream,
     dup_flagged_stream,
     lm_scored_stream,
+    quality_gated_stream,
     stream_documents,
 )
 from stupidb_spark.streaming.embeddings import (
@@ -43,6 +44,7 @@ __all__ = [
     "lm_scored_stream",
     "dup_flagged_stream",
     "bpe_tokens_stream",
+    "quality_gated_stream",
     "stream_embeddings",
     "knn_label_stream",
 ]

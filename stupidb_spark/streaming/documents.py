@@ -76,3 +76,35 @@ def bpe_tokens_stream(docs_stream: DataFrame, merges) -> DataFrame:
     from stupidb_spark.operators.bpe import bpe_encode
 
     return bpe_encode(docs_stream, merges, id_col="doc_id", text_col="text")
+
+
+def quality_gated_stream(
+    docs_stream: DataFrame,
+    *,
+    split_fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Ingest-time quality gate + dataset routing: every streamed document
+    is tagged with its Gopher-rule quality signals
+    (``functions/text.py::gopher_signals`` — the batch semantics are
+    DuckDB-oracled via ``text_gopher_rules``) and its leakage-safe
+    train/val/test split (``operators/splits.py`` — group-cohesive on
+    ``source``, so a near-dup pair from one site can never straddle the
+    fence even when its two members arrive in different micro-batches:
+    the split is a pure hash of the group, no state needed).
+
+    Both tags are stateless per-row Column expressions — no shuffle, no
+    watermark, append mode; at scale this IS the crawl-ingest filter in
+    front of the corpus store. Stream == batch pinned in tests."""
+    from stupidb_spark.functions.text import gopher_signals
+    from stupidb_spark.operators.splits import split_column
+
+    fr = split_fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    sig = gopher_signals("text")
+    return docs_stream.select(
+        "doc_id",
+        "source",
+        sig["passes_gopher"].alias("passes_gopher"),
+        sig["n_words"].alias("n_words"),
+        sig["n_stop"].alias("n_stop"),
+        split_column("source", fr).alias("split"),
+    )

@@ -379,3 +379,44 @@ def test_knn_label_stream_matches_batch_mirror(spark):
         assert got == {q: (l, c) for q, (l, c) in want.items()}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_quality_gated_stream_equals_batch(spark):
+    """Ingest-time Gopher gate + split routing: documents streamed in two
+    micro-batches must carry exactly the tags the batch queries compute
+    (whose semantics are DuckDB-oracled via text_gopher_rules /
+    sample_split_leakproof's operator twin) — stateless expressions, so
+    stream == batch row-for-row."""
+    import pyarrow.parquet as pq
+
+    from stupidb_spark.functions.text import gopher_signals
+    from stupidb_spark.operators.splits import split_column
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.streaming import quality_gated_stream, stream_documents
+
+    d = SCRATCH / f"stream-docs-{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    try:
+        t = pq.read_table(f"{SF_DIR}/documents.parquet")
+        n = t.num_rows
+        pq.write_table(t.slice(0, n // 2), d / "part-000.parquet")
+        pq.write_table(t.slice(n // 2), d / "part-001.parquet")
+
+        stream = quality_gated_stream(
+            stream_documents(spark, str(d), max_files_per_trigger=1)
+        )
+        got = run_to_memory(stream, "t_quality_gate", output_mode="append")
+        sig = gopher_signals("text")
+        want = load_table(spark, SF_DIR, "documents").select(
+            "doc_id",
+            "source",
+            sig["passes_gopher"].alias("passes_gopher"),
+            sig["n_words"].alias("n_words"),
+            sig["n_stop"].alias("n_stop"),
+            split_column(
+                "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+            ).alias("split"),
+        )
+        _assert_same(got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
