@@ -203,3 +203,32 @@ def test_zero_norm_query_fails_loudly(spark, emb):
     with pytest.raises(Exception) as ei:
         knn_join(bad, k_neighbors=3, n_cells=8, n_probe=2).collect()
     assert "zero norm" in str(ei.value)
+
+
+def test_recall_on_clustered_manifold(spark):
+    # the registered pruning's 0.76 recall is the QUASI-RANDOM fixture's
+    # curse-of-dimensionality worst case (SCALE.md); on data with cluster
+    # structure — what real embedding manifolds have — the same 2x-pruned
+    # configuration is lossless. Seeded, deterministic.
+    rng = np.random.RandomState(11)
+    k_clusters, per, dim = 40, 50, 32
+    centers = rng.randn(k_clusters, dim) * 4
+    X = np.concatenate(
+        [centers[j] + 0.5 * rng.randn(per, dim) for j in range(k_clusters)]
+    )
+    ids = np.arange(len(X))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    want = {
+        (q, n)
+        for (q, _, n, _) in knn_join_reference(
+            ids, X, ids, X, k_neighbors=5, self_join=True
+        )
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_join(df, k_neighbors=5, n_cells=8, n_probe=4).collect()
+    }
+    assert len(got & want) / len(want) >= 0.95  # 1.000 seeded

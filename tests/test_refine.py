@@ -92,3 +92,49 @@ def test_registered_refine_stats_fold_to_valid_centroids(spark):
     assert total == load_table(spark, SF_DIR, "embeddings").count()
     for r in out:
         assert r["centroid"] == float(r["sum_q"]) / r["n"] / REFINE_SCALE
+
+
+def test_refine_improves_probe_recall_on_biased_sample(spark):
+    # the 100 TB failure mode ivf_refine exists for: ivf_train's bounded
+    # sample (lowest-id rows) lands on a cluster-ordered corpus and the
+    # sample covers only the first few clusters — probe recall suffers at
+    # tight pruning. One corpus-scale Lloyd pass repairs the centroids.
+    import numpy as np
+
+    from stupidb_spark.operators.ivf import ivf_index, ivf_probe, ivf_train
+    from stupidb_spark.operators.knn import knn_join_reference
+
+    rng = np.random.RandomState(11)
+    k_clusters, per, dim = 40, 50, 32
+    centers = rng.randn(k_clusters, dim) * 4
+    X = np.concatenate(
+        [centers[j] + 0.5 * rng.randn(per, dim) for j in range(k_clusters)]
+    )
+    ids = np.arange(len(X))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    want = {
+        (q, n)
+        for (q, _, n, _) in knn_join_reference(
+            ids, X, ids, X, k_neighbors=5, self_join=True
+        )
+        if q < 400
+    }
+
+    def recall(C):
+        out = ivf_probe(ivf_index(df, C), C, df.limit(400), k=6, n_probe=2)
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in out.collect()
+            if r.query_id != r.neighbor_id
+        }
+        return len(got & want) / len(want)
+
+    start = ivf_train(df, k=16, iters=3, n_train=100)  # 2-cluster sample
+    before = recall(start)
+    after = recall(ivf_refine(df, start, iters=1))
+    assert before < 0.95  # the biased sample measurably hurts (0.911 seeded)
+    assert after >= 0.99  # one corpus pass repairs it (1.000 seeded)
+    df.unpersist()
