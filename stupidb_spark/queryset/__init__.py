@@ -203,6 +203,7 @@ PRIORITY: tuple[str, ...] = (
     "text_gopher_rules",
     "sample_split_leakproof",
     "emb_kmeans_refine",
+    "dedup_cross_source_matrix",
 )
 
 

@@ -630,3 +630,87 @@ def dedup_ingest_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         text_col="text",
     )
+
+
+@q(
+    "dedup_cross_source_matrix",
+    f"""
+    -- Which sources duplicate which: the curator's rollup that decides
+    -- "drop source X, it's 80% a mirror of Y". Pair scores aggregate on
+    -- the 1e-6 integer grid (exact long sums), so the per-cell mean is
+    -- order-independent and engine-identical.
+    WITH sh AS ({_DUCK_SHINGLES}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    hits AS (
+        SELECT least(da.source, db.source)    AS src_a,
+               greatest(da.source, db.source) AS src_b,
+               CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT) AS jq
+        FROM pairs
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+        WHERE jaccard >= 0.5
+    )
+    SELECT src_a, src_b,
+           count(*) AS n_pairs,
+           (CAST(CAST(sum(jq) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0)
+               AS mean_jaccard
+    FROM hits GROUP BY src_a, src_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts and mean
+    Jaccard per (source, source) cell, source pair canonicalized
+    (least, greatest) so the matrix is one triangle. The analytics view a
+    curator reads to decide which sources are mirrors of which before
+    paying for full dedup.
+
+    Scale shape: the pair relation is the expensive part and rides the
+    existing dedup pathways (this fixture form uses the uncapped exact
+    scorer like ``dedup_ngram_jaccard``; at corpus scale swap in the
+    capped or LSH candidate stage — the rollup is identical). The
+    source-tag joins key on doc id against the (doc_id, source) scan —
+    clean-estimate relations, no post-explode undercount hazard — and the
+    final aggregate is |sources|² -bounded. Scores sum on the 1e-6
+    integer grid, so the mean is exact under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, threshold=0.5,
+        uncapped_ok=True,
+    )
+    src = docs.select("doc_id", "source")
+    jq = F.floor(F.col("jaccard") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    hits = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            jq.alias("jq"),
+        )
+    )
+    return hits.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum("jq").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("mean_jaccard"),
+    )
