@@ -102,3 +102,45 @@ def pca_reference(
     """Driver-side numpy twin of :func:`pca_project` (same float64 ops in
     the same order) for the differential tests."""
     return (X.astype(np.float64) - model.mean) @ model.components.T
+
+
+def save_pca_model(spark, model: PCAModel, path: str) -> None:
+    """Persist the fitted projection as a parquet model table — the
+    durable form that outlives the session (the ``save_ivf_index`` /
+    ``save_bpe_merges`` model lifecycle: train on a corpus snapshot,
+    persist, and every downstream projection job — batch or streaming —
+    loads the identical matrix). Doubles round-trip parquet exactly, so a
+    loaded model projects bit-identically to the in-session one (pinned).
+
+    Rows: ``kind`` = 'mean' (idx 0) or 'comp' (idx = component rank);
+    ``vals`` the (dim,) vector; ``var`` the component's explained
+    variance (0.0 on the mean row).
+    """
+    rows = [("mean", 0, [float(x) for x in model.mean], 0.0)] + [
+        (
+            "comp",
+            i,
+            [float(x) for x in model.components[i]],
+            float(model.explained_var[i]),
+        )
+        for i in range(len(model.components))
+    ]
+    spark.createDataFrame(
+        rows, "kind string, idx int, vals array<double>, var double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pca_model(spark, path: str) -> PCAModel:
+    """Load a :func:`save_pca_model` table."""
+    rows = spark.read.parquet(path).collect()
+    mean = next(
+        np.array(r.vals, dtype=np.float64) for r in rows if r.kind == "mean"
+    )
+    comps = sorted((r for r in rows if r.kind == "comp"), key=lambda r: r.idx)
+    return PCAModel(
+        mean=mean,
+        components=np.stack(
+            [np.array(r.vals, dtype=np.float64) for r in comps]
+        ),
+        explained_var=np.array([r.var for r in comps], dtype=np.float64),
+    )

@@ -72,3 +72,38 @@ def test_train_is_deterministic(spark, emb):
     b = pca_train(emb, k=6)
     assert np.array_equal(a.components, b.components)
     assert np.array_equal(a.mean, b.mean)
+
+
+def test_pca_model_roundtrips_through_parquet(spark, tmp_path):
+    # the durable-model lifecycle: a persisted+reloaded model must project
+    # bit-identically to the in-session one
+    import numpy as np
+
+    from stupidb_spark.operators.projection import (
+        load_pca_model,
+        pca_project,
+        pca_train,
+        save_pca_model,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(200, 16)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    model = pca_train(df, k=4, n_train=128)
+    save_pca_model(spark, model, str(tmp_path / "pca_model"))
+    loaded = load_pca_model(spark, str(tmp_path / "pca_model"))
+    assert np.array_equal(model.mean, loaded.mean)
+    assert np.array_equal(model.components, loaded.components)
+    assert np.array_equal(model.explained_var, loaded.explained_var)
+    a = sorted(
+        (r.vec_id, tuple(r.projected))
+        for r in pca_project(df, model).collect()
+    )
+    b = sorted(
+        (r.vec_id, tuple(r.projected))
+        for r in pca_project(df, loaded).collect()
+    )
+    assert a == b
