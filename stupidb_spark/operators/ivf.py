@@ -181,12 +181,17 @@ def ivf_refine(
                 "long"
             ),
         )
+        # two-step select: assignment FIRST, explode second — in a single
+        # select Catalyst plans the Generate below the UDF and the
+        # assignment would re-evaluate once per exploded dim (observed:
+        # ArrowEvalPython above posexplode = dim× redundant matmuls)
         assigned = spread_small_scan(df.select(F.col(vec_col))).select(
             F.coalesce(factory(C)(vec_col), F.lit(0)).alias("cell"),
-            F.posexplode(qv).alias("dim", "q"),
+            qv.alias("__qv"),
         )
         rows = (
-            assigned.groupBy("cell", "dim")
+            assigned.select("cell", F.posexplode("__qv").alias("dim", "q"))
+            .groupBy("cell", "dim")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sq"))
             .collect()
         )

@@ -517,10 +517,13 @@ def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * F.lit(REFINE_SCALE) + F.lit(0.5)).cast("long"),
     )
+    # two-step select (assignment, then explode) so the assignment UDF
+    # evaluates once per VECTOR, not once per exploded dim — see
+    # ivf_refine's plan note
     assigned = spread_small_scan(emb.select("embedding")).select(
         F.coalesce(_quant_assign_udf(C)("embedding"), F.lit(0)).alias("cell"),
-        F.posexplode(qv).alias("dim", "qc"),
-    )
+        qv.alias("__qv"),
+    ).select("cell", F.posexplode("__qv").alias("dim", "qc"))
     return assigned.groupBy("cell", F.col("dim").cast("long").alias("dim")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("qc").alias("sum_q"),

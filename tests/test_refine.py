@@ -138,3 +138,20 @@ def test_refine_improves_probe_recall_on_biased_sample(spark):
     assert before < 0.95  # the biased sample measurably hurts (0.911 seeded)
     assert after >= 0.99  # one corpus pass repairs it (1.000 seeded)
     df.unpersist()
+
+
+def test_refine_assignment_udf_below_the_explode(spark):
+    # the assignment UDF must evaluate once per VECTOR: in a single select
+    # Catalyst plans the Generate below the UDF, re-running the matmul
+    # once per exploded dim (64x). Pin the two-step shape: ArrowEvalPython
+    # strictly below the posexplode Generate.
+    plan = (
+        QUERIES["emb_kmeans_refine"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.split("\n")
+    gen = next(i for i, l in enumerate(lines) if "Generate posexplode" in l)
+    udf = next(i for i, l in enumerate(lines) if "ArrowEvalPython" in l)
+    assert udf > gen, "assignment UDF must sit below the explode"
