@@ -109,6 +109,7 @@ HEADLINE = [
     "text_gopher_rules",
     "sample_split_leakproof",
     "emb_kmeans_refine",
+    "emb_cov_matrix",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.

@@ -144,3 +144,124 @@ def load_pca_model(spark, path: str) -> PCAModel:
         ),
         explained_var=np.array([r.var for r in comps], dtype=np.float64),
     )
+
+
+# fixed-point grids for the exact full-corpus moments — the same decimal
+# grid family as functions/exact.py (scale 6 components, scale 12 products)
+_PCA_S1 = 1e6
+_PCA_S2 = 1e12
+
+
+def pca_train_full(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> PCAModel:
+    """Full-corpus exact PCA — the :func:`pca_train` analog of
+    ``ivf_refine``: instead of sketching the distribution from an
+    ``n_train`` sample (which inherits whatever bias the corpus ordering
+    has — crawls arrive site-by-site), the principal axes come from the
+    EXACT corpus covariance.
+
+    Scale shape (matrix-free — no d² row blow-up): each Arrow batch
+    computes its integer Gram contribution in one numpy pass — component
+    sums on the 1e6 fixed-point grid and pairwise product sums on the
+    1e12 grid, int64-exact per batch — and emits d + d(d+1)/2 + 1 partial
+    rows. Spark sums the partials as DECIMAL(38,0) (exact at any corpus
+    size), the driver folds the d×d moment matrix (exact Python ints →
+    one float64 op sequence), and ``numpy.linalg.eigh`` runs on the
+    resulting covariance. Shuffle volume: tasks × (d(d+1)/2 + d + 1)
+    rows; driver state: one d×d matrix. Integer sums are
+    order-independent, so the fitted model is bit-identical across
+    partitionings and reruns (mirror-pinned). The same moments, grouped
+    instead of batched, are the oracled ``emb_cov_matrix`` relation.
+    """
+    import pandas as pd
+
+    def gram(batches):
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            U = np.floor(M * _PCA_S1 + 0.5).astype(np.int64)  # (n, d)
+            d = M.shape[1]
+            iu, ju = np.triu_indices(d)
+            # per-row product grid floor(x_i*x_j*S2 + 0.5), summed int64
+            P = np.zeros(len(iu), dtype=np.int64)
+            for r in range(M.shape[0]):
+                prod = np.floor(
+                    M[r][iu] * M[r][ju] * _PCA_S2 + 0.5
+                ).astype(np.int64)
+                P += prod
+            S = U.sum(axis=0, dtype=np.int64)
+            out = {
+                "i": np.concatenate(([-1], np.arange(d), iu)),
+                "j": np.concatenate(([-1], np.full(d, -1), ju)),
+                "v": np.concatenate(([M.shape[0]], S, P)),
+            }
+            yield pd.DataFrame(out)
+
+    parts = df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+    totals = (
+        parts.mapInPandas(gram, "i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .collect()
+    )
+    n = None
+    S: dict[int, int] = {}
+    P: dict[tuple[int, int], int] = {}
+    for r in totals:
+        v = int(r["v"])
+        if r["i"] == -1:
+            n = v
+        elif r["j"] == -1:
+            S[r["i"]] = v
+        else:
+            P[(r["i"], r["j"])] = v
+    d = len(S)
+    mean = np.array([S[i] for i in range(d)], dtype=np.float64) / _PCA_S1 / n
+    cov = np.zeros((d, d))
+    for (i, j), p in P.items():
+        c = (p / _PCA_S2 - (S[i] / _PCA_S1) * (S[j] / _PCA_S1) / n) / (n - 1)
+        cov[i, j] = cov[j, i] = c
+    w, V = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comp = V[:, order].T.copy()
+    for i in range(comp.shape[0]):
+        jmax = int(np.argmax(np.abs(comp[i])))
+        if comp[i, jmax] < 0:
+            comp[i] = -comp[i]
+    return PCAModel(
+        mean=mean, components=comp, explained_var=w[order].copy()
+    )
+
+
+def pca_train_full_reference(X: np.ndarray, *, k: int = 8) -> PCAModel:
+    """Driver-side numpy mirror of :func:`pca_train_full` with the
+    identical integer-grid moments and float64 fold — the differential
+    ground truth. Test-support code."""
+    M = X.astype(np.float64)
+    n, d = M.shape
+    U = np.floor(M * _PCA_S1 + 0.5).astype(np.int64)
+    S = U.sum(axis=0, dtype=np.int64)
+    iu, ju = np.triu_indices(d)
+    P = np.zeros(len(iu), dtype=np.int64)
+    for r in range(n):
+        P += np.floor(M[r][iu] * M[r][ju] * _PCA_S2 + 0.5).astype(np.int64)
+    mean = S.astype(np.float64) / _PCA_S1 / n
+    cov = np.zeros((d, d))
+    for idx in range(len(iu)):
+        i, j = int(iu[idx]), int(ju[idx])
+        c = (
+            int(P[idx]) / _PCA_S2
+            - (int(S[i]) / _PCA_S1) * (int(S[j]) / _PCA_S1) / n
+        ) / (n - 1)
+        cov[i, j] = cov[j, i] = c
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comp = V[:, order].T.copy()
+    for i in range(comp.shape[0]):
+        jmax = int(np.argmax(np.abs(comp[i])))
+        if comp[i, jmax] < 0:
+            comp[i] = -comp[i]
+    return PCAModel(mean=mean, components=comp, explained_var=w[order].copy())

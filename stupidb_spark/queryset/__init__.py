@@ -204,6 +204,7 @@ PRIORITY: tuple[str, ...] = (
     "sample_split_leakproof",
     "emb_kmeans_refine",
     "dedup_cross_source_matrix",
+    "emb_cov_matrix",
 )
 
 

@@ -533,3 +533,57 @@ def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(REFINE_SCALE)
         ).alias("centroid"),
     )
+
+
+@q(
+    "emb_cov_matrix",
+    f"""
+    -- Exact corpus covariance of the embedding components: the second-
+    -- moment statistics a full-corpus PCA trains on (operators/
+    -- projection.py::pca_train_full). Every moment rides the shared
+    -- exact fixed-point machinery (functions/exact.py: integer sums,
+    -- split second moments), so the 64x64 triangle is bit-identical
+    -- across engines and partitionings.
+    WITH c AS (
+        SELECT i.i AS i, j.j AS j, v[i.i + 1] AS x, v[j.j + 1] AS y
+        FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+        WHERE j.j >= i.i
+    )
+    SELECT i, j, count(*) AS n,
+           {X.sql_dcovar('x', 'y', 6)} AS cov
+    FROM c GROUP BY i, j
+    """,
+)
+def emb_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding components, on
+    the exact-moment grid — the distributed statistics under a
+    full-corpus PCA (``pca_train_full``), as a hash-stable relation.
+
+    Scale shape: the (i, j) pair explode costs d(d+1)/2 rows per vector
+    (2080 for 64 dims) and then hash-aggregates with map-side combine, so
+    the shuffle carries at most tasks × 2080 partial rows; moments use
+    ``functions/exact.py``'s split-sum construction, whose ~5e11-rows-per-
+    group envelope holds far past this corpus. For the matrix-free 100 TB
+    path (no d² row blow-up) use ``pca_train_full``'s batched Gram
+    operator — same grid, identical moments."""
+    v = F.col("embedding").cast("array<double>")
+    a = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(v.alias("v"))
+        .select(F.posexplode("v").alias("i", "x"), F.col("v"))
+    )
+    b = a.select(
+        F.col("i").cast("long").alias("i"),
+        "x",
+        F.posexplode("v").alias("j", "y"),
+    ).filter(F.col("j") >= F.col("i"))
+    return (
+        b.select("i", F.col("j").cast("long").alias("j"), "x", "y")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            X.dcovar_samp("x", "y", 6).alias("cov"),
+        )
+    )

@@ -107,3 +107,60 @@ def test_pca_model_roundtrips_through_parquet(spark, tmp_path):
         for r in pca_project(df, loaded).collect()
     )
     assert a == b
+
+
+def test_pca_train_full_matches_mirror_bitwise(spark):
+    # the distributed exact-Gram fit must equal the numpy mirror exactly:
+    # integer moments are order-independent, the float64 fold and eigh run
+    # on identical inputs
+    import numpy as np
+
+    from stupidb_spark.operators.projection import (
+        pca_train_full,
+        pca_train_full_reference,
+    )
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(300, 12) * 2
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+    got = pca_train_full(df, k=4)
+    want = pca_train_full_reference(X, k=4)
+    assert np.array_equal(got.mean, want.mean)
+    assert np.array_equal(got.components, want.components)
+    assert np.array_equal(got.explained_var, want.explained_var)
+
+
+def test_pca_train_full_beats_biased_sample(spark):
+    # cluster-ordered corpus (ingest order = cluster order): pca_train's
+    # lowest-id sample sees a few clusters; the full-corpus fit captures
+    # the true variance structure. Compare reconstruction error of the
+    # top-k projection over the WHOLE corpus.
+    import numpy as np
+
+    from stupidb_spark.operators.projection import (
+        pca_reference,
+        pca_train,
+        pca_train_full,
+    )
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(20, 16) * 5
+    X = np.concatenate(
+        [centers[j] + 0.4 * rng.randn(80, 16) for j in range(20)]
+    )
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+
+    def recon_err(model):
+        P = pca_reference(X, model)  # (n, k)
+        back = P @ model.components + model.mean
+        return float(((X - back) ** 2).mean())
+
+    sample = pca_train(df, k=4, n_train=160)  # ~2 of 20 clusters
+    full = pca_train_full(df, k=4)
+    assert recon_err(full) < recon_err(sample)
