@@ -110,6 +110,7 @@ HEADLINE = [
     "sample_split_leakproof",
     "emb_kmeans_refine",
     "emb_cov_matrix",
+    "pipeline_training_mix",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.

@@ -205,6 +205,7 @@ PRIORITY: tuple[str, ...] = (
     "emb_kmeans_refine",
     "dedup_cross_source_matrix",
     "emb_cov_matrix",
+    "pipeline_training_mix",
 )
 
 

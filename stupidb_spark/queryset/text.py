@@ -1163,3 +1163,98 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir) >> select(
         "doc_id", **T.gopher_signals("text")
     )
+
+
+@q(
+    "pipeline_training_mix",
+    f"""
+    -- End-to-end round-9 prep composition in ONE plan: Gopher quality
+    -- gate -> leakage-safe grouped split -> exact dedup (keep lowest id
+    -- per fingerprint) -> per-split token budget. The rollup a curator
+    -- reads to size train/val/test before a run.
+    WITH m AS (
+        SELECT doc_id, source, text,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               len({_DUCK_WTOKS}) AS n_words,
+               CAST(list_sum(list_transform({_DUCK_WTOKS},
+                    t -> length(t))) AS BIGINT) AS sum_wlen,
+               len(list_filter({_DUCK_WTOKS},
+                    t -> regexp_matches(lower(t), '[a-z]'))) AS n_alpha,
+               len({_duck_words()}) AS n_aw,
+               len(list_distinct({_duck_words()})) AS n_dw,
+               {_duck_score('en')} AS n_stop,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, source, fp, n_words,
+               CASE WHEN (CAST(substr(source, 4) AS BIGINT) * 2654435761 + 40503) % 1000 < 800 THEN 'train'
+                    WHEN (CAST(substr(source, 4) AS BIGINT) * 2654435761 + 40503) % 1000 < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM m
+        WHERE n_words >= 50 AND n_words <= 100000
+          AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+          AND 5 * n_alpha >= 4 * n_words
+          AND 10 * n_sym < n_words
+          AND n_stop >= 2
+          AND 5 * n_dw >= n_aw
+    ),
+    kept AS (
+        SELECT split, fp,
+               arg_min(n_words, doc_id) AS n_words
+        FROM gated GROUP BY split, fp
+    )
+    SELECT split,
+           count(*)                     AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens,
+           {X.sql_dround('CAST(sum(n_words) AS DOUBLE) / count(*)', 4)} AS avg_tokens
+    FROM kept GROUP BY split
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 surface composed end-to-end in one Catalyst plan:
+    Gopher-rule gate (``functions/text.py::gopher_signals``) →
+    group-cohesive split tag (``operators/splits.py`` semantics, the
+    portable-hash twin) → exact dedup within each split (min-id per
+    content fingerprint — a dup pair can only straddle splits if its two
+    sources differ, which the matrix query measures) → per-split token
+    budget.
+
+    Scale shape: the gate and both tags fuse into the scan (zero extra
+    passes), the dedup is the single (split, fp) shuffle with map-side
+    combine, the rollup is 3 rows. Splits stay leakage-safe through the
+    composition because the tag is a pure group hash — no sampling job,
+    no membership join, nothing to drift between pipeline stages."""
+    from stupidb_spark.operators.splits import split_column as _sc  # noqa: F401
+    from stupidb_spark.queryset.sampling import _SA, _SC, _SM
+
+    sig = T.gopher_signals("text")
+    fp = T.fingerprint_md5(F.col("text"))
+    src_num = F.substring("source", 4, 10).cast("long")
+    h = F.pmod(src_num * _SA + _SC, F.lit(_SM))
+    split = (
+        F.when(h < 800, F.lit("train"))
+        .when(h < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    gated = (
+        _docs(spark, sf_dir)
+        .filter(sig["passes_gopher"])
+        .select(
+            "doc_id",
+            split.alias("split"),
+            fp.alias("fp"),
+            sig["n_words"].alias("n_words"),
+        )
+    )
+    kept = gated.groupBy("split", "fp").agg(
+        F.min_by("n_words", "doc_id").alias("n_words")
+    )
+    return kept.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_tokens"),
+        X.dround(
+            F.sum("n_words").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_tokens"),
+    )
