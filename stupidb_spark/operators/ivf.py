@@ -61,6 +61,16 @@ def _assign_udf(centroids: np.ndarray):
     C = _normalize(centroids.astype(np.float64))
 
     def fn(v: pd.Series) -> pd.Series:
+        if v.isna().any():
+            # Loud by contract: the coalesce(assign, 0) at the ivf_index
+            # call site exists only for plan shape (non-nullable `cell`
+            # suppresses an inferred isnotnull filter that would double-run
+            # this UDF). It must never become a silent null→cell-0 router,
+            # so reject null vectors here, mirroring the zero-norm contract.
+            raise ValueError(
+                "null embedding passed to IVF assignment; filter null "
+                "vectors at ingest (cosine cell assignment is undefined)"
+            )
         M = _normalize(np.stack(v.to_numpy()).astype(np.float64))
         return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
 
@@ -381,6 +391,47 @@ def load_ivf_index(spark, path: str) -> _CachedIndex:
     return _CachedIndex(centroids=centroids, indexed=indexed)
 
 
+def check_ivf_index(spark, path: str) -> dict:
+    """Integrity probe for a saved index — the repair tool for the
+    non-transactional window in :func:`rebalance_ivf_index`.
+
+    Two invariants, each one bounded aggregate over (id, cell) ints:
+
+    - no neighbor_id appears in more than one cell (violated by a crash
+      between the rebalance's data commit and its stale-parent delete);
+    - every data cell id has a centroid row (violated by a crash between
+      the data commit and the centroid write — orphan sub-cells a probe
+      would silently never scan).
+
+    Returns ``{"duplicate_ids": n, "stale_cells": [...], "orphan_cells":
+    [...]}``; all-clear is ``(0, [], [])``. ``stale_cells`` names the cells
+    holding duplicated ids — for a crashed split that is the parent dir to
+    delete (the moved copies are the ones nearest their centroid).
+    """
+    indexed = spark.read.parquet(f"{path}/cells").select("neighbor_id", "cell")
+    cent_cells = {
+        r.cell for r in spark.read.parquet(f"{path}/centroids").select("cell").collect()
+    }
+    dup = (
+        indexed.groupBy("neighbor_id")
+        .agg(F.collect_set("cell").alias("cells"))
+        .filter(F.size("cells") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("cells")))
+            ).alias("cells"),
+        )
+        .collect()[0]
+    )
+    data_cells = {r.cell for r in indexed.select("cell").distinct().collect()}
+    return {
+        "duplicate_ids": int(dup.n_ids),
+        "stale_cells": [int(c) for c in (dup.cells or [])],
+        "orphan_cells": sorted(int(c) for c in data_cells - cent_cells),
+    }
+
+
 def ivf_append(
     idx: _CachedIndex,
     new_vectors: DataFrame,
@@ -615,8 +666,14 @@ def rebalance_ivf_index(spark, path: str, **kwargs) -> dict[int, list[int]]:
     writing, and the emptied parent directories are deleted (Hadoop
     FileSystem, so it works on any cluster store) after the write commits.
     The delete is a separate action after the commit, so a crash between
-    the two can leave a stale parent dir; re-running the rebalance (or any
-    load + distinct check) detects and the next delete clears it — the
+    the two can leave a stale parent dir whose rows duplicate the moved
+    sub-cell copies. That window is NOT self-healing: a later rebalance
+    only deletes parents *it* empties, so a no-longer-hot stale parent
+    keeps its duplicates until repaired. After any crash mid-rebalance,
+    run :func:`check_ivf_index` — it detects duplicated neighbor_ids with
+    one aggregate and names the offending cells; deleting those ``cell=N``
+    directories (the copy NOT nearest its centroid is the stale one, which
+    for a split is always the parent) restores the invariant. This is the
     same non-transactional contract every bare-parquet layout has.
     """
     idx = load_ivf_index(spark, path)

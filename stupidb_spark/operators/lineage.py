@@ -29,10 +29,33 @@ run durably. Mode parity (identical results both ways) is pinned by
 from __future__ import annotations
 
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame
 
 ENV_VAR = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+# The checkpoint root we last installed on a SparkContext, keyed by the
+# context's applicationId. getCheckpointDir() returns a scheme-qualified URI
+# with a per-app UUID subdir (``file:/tmp/ck/<uuid>``), so a plain
+# string-prefix test against the configured path never matches — comparing
+# against it would reinstall (and mint a fresh UUID root) on EVERY cut,
+# churning directories across iterative loops. Remember what we installed
+# instead, and fall back to comparing the URI's parsed path for contexts
+# configured outside this module.
+_installed: dict[str, str] = {}
+
+
+def _already_installed(sc, ckdir: str) -> bool:
+    app_id = sc.applicationId
+    if _installed.get(app_id) == ckdir:
+        return True
+    current = sc.getCheckpointDir()
+    if not current:
+        return False
+    # current = <scheme>:<root>/<uuid>; strip the scheme and the UUID leaf.
+    parent = urlparse(current).path.rstrip("/").rsplit("/", 1)[0]
+    return parent == urlparse(ckdir).path.rstrip("/")
 
 
 def checkpoint_dir() -> str | None:
@@ -55,7 +78,7 @@ def cut_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
     sc = df.sparkSession.sparkContext
     # setCheckpointDir appends a per-app UUID subdir; install once per
     # context (or when the knob changed between calls).
-    current = sc.getCheckpointDir()
-    if not current or not current.startswith(ckdir.rstrip("/")):
+    if not _already_installed(sc, ckdir):
         sc.setCheckpointDir(ckdir)
+        _installed[sc.applicationId] = ckdir
     return df.checkpoint(eager=eager)

@@ -64,6 +64,13 @@ def _quant_assign_udf(centroids: np.ndarray):
     )
 
     def fn(v: pd.Series) -> pd.Series:
+        if v.isna().any():
+            # Same loud contract as ivf._assign_udf: the plan-shape
+            # coalesce downstream must never silently route nulls to cell 0.
+            raise ValueError(
+                "null embedding passed to semantic cell assignment; filter "
+                "null vectors at ingest (cosine is undefined)"
+            )
         M = np.stack(v.to_numpy()).astype(np.float64)
         nm = np.sqrt(_qdot(M, M).astype(np.float64) / QUANT_SCALE)
         sims = np.empty((len(M), len(C)))

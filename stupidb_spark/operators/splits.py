@@ -40,11 +40,11 @@ def split_column(
     re-deals the assignment (a new holdout for a new run) without touching
     the cohesion law. Fractions resolve at 1/10_000 granularity.
     """
+    if not fractions:
+        raise ValueError("at least one split required")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1.0, got {total}")
-    if not fractions:
-        raise ValueError("at least one split required")
     bucket = F.pmod(
         F.xxhash64(F.col(group) if isinstance(group, str) else group, F.lit(salt)),
         F.lit(_RES),

@@ -184,3 +184,25 @@ def test_reliable_checkpoint_mode_parity(spark, monkeypatch, tmp_path):
     assert found, "no checkpoint files written under SPARK_GRAFT_CHECKPOINT_DIR"
     monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
     assert snap() == local
+
+
+def test_checkpoint_dir_installed_once_per_context(spark, monkeypatch, tmp_path):
+    """cut_lineage installs the checkpoint root ONCE per context: repeated
+    cuts must not mint a fresh UUID root each call (getCheckpointDir returns
+    a scheme-qualified URI, so a naive prefix test reinstalls every time and
+    churns never-cleaned checkpoint data across iterative loops)."""
+    import os
+
+    from stupidb_spark.operators.lineage import cut_lineage
+
+    ckdir = str(tmp_path / "ckonce")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+    df = spark.range(10)
+    cut_lineage(df).count()
+    roots_after_one = set(os.listdir(ckdir))
+    assert len(roots_after_one) == 1, "first cut installs exactly one root"
+    cut_lineage(df).count()
+    cut_lineage(df.withColumn("y", df.id * 2)).count()
+    assert set(os.listdir(ckdir)) == roots_after_one, (
+        "later cuts reused the installed root instead of minting new ones"
+    )

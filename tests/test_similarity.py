@@ -726,3 +726,87 @@ def test_near_dup_zero_norm_vector_fails_loudly(spark):
     with pytest.raises(Exception) as ei:
         embedding_near_dup_pairs(df, threshold=0.5).collect()
     assert "zero norm" in str(ei.value)
+
+
+def test_check_ivf_index_detects_crash_window_damage(spark):
+    """check_ivf_index: all-clear on a healthy index; flags duplicated
+    neighbor_ids (stale parent dir surviving a crash between the rebalance
+    data commit and the stale-parent delete) and orphan data cells (crash
+    before the centroid write)."""
+    import shutil
+    import uuid
+
+    from stupidb_spark.operators.ivf import (
+        build_ivf_index,
+        check_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = _emb(spark)
+    idx = build_ivf_index(emb, cache_key=None)
+    path = f"/root/repo/.scratch/ivfchk-{uuid.uuid4().hex[:8]}"
+    try:
+        save_ivf_index(idx, path)
+        assert check_ivf_index(spark, path) == {
+            "duplicate_ids": 0,
+            "stale_cells": [],
+            "orphan_cells": [],
+        }
+
+        # Simulate the crash: rows of one populated cell ALSO written under
+        # a new sub-cell id (the moved copies committed, the stale parent
+        # dir never deleted) — and the new cell has no centroid row yet.
+        loaded = load_ivf_index(spark, path)
+        parent = (
+            loaded.indexed.groupBy("cell")
+            .count()
+            .orderBy(F.col("count").desc())
+            .first()
+            .cell
+        )
+        new_cell = len(loaded.centroids)
+        dup_rows = loaded.indexed.filter(F.col("cell") == parent).withColumn(
+            "cell", F.lit(new_cell)
+        )
+        n_dup = dup_rows.count()
+        dup_rows.write.partitionBy("cell").mode("append").parquet(
+            f"{path}/cells"
+        )
+
+        report = check_ivf_index(spark, path)
+        assert report["duplicate_ids"] == n_dup
+        assert report["stale_cells"] == sorted([int(parent), int(new_cell)])
+        assert report["orphan_cells"] == [int(new_cell)]
+
+        # the named repair (delete the stale dir) restores the invariant
+        shutil.rmtree(f"{path}/cells/cell={new_cell}")
+        assert check_ivf_index(spark, path) == {
+            "duplicate_ids": 0,
+            "stale_cells": [],
+            "orphan_cells": [],
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_assignment_rejects_null_embedding(spark):
+    """The plan-shape coalesce(assign, 0) must never silently route a null
+    embedding to cell 0 — assignment fails loudly instead (both the float64
+    and the quantized-grid assigners)."""
+    import numpy as np
+    import pytest
+
+    from stupidb_spark.operators.ivf import _assign_udf
+    from stupidb_spark.operators.semantic import _quant_assign_udf
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    C = np.array([[1.0, 0.0], [0.0, 1.0]])
+    for factory in (_assign_udf, _quant_assign_udf):
+        with pytest.raises(Exception) as ei:
+            df.select(
+                F.coalesce(factory(C)("embedding"), F.lit(0))
+            ).collect()
+        assert "null embedding" in str(ei.value)
