@@ -40,6 +40,22 @@ _DUCK_SHINGLES = """
               FROM documents)
 """
 
+# Stop-shingle document-frequency cap for the REGISTERED pairs→clusters
+# queries (dedup_components / dedup_canonical / dedup_cross_source_matrix).
+# These compose the exact-Jaccard pair source, whose candidate volume is
+# Σ_shingle df·(df−1)/2 — a property of the data that the 10× rehearsal
+# measured growing 13.2× (SCALE.md), with ±50% run-to-run swing at sf1.
+# The cap bounds any one shingle's contribution to cap²/2 pairs, which is
+# what a 100 TB run needs; shingles above the cap are boilerplate by
+# definition. On the driver fixtures the cap provably changes nothing —
+# max shingle df is 9 (sf0.001), 7 (sf0.01), 25 (sf0.1), all far below it,
+# so the uncapped recursive-CTE oracles still hash-match exactly
+# (label-equality pinned at fixture scale in tests/test_dedup.py). The raw
+# pair-score queries (dedup_ngram_jaccard / dedup_containment) stay
+# uncapped on purpose: they ARE the exact-score audit forms, and
+# dedup_jaccard_capped registers the capped scoring semantics.
+COMPONENTS_DF_CAP = 128
+
 
 @q(
     "dedup_exact",
@@ -188,12 +204,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/components.py) resolves the transitive closure that pair
     # emitters can't express — A~B and B~C cluster all three. The DuckDB
     # oracle computes the same closure with a recursive CTE; every doc
-    # appears (singletons are their own component).
+    # appears (singletons are their own component). The registered pair
+    # source is df-capped (COMPONENTS_DF_CAP): identical labels on the
+    # fixtures (max df is far below the cap — pinned in tests/test_dedup.py)
+    # and a bounded candidate envelope at corpus scale; the uncapped exact
+    # form stays available via jaccard_pairs(uncapped_ok=True) for audits.
     from stupidb_spark.operators.components import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
-        docs, id_col="doc_id", text_col="text", k=3, threshold=0.5, uncapped_ok=True
+        docs, id_col="doc_id", text_col="text", k=3, threshold=0.5,
+        max_doc_freq=COMPONENTS_DF_CAP,
     )
     labels = connected_components(
         pairs, src="id_a", dst="id_b", nodes=docs.select("doc_id")
@@ -242,7 +263,8 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
-        docs, id_col="doc_id", text_col="text", k=3, threshold=0.5, uncapped_ok=True
+        docs, id_col="doc_id", text_col="text", k=3, threshold=0.5,
+        max_doc_freq=COMPONENTS_DF_CAP,
     )
     labels = connected_components(
         pairs, src="id_a", dst="id_b", nodes=docs.select("doc_id")
@@ -671,9 +693,9 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     paying for full dedup.
 
     Scale shape: the pair relation is the expensive part and rides the
-    existing dedup pathways (this fixture form uses the uncapped exact
-    scorer like ``dedup_ngram_jaccard``; at corpus scale swap in the
-    capped or LSH candidate stage — the rollup is identical). The
+    existing dedup pathways (the df-capped exact scorer — see
+    :data:`COMPONENTS_DF_CAP`; for even bigger corpora swap in the LSH
+    candidate stage — the rollup is identical). The
     source-tag joins key on doc id against the (doc_id, source) scan —
     clean-estimate relations, no post-explode undercount hazard — and the
     final aggregate is |sources|² -bounded. Scores sum on the 1e-6
@@ -681,7 +703,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
         docs, id_col="doc_id", text_col="text", k=3, threshold=0.5,
-        uncapped_ok=True,
+        max_doc_freq=COMPONENTS_DF_CAP,
     )
     src = docs.select("doc_id", "source")
     jq = F.floor(F.col("jaccard") * F.lit(1000000.0) + F.lit(0.5)).cast(

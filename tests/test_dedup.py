@@ -521,3 +521,44 @@ def test_containment_shares_scale_envelope_and_skew_guard(spark):
     assert capped.filter(
         (F.col("containment") < 0.6) | (F.col("id_a") >= F.col("id_b"))
     ).count() == 0
+
+
+def test_components_df_cap_label_identical_on_fixture(spark):
+    """The registered dedup_components pair source is df-capped
+    (COMPONENTS_DF_CAP) — the 100 TB envelope guard. On the fixtures the
+    cap must be provably inert: max shingle df sits far below the cap, so
+    the capped labels equal the uncapped exact labels (which is why the
+    uncapped recursive-CTE oracle still hash-matches at the driver gate)."""
+    import pyspark.sql.functions as F
+
+    from stupidb_spark.operators.components import connected_components
+    from stupidb_spark.operators.dedup import doc_shingles, jaccard_pairs
+    from stupidb_spark.queryset.dedup import COMPONENTS_DF_CAP
+    from stupidb_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    max_df = (
+        doc_shingles(docs, id_col="doc_id", text_col="text", k=3)
+        .groupBy("shingle")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_df < COMPONENTS_DF_CAP, (
+        f"fixture max shingle df {max_df} reached the cap "
+        f"{COMPONENTS_DF_CAP}; the capped gate queries would diverge from "
+        "their uncapped oracles — regenerated fixture? raise the cap or "
+        "re-adjudicate"
+    )
+
+    def labels(**kw):
+        pairs = jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", k=3, threshold=0.5, **kw
+        )
+        lab = connected_components(
+            pairs, src="id_a", dst="id_b", nodes=docs.select("doc_id")
+        )
+        return sorted(map(tuple, lab.collect()))
+
+    assert labels(max_doc_freq=COMPONENTS_DF_CAP) == labels(uncapped_ok=True)
