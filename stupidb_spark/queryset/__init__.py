@@ -42,6 +42,7 @@ from stupidb_spark.queryset import udaf  # noqa: E402,F401
 from stupidb_spark.queryset import sampling  # noqa: E402,F401
 from stupidb_spark.queryset import prep  # noqa: E402,F401
 from stupidb_spark.queryset import tokenize  # noqa: E402,F401
+from stupidb_spark.queryset import streamgate  # noqa: E402,F401
 
 # Registration priority. The driver's correctness gate records rows for the
 # first N (observed: 50) registered queries, so the first 50 positions below
@@ -51,14 +52,65 @@ from stupidb_spark.queryset import tokenize  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # --- gate slots 1-50 (round-9 rotation; ledger in CHANGELOG.md) ---
+    # --- gate slots 1-50 (ROUND-10 rotation; ledger in CHANGELOG.md) ---
+    # Composition: flagship tpch_q1; the 2 new streaming end-to-end gates
+    # and the 6 round-9 additions (never driver-gated); dedup_components /
+    # dedup_canonical (pair source df-capped this round -> re-gate); the
+    # 27 r7-stale rows owed since round 7; the 3 exact-mode flagship
+    # gates; 9 of the oldest r8 rows. After this round every oracled
+    # query's freshest driver row is r8-r10.
     "tpch_q1",
+    "stream_quality_gate",
+    "stream_knn_label",
+    "text_gopher_rules",
+    "sample_split_leakproof",
+    "emb_kmeans_refine",
+    "dedup_cross_source_matrix",
+    "emb_cov_matrix",
+    "pipeline_training_mix",
+    "dedup_components",
+    "dedup_canonical",
+    "agg_pivot_priority",
+    "agg_pivot_unpivot",
+    "agg_unpivot_measures",
+    "ann_topk_bruteforce",
+    "asof_join_forward",
+    "chunk_documents",
+    "emb_label_centroids",
+    "events_attribution",
+    "events_props_json",
+    "events_props_running",
+    "events_sessionize_window",
+    "fuzzy_match_names",
+    "join_extras",
+    "join_null_safe",
+    "join_skew_replicate",
+    "mixture_epochs",
+    "prep_winsorize",
+    "sample_weighted",
+    "text_fingerprint_md5",
+    "text_fingerprint_rolling",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf_topterm",
+    "text_token_stats",
+    "tpch_q17",
+    "tpch_q18",
     "ann_knn_join_exact",
     "emb_knn_classify_exact",
     "dedup_semantic_exact",
+    "win_navigation",
+    "win_dynamic_frame",
+    "win_whole_partition",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "agg_median_disc",
+    "distinct_rows",
+    "events_sliding",
+    # --- 51+ ---
     "text_nb_lang",
-    "dedup_components",
-    "dedup_canonical",
     "join_theta",
     "join_cross",
     "join_inner_star",
@@ -102,14 +154,8 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q13",
     "tpch_q15",
     "tpch_q10",
-    # --- 51+: recently-gated queries and twins; all still run in
-    # tests/test_oracle_parity.py every session and in the full
-    # stability sweeps. The r7 rows not refreshed above stay within
-    # the r7-r9 window; round 10 owes them next.
     "dedup_ngram_jaccard",
     "dedup_jaccard_capped",
-    "win_navigation",
-    "win_dynamic_frame",
     "pipeline_prep",
     "text_lm_perplexity",
     "text_lm_backoff",
@@ -136,9 +182,6 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q22",
     "batch_shaping",
     "text_rarity_score",
-    "agg_having",
-    "distinct_rows",
-    "events_sliding",
     "join_fact_fact",
     "project_datetime",
     "tpch_q3",
@@ -147,38 +190,7 @@ PRIORITY: tuple[str, ...] = (
     "win_multiple",
     "win_rows_bounded",
     "win_stat_frames",
-    "win_whole_partition",
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "agg_median_disc",
     "sample_group_topk",
-    "tpch_q17",
-    "tpch_q18",
-    "join_skew_replicate",
-    "mixture_epochs",
-    "chunk_documents",
-    "events_props_running",
-    "join_extras",
-    "agg_pivot_unpivot",
-    "prep_winsorize",
-    "fuzzy_match_names",
-    "events_attribution",
-    "events_props_json",
-    "agg_pivot_priority",
-    "agg_unpivot_measures",
-    "join_null_safe",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint_md5",
-    "text_repetition",
-    "text_tfidf_topterm",
-    "events_sessionize_window",
-    "asof_join_forward",
-    "text_fingerprint_rolling",
-    "emb_label_centroids",
-    "sample_weighted",
-    "ann_topk_bruteforce",
     "agg_approx_sketch",
     "ann_topk_pq",
     "ann_topk_ivfpq",
@@ -199,13 +211,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_semantic",
     "dedup_ingest_candidates",
     "emb_pca_project",
-    # round-9 additions (oracled; rotate forward with the r7 cohort in r10)
-    "text_gopher_rules",
-    "sample_split_leakproof",
-    "emb_kmeans_refine",
-    "dedup_cross_source_matrix",
-    "emb_cov_matrix",
-    "pipeline_training_mix",
+    "ann_knn_join",
+    "emb_knn_classify",
+    "tok_bpe_merges",
+    "tok_bpe_encode",
 )
 
 

@@ -1,0 +1,190 @@
+"""Oracled STREAMING queries — the stream==batch==oracle end-to-end gates.
+
+The events queries gate the batch twins of the streaming window operators;
+these two go further: each registered callable RUNS a real Structured
+Streaming job (file source staged into multiple files, one micro-batch per
+file, ``availableNow`` trigger, idempotent ``foreachBatch`` parquet sink —
+``streaming/events.py::run_to_parquet_idempotent``) and returns the
+READ-BACK of what the stream wrote. Because the transforms are stateless
+per-row Column/Arrow expressions, the set of rows the stream produces is
+deterministic regardless of how the files batch, so the driver's DuckDB
+hash comparison holds end-to-end: a green row proves the streaming source,
+the per-batch plan, the exactly-once sink, AND the arithmetic all at once.
+
+Scratch layout: one directory per (query, fixture), wiped at the START of
+each invocation and left on disk afterwards — the returned DataFrame reads
+the written parquet lazily, so cleanup must not race the driver's collect.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupidb_spark.functions import exact as X
+from stupidb_spark.queryset import q
+from stupidb_spark.queryset.sampling import _SA, _SC, _SM
+from stupidb_spark.queryset.similarity import _sql_emb_norm_cte, _sql_qcos_pair
+from stupidb_spark.queryset.text import _duck_score, _duck_words, _DUCK_WTOKS
+from stupidb_spark.sources import load_table
+from stupidb_spark.streaming.events import run_to_parquet_idempotent
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "stream_gate",
+)
+
+# Stage the fixture into this many files; with maxFilesPerTrigger=1 the
+# stream runs one micro-batch per file, so the gate genuinely exercises
+# multi-batch append semantics, not a single-batch degenerate run.
+_N_INGEST_FILES = 3
+
+
+def _run_staged_stream(
+    name: str,
+    sf_dir: str,
+    staged: DataFrame,
+    build,
+    stream_reader,
+) -> DataFrame:
+    """Stage ``staged`` as parquet files, run ``build(stream)`` to the
+    idempotent parquet sink, return the read-back (minus the sink's
+    ``batch_id`` partition column)."""
+    spark = staged.sparkSession
+    root = os.path.join(
+        _SCRATCH, f"{name}-{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ingest = os.path.join(root, "ingest")
+    staged.repartition(_N_INGEST_FILES).write.parquet(ingest)
+    stream = stream_reader(spark, ingest, max_files_per_trigger=1)
+    out = os.path.join(root, "out")
+    run_to_parquet_idempotent(
+        build(stream), out, checkpoint_dir=os.path.join(root, "ck")
+    )
+    return spark.read.parquet(out).drop("batch_id")
+
+
+@q(
+    "stream_quality_gate",
+    f"""
+    -- Read-back of the ingest-time quality gate STREAM: Gopher quality
+    -- signals + leakage-safe grouped split per streamed document. The
+    -- transforms are stateless, so the stream's multi-batch output is
+    -- set-equal to this one batch expression over the same documents.
+    WITH m AS (
+        SELECT doc_id, source,
+               len({_DUCK_WTOKS}) AS n_words,
+               CAST(list_sum(list_transform({_DUCK_WTOKS},
+                    t -> length(t))) AS BIGINT) AS sum_wlen,
+               len(list_filter({_DUCK_WTOKS},
+                    t -> regexp_matches(lower(t), '[a-z]'))) AS n_alpha,
+               len({_duck_words()}) AS n_aw,
+               len(list_distinct({_duck_words()})) AS n_dw,
+               {_duck_score('en')} AS n_stop,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+        FROM documents
+    )
+    SELECT doc_id, source,
+           (n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+            AND 5 * n_alpha >= 4 * n_words
+            AND 10 * n_sym < n_words
+            AND n_stop >= 2
+            AND 5 * n_dw >= n_aw)                              AS passes_gopher,
+           n_words, n_stop,
+           CASE WHEN (CAST(substr(source, 4) AS BIGINT) * {_SA} + {_SC}) % {_SM} < 800 THEN 'train'
+                WHEN (CAST(substr(source, 4) AS BIGINT) * {_SA} + {_SC}) % {_SM} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM m
+    """,
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_gated_stream end-to-end: documents staged as 3 parquet
+    files → file-source stream (one micro-batch each) → Gopher signals +
+    grouped split → idempotent parquet sink → read-back. Uses the portable
+    LCG split (the ``sample_split_leakproof`` construction) so the oracle
+    replays the split bit-identically; the xxhash64 default is pinned
+    stream==batch in tests/test_streaming.py."""
+    from stupidb_spark.streaming.documents import (
+        quality_gated_stream,
+        stream_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("long")
+    h = F.pmod(src_num * _SA + _SC, F.lit(_SM))
+    portable_split = (
+        F.when(h < 800, F.lit("train"))
+        .when(h < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return _run_staged_stream(
+        "stream_quality_gate",
+        sf_dir,
+        docs,
+        lambda s: quality_gated_stream(s, split_expr=portable_split),
+        stream_documents,
+    )
+
+
+@q(
+    "stream_knn_label",
+    f"""
+    -- Read-back of the ingest-time kNN labeling STREAM: every streamed
+    -- vector (vec_id % 5 = 0) labeled by majority vote of its 5 nearest
+    -- labeled reference vectors (vec_id % 5 != 0) on the quantized-cosine
+    -- grid — the emb_knn_classify_exact vote rule, replayed per micro-batch.
+    WITH {_sql_emb_norm_cte()},
+    scored AS (
+        SELECT q.vec_id, b.label,
+               {_sql_qcos_pair()} AS cosine_sim, b.vec_id AS bid
+        FROM (SELECT * FROM e WHERE vec_id % 5 = 0) q
+        JOIN (SELECT * FROM e WHERE vec_id % 5 != 0) b ON TRUE
+    ),
+    ranked AS (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine_sim DESC, bid) AS rk
+        FROM scored
+    ),
+    votes AS (
+        SELECT vec_id, label, CAST(count(*) AS INTEGER) AS n_votes
+        FROM ranked WHERE rk <= 5 GROUP BY vec_id, label
+    ),
+    best AS (
+        SELECT vec_id, label, n_votes,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY n_votes DESC, label) AS r
+        FROM votes
+    )
+    SELECT vec_id, label AS pred_label, n_votes FROM best WHERE r = 1
+    """,
+)
+def stream_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_label_stream end-to-end: unlabeled vectors staged as 3 parquet
+    files → file-source stream → map-only kNN vote against the collected
+    labeled reference (model state rides the UDF closure — zero shuffles,
+    append mode) → idempotent parquet sink → read-back. Same quantized-grid
+    arithmetic and (count DESC, label ASC) vote as emb_knn_classify_exact,
+    now proven through the streaming source and sink too."""
+    from stupidb_spark.streaming.embeddings import (
+        knn_label_stream,
+        stream_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reference = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") % 5 == 0).drop("label")
+    return _run_staged_stream(
+        "stream_knn_label",
+        sf_dir,
+        queries,
+        lambda s: knn_label_stream(s, reference, k_neighbors=5),
+        stream_embeddings,
+    )

@@ -82,6 +82,7 @@ def quality_gated_stream(
     docs_stream: DataFrame,
     *,
     split_fractions: dict[str, float] | None = None,
+    split_expr=None,
 ) -> DataFrame:
     """Ingest-time quality gate + dataset routing: every streamed document
     is tagged with its Gopher-rule quality signals
@@ -94,17 +95,24 @@ def quality_gated_stream(
 
     Both tags are stateless per-row Column expressions — no shuffle, no
     watermark, append mode; at scale this IS the crawl-ingest filter in
-    front of the corpus store. Stream == batch pinned in tests."""
+    front of the corpus store. Stream == batch pinned in tests.
+
+    ``split_expr`` overrides the split tag Column (default:
+    ``split_column("source", fractions)``, xxhash64-based). The oracled
+    gate query injects the portable LCG split here (the
+    ``sample_split_leakproof`` construction) so DuckDB replays the whole
+    stream output bit-identically; production keeps the default."""
     from stupidb_spark.functions.text import gopher_signals
     from stupidb_spark.operators.splits import split_column
 
     fr = split_fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     sig = gopher_signals("text")
+    split = split_expr if split_expr is not None else split_column("source", fr)
     return docs_stream.select(
         "doc_id",
         "source",
         sig["passes_gopher"].alias("passes_gopher"),
         sig["n_words"].alias("n_words"),
         sig["n_stop"].alias("n_stop"),
-        split_column("source", fr).alias("split"),
+        split.alias("split"),
     )
