@@ -133,6 +133,54 @@ def _cpu_ticks() -> tuple[int, int]:
         return 0, 0
 
 
+def _default_quiet_probe() -> tuple[float, float]:
+    """(loadavg-1m, CPU-steal %% over a 1 s window) — the two noise signals
+    the post-run noise block already records, measured BEFORE the run."""
+    load = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
+    s0, t0 = _cpu_ticks()
+    time.sleep(1.0)
+    s1, t1 = _cpu_ticks()
+    return load, 100.0 * (s1 - s0) / max(1, t1 - t0)
+
+
+def wait_for_quiet(
+    max_wait_s: float,
+    *,
+    load_thresh: float = 2.0,
+    steal_thresh: float = 3.0,
+    probe=_default_quiet_probe,
+    sleep=time.sleep,
+    interval_s: float = 15.0,
+) -> dict:
+    """Bounded wait for a quiet host before timing anything.
+
+    Rounds 8 and 9 both stamped a noisy driver record while the quiet
+    number sat in BENCH_LOCAL.json — the keep-the-quiet-record policy
+    worked, but the driver artifact was the pessimistic one. Waiting out
+    transient load (the driver runs the bench right after the correctness
+    gate saturates the box) makes the stamped record the clean one.
+
+    Probes ``probe()`` → (loadavg, steal%%) up to ``max_wait_s`` seconds,
+    sleeping ``interval_s`` between probes; returns as soon as both
+    signals sit under the same thresholds the post-run noise block flags
+    on. NEVER blocks past the bound: a persistently loaded host proceeds
+    noisy-flagged exactly as before. Returns a notes dict for the record.
+    """
+    waited = 0.0
+    load, steal = probe()
+    while (load > load_thresh or steal > steal_thresh) and waited < max_wait_s:
+        step = min(interval_s, max_wait_s - waited)
+        sleep(step)
+        waited += step
+        load, steal = probe()
+    return {
+        "waited_s": round(waited, 1),
+        "quiet_at_start": load <= load_thresh and steal <= steal_thresh,
+        "load_at_start": round(load, 2),
+        "steal_at_start_pct": round(steal, 2),
+    }
+
+
 def resolve_record(
     sf: float | None,
     total: float,
@@ -208,6 +256,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Bounded wait-for-quiet BEFORE the session starts (our own executors
+    # would saturate loadavg). SPARK_GRAFT_BENCH_WAIT_QUIET overrides the
+    # bound in seconds; 0 disables.
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_QUIET", "600"))
+    quiet_wait = wait_for_quiet(max_wait) if max_wait > 0 else None
     spark = get_session("stupidb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -266,6 +319,8 @@ def main() -> None:
         "noisy": (loadavg_start or 0) > 2.0
         or max(steal_pct.values(), default=0.0) > 3.0,
     }
+    if quiet_wait is not None:
+        noise["quiet_wait"] = quiet_wait
     payload = {
         "metric": "headline_queries_total",
         "value": total,

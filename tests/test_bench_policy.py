@@ -100,3 +100,49 @@ def test_redirected_record_still_gets_noisy_protection(tmp_path):
     )
     assert path == str(tmp_path / "BENCH_LOCAL_sf0.01.json")
     assert keep
+
+
+def test_wait_for_quiet_returns_immediately_on_quiet_host():
+    from bench import wait_for_quiet
+
+    calls = []
+    notes = wait_for_quiet(
+        600, probe=lambda: (0.1, 0.0), sleep=lambda s: calls.append(s)
+    )
+    assert notes["quiet_at_start"] and notes["waited_s"] == 0.0
+    assert calls == []
+
+
+def test_wait_for_quiet_waits_out_transient_load():
+    from bench import wait_for_quiet
+
+    # load decays below the threshold on the third probe
+    seq = iter([(5.0, 0.0), (3.0, 0.0), (1.2, 0.5)])
+    slept = []
+    notes = wait_for_quiet(
+        600, probe=lambda: next(seq), sleep=slept.append, interval_s=15.0
+    )
+    assert notes["quiet_at_start"]
+    assert notes["waited_s"] == 30.0 and slept == [15.0, 15.0]
+    assert notes["load_at_start"] == 1.2
+
+
+def test_wait_for_quiet_never_blocks_past_the_bound():
+    from bench import wait_for_quiet
+
+    slept = []
+    notes = wait_for_quiet(
+        40, probe=lambda: (9.0, 8.0), sleep=slept.append, interval_s=15.0
+    )
+    # 15 + 15 + 10 = exactly the bound, then proceed noisy-flagged
+    assert slept == [15.0, 15.0, 10.0]
+    assert notes["waited_s"] == 40.0
+    assert not notes["quiet_at_start"]
+
+
+def test_wait_for_quiet_flags_steal_even_at_low_load():
+    from bench import wait_for_quiet
+
+    notes = wait_for_quiet(0.0, probe=lambda: (0.1, 7.5), sleep=lambda s: None)
+    assert not notes["quiet_at_start"]
+    assert notes["steal_at_start_pct"] == 7.5
