@@ -87,12 +87,15 @@ _SEP = "\x1f"
 # scans at most ``candidates_per_batch × batch_size`` pairs (in selection
 # order) to fill a batch. Part of the algorithm spec — the reference mirror
 # applies the identical cutoff so a pathological all-conflicting prefix
-# degrades both implementations identically. 16 (was 4) because symbol
-# conflicts among the top pairs are the norm, not the exception — adjacent
-# hot pairs share symbols — and a starved pool collapses the effective
-# batch far below ``batch_size``, multiplying the round count the batch
-# exists to cut. The collect stays model-sized (≤ 16·batch rows).
-_CANDIDATES_PER_BATCH = 16
+# degrades both implementations identically. Symbol conflicts among the
+# top pairs are the norm, not the exception — adjacent hot pairs share
+# symbols — and a starved pool collapses the effective batch far below
+# ``batch_size``, multiplying the round count the batch exists to cut.
+# Measured on the Zipf 200k-word corpus at batch 32 (SCALE.md round 10):
+# pool 16/slot filled 19.7/32 (13 rounds), 32/slot 21.3 (12), 64/slot
+# 25.6 (10); 32 is the knee once adaptive growth also widens the pool by
+# growing the cap itself. The collect stays model-sized (≤ 32·cap rows).
+_CANDIDATES_PER_BATCH = 32
 
 _WORD_RE = re.compile(r"[a-z]+")
 
@@ -164,6 +167,31 @@ def _select_batch(
     return chosen
 
 
+def _next_batch_cap(
+    cap: int,
+    selected: int,
+    request: int,
+    adaptive: bool,
+    floor: int,
+    ceiling: int,
+) -> int:
+    """Deterministic adaptive-batch policy, shared verbatim by the Spark
+    trainer and the pure-Python mirror: a round filled to ≥7/8 of its cap
+    doubles it (tail pairs stopped conflicting — requiring a PERFECT fill
+    was measured never to fire on a Zipf corpus, where fill hovers at
+    ~28/32), a round starved under half its cap halves it (hot pairs share
+    symbols), bounded to [``floor``, ``ceiling``]. Depends only on the
+    selected batch itself, so both implementations walk identical cap
+    sequences."""
+    if not adaptive:
+        return cap
+    if selected * 8 >= request * 7 and cap < ceiling:
+        return min(cap * 2, ceiling)
+    if selected * 2 < request:
+        return max(floor, cap // 2)
+    return cap
+
+
 def _apply_batch_expr(syms: Column, rules: dict[str, str]) -> Column:
     """Left-to-right single-pass application of a symbol-disjoint rule set:
     fold each symbol onto an accumulator, replacing the tail pair whenever
@@ -196,8 +224,11 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 64,
     batch_size: int = 1,
+    adaptive_batch: bool = False,
+    max_batch_size: int = 256,
     min_pair_count: int = 2,
     max_doc_bytes: int | None = DOC_BYTES_CAP,
+    stats: dict | None = None,
 ) -> list[BpeMerge]:
     """Learn up to ``n_merges`` BPE merge rules from the corpus.
 
@@ -206,7 +237,27 @@ def bpe_train(
     reaches ``min_pair_count``. ``batch_size=1`` is classic sequential
     BPE; larger batches trade the bounded deviation documented in the
     module docstring for ``batch``-fold fewer rounds.
+
+    ``adaptive_batch=True`` additionally GROWS the per-round batch cap
+    (doubling up to ``max_batch_size``) whenever a round's batch filled
+    completely, and halves it (never below ``batch_size``) when symbol
+    conflicts starved the round under half its cap. Early hot rounds —
+    where top pairs share symbols and big simultaneous batches both starve
+    and deviate most — stay near ``batch_size``; tail rounds, where a
+    large-``n_merges`` run spends nearly all its time and top pairs are
+    naturally disjoint, converge to ``max_batch_size``, amortizing the
+    ~0.7 s/round driver latency floor (SCALE.md round-9) across up to
+    ``max_batch_size`` merges. The policy is deterministic driver
+    arithmetic on the selected batch itself, replicated exactly by
+    :func:`bpe_train_reference` — merge-sequence differentials hold at any
+    (batch_size, adaptive) setting.
+
+    ``stats`` (optional dict) is filled with round accounting:
+    ``rounds`` / ``delta_rounds`` / ``recount_rounds`` / ``batch_sizes``.
     """
+    if stats is None:
+        stats = {}
+    stats.update(rounds=0, delta_rounds=0, recount_rounds=0, batch_sizes=[])
     if n_merges < 1:
         return []
     vocab = _word_counts(
@@ -258,26 +309,34 @@ def bpe_train(
     pair_counts = cut_lineage(pairs_of(vocab, "syms", +1), eager=False)
 
     merges: list[BpeMerge] = []
-    collect_k = max(16, _CANDIDATES_PER_BATCH * batch_size)
+    cap = batch_size
     while len(merges) < n_merges:
+        collect_k = max(16, _CANDIDATES_PER_BATCH * cap)
         # TakeOrdered top-K — the round's ONE scan action; it also
         # materializes the previous round's lazy checkpoints.
         top = pair_counts.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).take(
             collect_k
         )
+        request = min(cap, n_merges - len(merges))
         batch = _select_batch(
             top,
-            batch_size=min(batch_size, n_merges - len(merges)),
+            batch_size=request,
             min_pair_count=min_pair_count,
         )
         if not batch:
             break
         for a, b, merged, c in batch:
             merges.append(BpeMerge(len(merges), a, b, merged, c))
+        cap = _next_batch_cap(
+            cap, len(batch), request, adaptive_batch, batch_size, max_batch_size
+        )
+        stats["rounds"] += 1
+        stats["batch_sizes"].append(len(batch))
         rules = {a + _SEP + b: m for a, b, m, _ in batch}
         batch_occ = sum(c for _, _, _, c in batch)
         if batch_occ * _DELTA_FRACTION >= total_wcnt:
             # hot batch — recount is cheaper than a near-total delta
+            stats["recount_rounds"] += 1
             vocab = cut_lineage(
                 vocab.select(
                     "w",
@@ -290,6 +349,7 @@ def bpe_train(
             continue
         # tail batch — one fold pass computes the rewritten symbols; the
         # delta and the next round's vocab both read it, so cut it once.
+        stats["delta_rounds"] += 1
         stepped = cut_lineage(
             vocab.select(
                 "w",
@@ -404,12 +464,14 @@ def bpe_train_reference(
     *,
     n_merges: int = 64,
     batch_size: int = 1,
+    adaptive_batch: bool = False,
+    max_batch_size: int = 256,
     min_pair_count: int = 2,
 ) -> tuple[list[BpeMerge], dict[str, list[str]]]:
     """Driver-side mirror of :func:`bpe_train`: identical tokenization,
     counting, ``(count DESC, left, right)`` selection order, candidate
-    cutoff, disjoint-batch rule, and left-to-right fold application.
-    Returns ``(merges, final word→symbols state)``."""
+    cutoff, disjoint-batch rule, adaptive-cap policy, and left-to-right
+    fold application. Returns ``(merges, final word→symbols state)``."""
     counts: dict[str, int] = {}
     for t in texts:
         for w in _WORD_RE.findall((t or "").lower()):
@@ -417,8 +479,9 @@ def bpe_train_reference(
     state = {w: list(w) + [END_OF_WORD] for w in counts}
 
     merges: list[BpeMerge] = []
-    collect_k = max(16, _CANDIDATES_PER_BATCH * batch_size)
+    cap = batch_size
     while len(merges) < n_merges:
+        collect_k = max(16, _CANDIDATES_PER_BATCH * cap)
         pair_counts: dict[tuple[str, str], int] = {}
         for w, syms in state.items():
             c = counts[w]
@@ -428,13 +491,17 @@ def bpe_train_reference(
         top = sorted(
             pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )[:collect_k]
+        request = min(cap, n_merges - len(merges))
         batch = _select_batch(
             [{"a": a, "b": b, "c": c} for (a, b), c in top],
-            batch_size=min(batch_size, n_merges - len(merges)),
+            batch_size=request,
             min_pair_count=min_pair_count,
         )
         if not batch:
             break
+        cap = _next_batch_cap(
+            cap, len(batch), request, adaptive_batch, batch_size, max_batch_size
+        )
         for a, b, merged, c in batch:
             merges.append(BpeMerge(len(merges), a, b, merged, c))
         rules = {(a, b): m for a, b, m, _ in batch}

@@ -178,3 +178,73 @@ def test_merges_roundtrip_through_parquet(spark, corpus, tmp_path):
     a = bpe_encode(corpus, merges).orderBy("doc_id").collect()
     b = bpe_encode(corpus, loaded).orderBy("doc_id").collect()
     assert [r.tokens for r in a] == [r.tokens for r in b]
+
+
+# Skewed corpus: one dominant word carrying most of the weighted count plus
+# a long tail of distinct rare words. Early rounds merge inside the hot
+# word (recount branch); once it is fully merged, every batch is tail-rare
+# (batch_occ * 8 < total_wcnt), provably driving the DELTA maintenance
+# branch — the path the round-9 suite never entered (every fixture batch
+# satisfied the recount predicate).
+SKEWED_TEXTS = ["zazb " * 400] + [
+    f"q{chr(97 + i % 26)}{chr(97 + (i * 7) % 26)}{chr(97 + (i * 13) % 26)}x"
+    for i in range(120)
+]
+
+
+def test_delta_branch_matches_reference(spark):
+    """The delta pair-count maintenance path must be exercised AND
+    value-identical to the full-recount mirror (ADVICE r9: the fixture
+    corpora never entered it)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SKEWED_TEXTS)], "doc_id long, text string"
+    )
+    stats: dict = {}
+    got = bpe_train(df, n_merges=24, batch_size=2, min_pair_count=2, stats=stats)
+    assert stats["delta_rounds"] >= 3, (
+        f"skewed corpus failed to drive the delta branch: {stats}"
+    )
+    assert stats["recount_rounds"] >= 1, (
+        f"hot head should recount at least once: {stats}"
+    )
+    want, _ = bpe_train_reference(SKEWED_TEXTS, n_merges=24, batch_size=2)
+    assert [
+        (m.rank, m.left, m.right, m.merged, m.pair_count) for m in got
+    ] == [(m.rank, m.left, m.right, m.merged, m.pair_count) for m in want]
+
+
+def test_adaptive_batch_matches_reference_and_cuts_rounds(spark):
+    """adaptive_batch=True must (a) reproduce the mirror's merge sequence
+    exactly — the policy is deterministic and shared — and (b) reach the
+    same merge count in at least 2x fewer rounds than the fixed batch size
+    once tail batches stop conflicting."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SKEWED_TEXTS)], "doc_id long, text string"
+    )
+    fixed_stats: dict = {}
+    bpe_train(df, n_merges=48, batch_size=2, min_pair_count=2, stats=fixed_stats)
+
+    ad_stats: dict = {}
+    got = bpe_train(
+        df,
+        n_merges=48,
+        batch_size=2,
+        adaptive_batch=True,
+        min_pair_count=2,
+        stats=ad_stats,
+    )
+    want, _ = bpe_train_reference(
+        SKEWED_TEXTS, n_merges=48, batch_size=2, adaptive_batch=True
+    )
+    assert [
+        (m.rank, m.left, m.right, m.merged, m.pair_count) for m in got
+    ] == [(m.rank, m.left, m.right, m.merged, m.pair_count) for m in want]
+    assert len(got) == 48
+    assert ad_stats["rounds"] * 2 <= fixed_stats["rounds"], (
+        f"adaptive {ad_stats['rounds']} rounds vs fixed "
+        f"{fixed_stats['rounds']} — growth never engaged: "
+        f"{ad_stats['batch_sizes']}"
+    )
+    # growth is monotone-capped and halves under starvation — the cap walk
+    # must stay within [batch_size, max_batch_size]
+    assert max(ad_stats["batch_sizes"]) > 2
