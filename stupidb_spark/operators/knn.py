@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 
 from stupidb_spark.operators.dedup import corpus_join_strategy, spread_small_scan
 from stupidb_spark.operators.lineage import cut_lineage
-from stupidb_spark.operators.ivf import _normalize, ivf_index, ivf_train
+from stupidb_spark.operators.ivf import (
+    _normalize,
+    ivf_index,
+    ivf_refine,
+    ivf_train,
+)
 from stupidb_spark.operators.similarity import (
     QUANT_SCALE,
     _qdot,
@@ -77,6 +82,7 @@ def knn_join(
     n_train: int = 4096,
     max_block: int = 2048,
     target_occupancy: int = 250,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """For each query row, its ``k_neighbors`` nearest base rows by
     quantized cosine. ``queries=None`` is the self-join (each vector's
@@ -99,6 +105,13 @@ def knn_join(
     ``n_train`` alongside. Passing ``n_cells`` explicitly overrides the
     rule (small fixtures, recall experiments) and is the caller's
     assertion that the fixed count is safe at their scale.
+
+    ``refine_iters=N`` runs N corpus-scale Lloyd passes
+    (:func:`~stupidb_spark.operators.ivf.ivf_refine`) after the sample
+    training — the repair for ingest-order sample bias (a cluster-ordered
+    corpus measured 0.911 → 1.000 recall with ONE pass, SCALE.md round 9).
+    Cost: one extra corpus map + a k×dim-bounded shuffle per pass.
+    Default 0 keeps the registered queries' plans and bench continuity.
     """
     self_join = queries is None
     if n_cells is None:
@@ -109,6 +122,11 @@ def knn_join(
         base, id_col=id_col, vec_col=vec_col, k=n_cells, iters=iters,
         n_train=n_train,
     )
+    if refine_iters > 0:
+        centroids = ivf_refine(
+            base, centroids, id_col=id_col, vec_col=vec_col,
+            iters=refine_iters,
+        )
     C = _normalize(centroids.astype(np.float64))
 
     indexed = ivf_index(base, centroids, id_col=id_col, vec_col=vec_col)

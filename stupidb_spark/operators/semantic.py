@@ -35,7 +35,7 @@ import pandas as pd
 
 from stupidb_spark.operators.dedup import corpus_join_strategy, spread_small_scan
 from stupidb_spark.operators.lineage import cut_lineage
-from stupidb_spark.operators.ivf import ivf_index, ivf_train
+from stupidb_spark.operators.ivf import ivf_index, ivf_refine, ivf_train
 from stupidb_spark.operators.components import connected_components
 from stupidb_spark.operators.similarity import (
     QUANT_SCALE,
@@ -99,6 +99,7 @@ def semantic_dedup(
     max_block: int = 2048,
     centroids: np.ndarray | None = None,
     assign: str = "float",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """One row per input vector: ``(id, cell, component, centroid_sim,
     keep)``.
@@ -122,6 +123,14 @@ def semantic_dedup(
     (assignment, pairs, centroid_sim, components, keep) is an identical
     deterministic op on any engine, which is what makes the
     ``dedup_semantic_exact`` DuckDB oracle possible.
+
+    ``refine_iters=N`` runs N corpus-scale Lloyd passes
+    (:func:`~stupidb_spark.operators.ivf.ivf_refine`) after the sample
+    training — the ingest-order sample-bias repair (SCALE.md round 9).
+    Better cell boundaries mean fewer true near-dup pairs straddling a
+    cell fence, the blocked form's one recall hazard. Only applies when
+    the quantizer is trained here (``centroids=None``); default 0 for
+    plan/bench continuity.
     """
     spark = df.sparkSession
     if centroids is None:
@@ -129,6 +138,11 @@ def semantic_dedup(
             df, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
             n_train=n_train,
         )
+        if refine_iters > 0:
+            centroids = ivf_refine(
+                df, centroids, id_col=id_col, vec_col=vec_col,
+                iters=refine_iters,
+            )
     # (neighbor_id, b_vec, cell) — map-only assignment pass. THREE subtrees
     # consume it (centroid scoring, the within-cell pair scorer, the
     # component node universe); without a cut each one re-reads the source

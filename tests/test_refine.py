@@ -155,3 +155,48 @@ def test_refine_assignment_udf_below_the_explode(spark):
     gen = next(i for i, l in enumerate(lines) if "Generate posexplode" in l)
     udf = next(i for i, l in enumerate(lines) if "ArrowEvalPython" in l)
     assert udf > gen, "assignment UDF must sit below the explode"
+
+
+def test_knn_join_refine_iters_reaches_full_recall(spark):
+    """The auto-refine hook on the registered operator: knn_join with a
+    biased bounded sample (cluster-ordered corpus, n_train=100 covers ~2
+    of 40 clusters) loses recall at tight pruning; refine_iters=N — N
+    corpus-scale Lloyd passes inside the same operator call — repairs it
+    (seeded: 0.969 → 0.992 → 0.9998). Default refine_iters=0 keeps the
+    old plan exactly."""
+    import numpy as np
+
+    from stupidb_spark.operators.knn import knn_join, knn_join_reference
+
+    rng = np.random.RandomState(11)
+    k_clusters, per, dim = 40, 50, 32
+    centers = rng.randn(k_clusters, dim) * 4
+    X = np.concatenate(
+        [centers[j] + 0.5 * rng.randn(per, dim) for j in range(k_clusters)]
+    )
+    ids = np.arange(len(X))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    want = {
+        (q, n)
+        for (q, _, n, _) in knn_join_reference(
+            ids, X, ids, X, k_neighbors=5, self_join=True
+        )
+    }
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_join(
+                df, k_neighbors=5, n_cells=16, n_probe=2, n_train=100, **kw
+            ).collect()
+        }
+        return len(got & want) / len(want)
+
+    # seeded values: 0.9693 baseline, 0.9919 one pass, 0.9998 two passes
+    assert recall() < 0.98, "biased sample should measurably hurt"
+    assert recall(refine_iters=1) >= 0.99
+    assert recall(refine_iters=2) >= 0.999
+    df.unpersist()
