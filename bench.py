@@ -111,6 +111,11 @@ HEADLINE = [
     "emb_kmeans_refine",
     "emb_cov_matrix",
     "pipeline_training_mix",
+    # the streaming end-to-end gates run a REAL availableNow stream inside
+    # the callable (stage -> micro-batches -> idempotent sink -> read-back),
+    # so their bench rows time the streaming source+sink machinery itself
+    "stream_quality_gate",
+    "stream_knn_label",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.
