@@ -14,6 +14,9 @@ the per-batch plan, the exactly-once sink, AND the arithmetic all at once.
 Scratch layout: one directory per (query, fixture), wiped at the START of
 each invocation and left on disk afterwards — the returned DataFrame reads
 the written parquet lazily, so cleanup must not race the driver's collect.
+(Single-writer assumption: two processes running the SAME gate query on
+the SAME fixture concurrently would race on this directory; the driver,
+pytest, and the bench all run queries sequentially within a fixture.)
 """
 
 from __future__ import annotations
