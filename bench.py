@@ -266,6 +266,11 @@ def main() -> None:
     # bound in seconds; 0 disables.
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_QUIET", "600"))
     quiet_wait = wait_for_quiet(max_wait) if max_wait > 0 else None
+    # FOREIGN-load sample, taken strictly BEFORE our session exists: once
+    # the warmups saturate local[32], 1-min loadavg reads our own work and
+    # a genuinely idle box self-flags noisy (observed: wait-for-quiet
+    # passed at load 1.5, post-warmup read 2.85 → spurious noisy flag).
+    loadavg_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     spark = get_session("stupidb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -287,32 +292,44 @@ def main() -> None:
     from stupidb_spark.plans import exchange_count
 
     # Noise self-description: loadavg at start (foreign processes before we
-    # saturate the box ourselves) + per-query CPU-steal percentage. A run
-    # taken on a loaded host flags itself instead of reading as a code
-    # regression (the r3 driver bench was 3× a quiet run of the same commit).
-    loadavg_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+    # saturate the box ourselves — sampled above, pre-session) + per-query
+    # CPU-steal percentage. A run taken on a loaded host flags itself
+    # instead of reading as a code regression (the r3 driver bench was 3×
+    # a quiet run of the same commit).
     timings: dict[str, float] = {}
     exchanges: dict[str, int] = {}
     steal_pct: dict[str, float] = {}
+    # SPARK_GRAFT_BENCH_PASSES=N sweeps the whole headline N times and takes
+    # the per-query min ACROSS passes (same tree by construction — this is
+    # per-query best-of-N, not the round-6 stale-record hazard, which was a
+    # fast record from an OLDER code tree). Slow environment drift between
+    # single runs measured a uniform ~1.13× median swing on identical plans;
+    # multiple interleaved passes sample past it. Default 1 keeps the
+    # driver's bench cost unchanged.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
+    for _pass in range(passes):
+        for name in HEADLINE:
+            samples = []
+            s0, t0 = _cpu_ticks()
+            for _ in range(2):
+                start = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - start)
+            s1, t1 = _cpu_ticks()
+            q_steal = 100.0 * (s1 - s0) / max(1, t1 - t0)
+            # host CPU-steal on this box swings identical plans up to ~2×;
+            # when the two samples disagree by >1.5×, or the hypervisor
+            # stole >3% of the window's CPU, the measurement is suspect —
+            # buy ONE more sample for that query only (bounded extra cost)
+            if max(samples) > 1.5 * min(samples) or q_steal > 3.0:
+                start = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - start)
+            best = round(min(samples), 3)
+            if name not in timings or best < timings[name]:
+                timings[name] = best
+            steal_pct[name] = max(steal_pct.get(name, 0.0), round(q_steal, 2))
     for name in HEADLINE:
-        samples = []
-        s0, t0 = _cpu_ticks()
-        for _ in range(2):
-            start = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - start)
-        s1, t1 = _cpu_ticks()
-        q_steal = 100.0 * (s1 - s0) / max(1, t1 - t0)
-        # host CPU-steal on this box swings identical plans up to ~2×; when
-        # the two samples disagree by >1.5×, or the hypervisor stole >3% of
-        # the window's CPU, the measurement is suspect — buy ONE more sample
-        # for that query only (bounded extra cost)
-        if max(samples) > 1.5 * min(samples) or q_steal > 3.0:
-            start = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - start)
-        timings[name] = round(min(samples), 3)
-        steal_pct[name] = round(q_steal, 2)
         exchanges[name] = exchange_count(QUERIES[name](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
