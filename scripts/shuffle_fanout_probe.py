@@ -34,6 +34,10 @@ os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 QUERIES_TO_RUN = [
     "dedup_components",
+    "dedup_canonical",
+    "stream_quality_gate",
+    "stream_knn_label",
+    "pipeline_training_mix",
     "ann_knn_join",
     "dedup_semantic",
     "dedup_ingest_candidates",
