@@ -110,6 +110,16 @@ PRIORITY: tuple[str, ...] = (
     "distinct_rows",
     "events_sliding",
     # --- 51+ ---
+    # Rotation ledger: after the round-10 gate stamps, the oldest driver
+    # rows are exactly these 37 r8-stale oracled queries — round 11 owes
+    # them (+13 fill from the flagship/exact set): asof_join_orders,
+    # batch_shaping, contamination_ngram, dedup_containment,
+    # dedup_embedding_cosine, dedup_jaccard_capped, dedup_ngram_jaccard,
+    # join_fact_fact, pack_sequences, pipeline_prep, project_datetime,
+    # sample_group_topk, sample_stratified, text_dup_spans, text_entropy,
+    # text_lm_backoff, text_lm_perplexity, text_rarity_score,
+    # text_strip_dup_spans, tpch_q2-q8 (6), tpch_q11/q12/q14/q16/q19-q22,
+    # win_multiple, win_rows_bounded, win_stat_frames.
     "text_nb_lang",
     "join_theta",
     "join_cross",

@@ -420,3 +420,27 @@ def test_quality_gated_stream_equals_batch(spark):
         _assert_same(got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_gate_queries_run_multiple_microbatches(spark):
+    """The registered streaming gates claim end-to-end multi-batch
+    semantics (3 staged files, maxFilesPerTrigger=1). Pin it: the
+    idempotent sink's batch_id partitioning must show >= 2 distinct
+    micro-batches, and their union must equal the gate's returned rows."""
+    import os
+
+    from stupidb_spark.queryset import QUERIES
+    from stupidb_spark.queryset.streamgate import _SCRATCH
+    from tests.conftest import SF_DIR
+
+    for name in ("stream_quality_gate", "stream_knn_label"):
+        out_rows = QUERIES[name](spark, SF_DIR).count()
+        out_dir = os.path.join(
+            _SCRATCH, f"{name}-{os.path.basename(SF_DIR)}", "out"
+        )
+        raw = spark.read.parquet(out_dir)
+        batches = [r.batch_id for r in raw.select("batch_id").distinct().collect()]
+        assert len(batches) >= 2, (
+            f"{name}: expected multiple micro-batches, got {batches}"
+        )
+        assert raw.count() == out_rows
