@@ -263,8 +263,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     # Bounded wait-for-quiet BEFORE the session starts (our own executors
     # would saturate loadavg). SPARK_GRAFT_BENCH_WAIT_QUIET overrides the
-    # bound in seconds; 0 disables.
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_QUIET", "600"))
+    # bound in seconds; 0 disables. Default 240 s: 1-min loadavg decays
+    # e-fold per minute, so even a fully saturated box (load ~30) reads
+    # under the 2.0 threshold within ~3 min of going idle — while keeping
+    # the worst-case addition to a driver-invoked bench run small.
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_QUIET", "240"))
     quiet_wait = wait_for_quiet(max_wait) if max_wait > 0 else None
     # FOREIGN-load sample, taken strictly BEFORE our session exists: once
     # the warmups saturate local[32], 1-min loadavg reads our own work and
