@@ -2,7 +2,7 @@
 """Driver-style correctness gate rehearsal: run the first N registered
 queries against their DuckDB oracles at sf0.01 and report row/hash matches.
 
-Usage: python scripts/gate_check.py [N] [sf_dir] [--repeat R] [--only name,...]
+Usage: python scripts/gate_check.py [N] [sf_dir] [--repeat R] [--only name,...] [--vanilla]
 
 --repeat R re-executes each Spark query R times and diffs the value hashes
 between runs: a query whose hash varies across runs is nondeterministic
@@ -71,6 +71,9 @@ def main() -> int:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
     # "all" sweeps the ENTIRE registry — use it for the stability sweep so
     # the count can never be hand-miscounted (r4 swept 122 of 123 queries).
     n = None if argv and argv[0] == "all" else (int(argv[0]) if argv else 50)
@@ -87,7 +90,21 @@ def main() -> int:
     from stupidb_spark.queryset import ORACLES, QUERIES
     from stupidb_spark.session import get_session
 
-    spark = get_session("gate-check")
+    if vanilla:
+        # Driver-faithful mode: the driver does NOT apply our session
+        # configs (UTC timezone, Arrow, shuffle partitions, tiny
+        # maxPartitionBytes...) — this is the seam that breaks first
+        # (.claude/skills/verify/SKILL.md). --vanilla rehearses with a
+        # bare builder exactly like the driver's session.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(f"local[{os.cpu_count()}]")
+            .appName("gate-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session("gate-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
