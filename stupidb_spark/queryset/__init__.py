@@ -202,6 +202,7 @@ PRIORITY: tuple[str, ...] = (
     "win_stat_frames",
     "sample_group_topk",
     "agg_approx_sketch",
+    "agg_sketch_rollup",
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "multimodal_decode",

@@ -100,3 +100,36 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@q("agg_sketch_rollup")  # mergeable sketch blobs — no SQL oracle (DuckDB's
+# HLL internals differ by construction); the two laws that make the pattern
+# trustworthy (blob determinism under any partitioning; union-of-buckets ==
+# sketch-of-union EXACTLY; estimate error bound vs exact) are pinned in
+# tests/test_udaf.py
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregated sketch-TABLE pattern (operators/sketches.py):
+    events roll up once into per-(event_type, day) HLL sketch blobs — the
+    kilobyte-rows relation a pipeline persists — and every distinct-user
+    question thereafter is a merge over blobs, never a rescan: here the
+    per-event_type rollup across all days plus the global row, in one
+    output. At 100 TB the raw scan happens once; "distinct users in any
+    bucket combination" becomes a metadata-scale aggregate, the
+    hypertable / continuous-aggregate rollup expressed as ordinary
+    DataFrames."""
+    from stupidb_spark.operators.sketches import sketch_rollup, sketch_table
+    from stupidb_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    sketches = sketch_table(
+        events,
+        ["event_type", F.to_date("ts").alias("day")],
+        "user_id",
+    )
+    per_type = sketch_rollup(sketches, ["event_type"]).select(
+        F.col("event_type").alias("scope"), "n_rows", "distinct_est"
+    )
+    overall = sketch_rollup(sketches, []).select(
+        F.lit("ALL").alias("scope"), "n_rows", "distinct_est"
+    )
+    return per_type.unionByName(overall)

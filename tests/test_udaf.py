@@ -101,3 +101,57 @@ def test_approx_sketch_error_bounds(spark):
         e = exact[flag]
         assert abs(a.approx_parts - e.n_parts) <= max(0.05 * e.n_parts, 2.0)
         assert e.p45 <= a.approx_median_price <= e.p55
+
+
+def test_sketch_table_laws(spark):
+    """The three laws that make the sketch-table pattern trustworthy:
+    (1) estimate determinism — a sketch's registers are a max-merge over
+    item hashes, so every ESTIMATE is identical under any partitioning /
+    insertion order (the serialized blob itself may differ while sparse:
+    DataSketches keeps an order-dependent coupon list until dense
+    promotion, so blobs are NOT the comparable unit — estimates are);
+    (2) merge exactness — the union of per-bucket sketches estimates
+    exactly what the sketch of the unioned data estimates, so a persisted
+    rollup never drifts from a rescan; (3) the estimate error vs exact
+    distinct stays inside the standard HLL bound for lg_k=12."""
+    import pyspark.sql.functions as F
+
+    from stupidb_spark.operators.sketches import sketch_rollup, sketch_table
+    from stupidb_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    buckets = ["event_type", F.to_date("ts").alias("day")]
+
+    # (1) estimate determinism under different partitionings
+    def ests(df):
+        return sorted(
+            (r.event_type, str(r.day), int(r.est), int(r.n_rows))
+            for r in sketch_table(df, buckets, "user_id")
+            .withColumn("est", F.hll_sketch_estimate("sk"))
+            .collect()
+        )
+
+    assert ests(events) == ests(events.repartition(7, "user_id"))
+
+    # (2) union-of-buckets == sketch-of-union, exactly
+    sketches = sketch_table(events, buckets, "user_id")
+    merged = sketch_rollup(sketches, []).first()
+    direct = events.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("est")
+    ).first()
+    assert merged.distinct_est == direct.est
+
+    # (3) estimate within the HLL error envelope of the exact count
+    exact = events.select("user_id").distinct().count()
+    assert abs(merged.distinct_est - exact) / exact < 0.05
+    assert merged.n_rows == events.count()
+
+    # per-type rollup covers every type and sums to the full row count
+    per_type = sketch_rollup(sketches, ["event_type"])
+    assert per_type.count() == events.select("event_type").distinct().count()
+    assert (
+        per_type.agg(F.sum("n_rows")).first()[0] == events.count()
+    )
