@@ -155,3 +155,33 @@ def test_sketch_table_laws(spark):
     assert (
         per_type.agg(F.sum("n_rows")).first()[0] == events.count()
     )
+
+
+def test_sketch_table_persists_and_rolls_up_from_parquet(spark, tmp_path):
+    """The pattern's whole point: the sketch table is PERSISTED once
+    (parquet with a binary column) and later rollups read blobs, not
+    events. Round-trip through parquet must preserve every estimate and
+    the global merge."""
+    import pyspark.sql.functions as F
+
+    from stupidb_spark.operators.sketches import sketch_rollup, sketch_table
+    from stupidb_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    sketches = sketch_table(
+        events, ["event_type", F.to_date("ts").alias("day")], "user_id"
+    )
+    path = str(tmp_path / "sketches")
+    sketches.write.parquet(path)
+    back = spark.read.parquet(path)
+
+    want = sorted(
+        map(tuple, sketch_rollup(sketches, ["event_type"]).collect())
+    )
+    got = sorted(map(tuple, sketch_rollup(back, ["event_type"]).collect()))
+    assert got == want
+    assert (
+        sketch_rollup(back, []).first().distinct_est
+        == sketch_rollup(sketches, []).first().distinct_est
+    )
