@@ -111,6 +111,7 @@ HEADLINE = [
     "emb_kmeans_refine",
     "emb_cov_matrix",
     "pipeline_training_mix",
+    "agg_sketch_rollup",
     # the streaming end-to-end gates run a REAL availableNow stream inside
     # the callable (stage -> micro-batches -> idempotent sink -> read-back),
     # so their bench rows time the streaming source+sink machinery itself
