@@ -239,8 +239,8 @@ def bpe_train(
     module docstring for ``batch``-fold fewer rounds.
 
     ``adaptive_batch=True`` additionally GROWS the per-round batch cap
-    (doubling up to ``max_batch_size``) whenever a round's batch filled
-    completely, and halves it (never below ``batch_size``) when symbol
+    (doubling up to ``max_batch_size``) whenever a round's batch filled to
+    ≥7/8 of its cap, and halves it (never below ``batch_size``) when symbol
     conflicts starved the round under half its cap. Early hot rounds —
     where top pairs share symbols and big simultaneous batches both starve
     and deviate most — stay near ``batch_size``; tail rounds, where a

@@ -53,9 +53,19 @@ def _already_installed(sc, ckdir: str) -> bool:
     current = sc.getCheckpointDir()
     if not current:
         return False
-    # current = <scheme>:<root>/<uuid>; strip the scheme and the UUID leaf.
-    parent = urlparse(current).path.rstrip("/").rsplit("/", 1)[0]
-    return parent == urlparse(ckdir).path.rstrip("/")
+    # current = <scheme>://<netloc><root>/<uuid>; compare (scheme, netloc,
+    # parent path) — path alone would conflate hdfs://nn/ck/<uuid> with a
+    # configured local /ck (and vice versa), skipping setCheckpointDir and
+    # leaving checkpoints on the wrong filesystem. An unqualified path means
+    # the local filesystem, so empty scheme normalizes to 'file'.
+    cur = urlparse(current)
+    want = urlparse(ckdir)
+    cur_parent = cur.path.rstrip("/").rsplit("/", 1)[0]
+    return (
+        (cur.scheme or "file") == (want.scheme or "file")
+        and cur.netloc == want.netloc
+        and cur_parent == want.path.rstrip("/")
+    )
 
 
 def checkpoint_dir() -> str | None:

@@ -54,6 +54,15 @@ _DUCK_SHINGLES = """
 # pair-score queries (dedup_ngram_jaccard / dedup_containment) stay
 # uncapped on purpose: they ARE the exact-score audit forms, and
 # dedup_jaccard_capped registers the capped scoring semantics.
+#
+# sf1-GATING CONSTRAINT: the cap is inert only while max shingle df < 128,
+# and df grows ~linearly with corpus size on the vocabulary-saturated
+# fixtures (25 at sf0.1 → ~250 at the generated sf1, where the cap
+# genuinely engages). Before oracle-gating these three queries at sf1,
+# either assert max shingle df < COMPONENTS_DF_CAP on that fixture (reuse
+# tests/test_dedup.py::test_components_df_cap_label_identical_on_fixture's
+# probe) or swap in a capped oracle form — the uncapped recursive-CTE
+# oracles would otherwise hash-mismatch by design.
 COMPONENTS_DF_CAP = 128
 
 

@@ -206,3 +206,35 @@ def test_checkpoint_dir_installed_once_per_context(spark, monkeypatch, tmp_path)
     assert set(os.listdir(ckdir)) == roots_after_one, (
         "later cuts reused the installed root instead of minting new ones"
     )
+
+
+def test_already_installed_compares_scheme_and_netloc():
+    """The fallback root comparison must match on (scheme, netloc, parent
+    path), not path alone: a context checkpointing to hdfs://nn/ck/<uuid>
+    is NOT installed for a configured local /ck — skipping setCheckpointDir
+    there would leave checkpoints on the wrong filesystem. Empty scheme
+    means the local filesystem, so it normalizes to 'file'."""
+    from stupidb_spark.operators.lineage import _already_installed
+
+    class FakeSC:
+        def __init__(self, current):
+            self.applicationId = "app-fake-uri-compare"
+            self._current = current
+
+        def getCheckpointDir(self):
+            return self._current
+
+    # same path, different filesystem: NOT installed (both directions)
+    assert not _already_installed(FakeSC("hdfs://nn/ck/uuid-1"), "/ck")
+    assert not _already_installed(FakeSC("file:/ck/uuid-1"), "hdfs://nn/ck")
+    # different netloc on the same scheme: NOT installed
+    assert not _already_installed(
+        FakeSC("hdfs://nn-a/ck/uuid-1"), "hdfs://nn-b/ck"
+    )
+    # matching scheme+netloc+parent: installed, however the local root is
+    # spelled (bare path, file:, or file://)
+    assert _already_installed(FakeSC("file:/ck/uuid-1"), "/ck")
+    assert _already_installed(FakeSC("file:/ck/uuid-1"), "file:///ck")
+    assert _already_installed(
+        FakeSC("hdfs://nn/ck/uuid-1"), "hdfs://nn/ck/"
+    )
