@@ -136,9 +136,10 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "stream_knn_label",
-    f"""
+# Shared by stream_knn_label (closure-reference form) and
+# stream_knn_label_join (stream-static-join form): both must emit exactly
+# the batch-exact 5-NN majority vote, whatever route the labels took.
+_KNN_LABEL_ORACLE = f"""
     -- Read-back of the ingest-time kNN labeling STREAM: every streamed
     -- vector (vec_id % 5 = 0) labeled by majority vote of its 5 nearest
     -- labeled reference vectors (vec_id % 5 != 0) on the quantized-cosine
@@ -167,8 +168,10 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM votes
     )
     SELECT vec_id, label AS pred_label, n_votes FROM best WHERE r = 1
-    """,
-)
+    """
+
+
+@q("stream_knn_label", _KNN_LABEL_ORACLE)
 def stream_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn_label_stream end-to-end: unlabeled vectors staged as 3 parquet
     files → file-source stream → map-only kNN vote against the collected
@@ -189,5 +192,45 @@ def stream_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         queries,
         lambda s: knn_label_stream(s, reference, k_neighbors=5),
+        stream_embeddings,
+    )
+
+
+@q("stream_knn_label_join", _KNN_LABEL_ORACLE)
+def stream_knn_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SCALE labeling route, end-to-end: the batch exact kNN
+    vote (`emb_knn_classify_exact`'s distributed pipeline — nothing
+    collected) is materialized to parquet as the "scheduled batch" output,
+    then the staged vector stream is labeled by a stateless stream-static
+    JOIN against the read-back (``label_stream_by_join``) → idempotent
+    parquet sink → read-back. Same oracle as ``stream_knn_label``: both
+    label routes must emit the identical exact 5-NN majority vote."""
+    from stupidb_spark.queryset.similarity import _knn_classify_pipeline
+    from stupidb_spark.streaming.embeddings import (
+        label_stream_by_join,
+        stream_embeddings,
+    )
+
+    # The "scheduled batch" leg: exact-config kNN vote, persisted. Lives
+    # outside _run_staged_stream's root (which is wiped at stream start);
+    # single-writer per (query, fixture), same contract as the stream root.
+    votes_dir = os.path.join(
+        _SCRATCH,
+        "stream_knn_label_join-votes-"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(votes_dir, ignore_errors=True)
+    _knn_classify_pipeline(spark, sf_dir, n_cells=4, n_probe=4).select(
+        "query_id", "pred_label", F.col("n_votes").cast("int").alias("n_votes")
+    ).write.parquet(votes_dir)
+    votes = spark.read.parquet(votes_dir)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 5 == 0).drop("label")
+    return _run_staged_stream(
+        "stream_knn_label_join",
+        sf_dir,
+        queries,
+        lambda s: label_stream_by_join(s, votes),
         stream_embeddings,
     )

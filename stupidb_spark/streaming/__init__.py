@@ -18,6 +18,7 @@ from stupidb_spark.streaming.documents import (
 )
 from stupidb_spark.streaming.embeddings import (
     knn_label_stream,
+    label_stream_by_join,
     stream_embeddings,
 )
 from stupidb_spark.streaming.events import (
@@ -47,4 +48,5 @@ __all__ = [
     "quality_gated_stream",
     "stream_embeddings",
     "knn_label_stream",
+    "label_stream_by_join",
 ]

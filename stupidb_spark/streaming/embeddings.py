@@ -15,6 +15,17 @@ output.
 Arithmetic is the shared quantized-grid construction and the vote rule is
 identical to ``emb_knn_classify`` (count DESC, label ASC) — stream ==
 batch-mirror pinned in ``tests/test_streaming.py``.
+
+The boundedness contract is ENFORCED, not just documented:
+:func:`knn_label_stream` errors when the reference exceeds
+``max_reference_rows`` unless the caller passes ``unbounded_ok=True``
+(the ``jaccard_pairs(uncapped_ok=...)`` escape-hatch pattern) — a
+corpus-sized reference silently riding a UDF closure is the same
+driver-side-collect failure the batch operators guard against. The
+corpus-scale route is :func:`label_stream_by_join`: run the batch
+``knn_join`` + vote on a schedule, persist its output, and stream-static
+JOIN the stream to it — both sides stay distributed at any reference
+size, and the per-batch join is stateless (append mode).
 """
 
 from __future__ import annotations
@@ -27,6 +38,13 @@ from pyspark.sql import functions as F
 
 from stupidb_spark.operators.similarity import QUANT_SCALE, _qdot, _quant_sims
 from stupidb_spark.sources.catalog import FIXTURE_SCHEMAS
+
+# Bounded-model-state bar for the closure-riding reference: 64k labeled
+# vectors (a few hundred MB at 64 dims) is comfortably "model state" like
+# PQ codebooks or IVF centroids; a corpus is not. Callers with a genuinely
+# bounded-but-larger reference pass a higher max_reference_rows (or
+# unbounded_ok=True, accepting the driver-collect cost knowingly).
+MAX_REFERENCE_ROWS = 65_536
 
 
 def stream_embeddings(
@@ -51,6 +69,8 @@ def knn_label_stream(
     vec_col: str = "embedding",
     label_col: str = "label",
     k_neighbors: int = 5,
+    max_reference_rows: int = MAX_REFERENCE_ROWS,
+    unbounded_ok: bool = False,
 ) -> DataFrame:
     """Label every streamed vector with the majority label of its
     ``k_neighbors`` nearest reference vectors.
@@ -58,7 +78,24 @@ def knn_label_stream(
     Output columns: ``(id_col, pred_label, n_votes)``. Ties break to the
     higher vote count, then the smaller label; neighbor order inside the
     vote is (similarity DESC, reference id ASC) — the batch vote rule.
+
+    The reference is COLLECTED to the driver and broadcast inside the UDF
+    closure — model state, bounded by contract. A reference over
+    ``max_reference_rows`` raises unless ``unbounded_ok=True``; at corpus
+    scale use :func:`label_stream_by_join` instead.
     """
+    n_ref = reference.count()
+    if n_ref > max_reference_rows and not unbounded_ok:
+        raise ValueError(
+            f"knn_label_stream reference has {n_ref:,} rows "
+            f"(> max_reference_rows={max_reference_rows:,}): collecting it "
+            "into the scoring UDF closure is a driver-side collect of the "
+            "corpus. Schedule the batch knn_join + vote and "
+            "label_stream_by_join() its persisted output (both sides stay "
+            "distributed), raise max_reference_rows for a genuinely bounded "
+            "model, or pass unbounded_ok=True to accept the collect "
+            "knowingly."
+        )
     rows = reference.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -93,3 +130,32 @@ def knn_label_stream(
         F.col("__c.pred_label").alias("pred_label"),
         F.col("__c.n_votes").alias("n_votes"),
     )
+
+
+def label_stream_by_join(
+    emb_stream: DataFrame,
+    votes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    votes_id_col: str = "query_id",
+) -> DataFrame:
+    """Corpus-scale streaming labels: stream-static JOIN the stream to a
+    scheduled batch kNN vote relation — nothing is ever collected.
+
+    ``votes`` is the persisted output of the batch pipeline (``knn_join``
+    + the (count DESC, label ASC) vote, e.g. ``emb_knn_classify``'s
+    ``(query_id, pred_label, n_votes, ...)``), typically re-materialized
+    to parquet on a schedule and read back — the continuous-scoring
+    pattern its module docstring names. Each micro-batch runs one
+    stateless equi-join of the arriving ids against the static relation
+    (append mode, no state), so both the stream and a billion-row
+    reference scale like any batch join; vectors the scheduled batch has
+    not scored yet simply don't emit until the next batch lands.
+
+    Output columns match :func:`knn_label_stream`:
+    ``(id_col, pred_label, n_votes)``.
+    """
+    static = votes.select(
+        F.col(votes_id_col).alias(id_col), "pred_label", "n_votes"
+    )
+    return emb_stream.select(id_col).join(static, id_col)

@@ -444,3 +444,82 @@ def test_stream_gate_queries_run_multiple_microbatches(spark):
             f"{name}: expected multiple micro-batches, got {batches}"
         )
         assert raw.count() == out_rows
+
+
+def test_knn_label_stream_guards_corpus_sized_reference(spark):
+    """The closure-riding reference is model state, bounded BY CONTRACT:
+    a reference over max_reference_rows must raise loudly (naming the
+    stream-static-join route) instead of silently collecting a corpus to
+    the driver; unbounded_ok=True is the explicit opt-in."""
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.streaming import knn_label_stream
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    reference = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") % 5 == 0).drop("label")
+
+    with pytest.raises(ValueError, match="label_stream_by_join"):
+        knn_label_stream(queries, reference, max_reference_rows=10)
+
+    # explicit opt-in still works (scoring itself is unchanged; batch df
+    # exercises the same plan the stream maps per micro-batch)
+    labeled = knn_label_stream(
+        queries, reference, max_reference_rows=10, unbounded_ok=True
+    )
+    assert labeled.count() == queries.count()
+
+
+def test_label_stream_by_join_matches_batch(spark):
+    """Corpus-scale labeling route: the stream-static join of a staged
+    vector stream against the persisted batch kNN vote must emit exactly
+    the batch join of the same two relations (stateless, append mode) —
+    and therefore exactly the closure-form stream's labels, since both
+    gates share one oracle."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.queryset.similarity import _knn_classify_pipeline
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.streaming import label_stream_by_join, stream_embeddings
+
+    d = SCRATCH / f"stream-knnjoin-{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        t = con.sql(
+            f"SELECT * FROM '{SF_DIR}/embeddings.parquet' WHERE vec_id % 5 = 0"
+        ).arrow()
+        con.close()
+        n = t.num_rows
+        pq.write_table(t.slice(0, n // 2), d / "part-000.parquet")
+        pq.write_table(t.slice(n // 2), d / "part-001.parquet")
+
+        votes = _knn_classify_pipeline(
+            spark, SF_DIR, n_cells=4, n_probe=4
+        ).select(
+            "query_id",
+            "pred_label",
+            F.col("n_votes").cast("int").alias("n_votes"),
+        )
+        votes.persist()
+        try:
+            stream = label_stream_by_join(
+                stream_embeddings(spark, str(d), max_files_per_trigger=1),
+                votes,
+            )
+            got = run_to_memory(stream, "t_knn_join_labels", output_mode="append")
+            emb = load_table(spark, SF_DIR, "embeddings")
+            want = label_stream_by_join(
+                emb.filter(F.col("vec_id") % 5 == 0).drop("label"), votes
+            )
+            _assert_same(got, want)
+            assert got.count() == emb.filter(F.col("vec_id") % 5 == 0).count()
+        finally:
+            votes.unpersist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
