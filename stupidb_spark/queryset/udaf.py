@@ -102,6 +102,47 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sketch_events_daily",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
+def sketch_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch table's EXACT lane, proven through its own storage: the
+    per-(day, event_type) HLL sketch relation is PERSISTED as parquet
+    partitioned by day (the continuous-aggregate layout — readers
+    partition-prune to the days they ask about, pinned in
+    tests/test_udaf.py), read back, and rolled up to per-day totals. The
+    ``n_rows`` column is exact by construction — sums of per-bucket
+    counts — so the day-grain rollup of the persisted table must
+    hash-match DuckDB counting the raw events; estimates stay rows-only
+    (``agg_sketch_rollup``) because DuckDB's HLL internals differ."""
+    import os
+    import shutil
+
+    from stupidb_spark.operators.sketches import sketch_rollup, sketch_table
+
+    events = load_table(spark, sf_dir, "events")
+    sketches = sketch_table(
+        events, [F.to_date("ts").alias("day"), "event_type"], "user_id"
+    )
+    # Single-writer per fixture, wiped at invocation start (the streamgate
+    # scratch contract); left on disk so the returned plan reads lazily.
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "sketch_gate",
+        f"events-daily-{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    sketches.write.partitionBy("day").parquet(root)
+    back = spark.read.parquet(root)
+    return sketch_rollup(back, ["day"]).select("day", "n_rows")
+
+
 @q("agg_sketch_rollup")  # mergeable sketch blobs — no SQL oracle (DuckDB's
 # HLL internals differ by construction); the two laws that make the pattern
 # trustworthy (blob determinism under any partitioning; union-of-buckets ==

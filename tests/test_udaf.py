@@ -185,3 +185,82 @@ def test_sketch_table_persists_and_rolls_up_from_parquet(spark, tmp_path):
         sketch_rollup(back, []).first().distinct_est
         == sketch_rollup(sketches, []).first().distinct_est
     )
+
+
+def test_sketch_events_daily_reads_prune_partitions(spark, tmp_path):
+    """The continuous-aggregate layout's point at 100 TB: a persisted
+    day-partitioned sketch table answers "distinct users on day X" by
+    scanning ONE day's kilobyte rows — the day predicate must land in
+    PartitionFilters (pruned at plan time), not a post-scan Filter."""
+    import pyspark.sql.functions as F
+
+    from stupidb_spark.operators.sketches import sketch_rollup, sketch_table
+    from stupidb_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    sketches = sketch_table(
+        events, [F.to_date("ts").alias("day"), "event_type"], "user_id"
+    )
+    path = str(tmp_path / "sk_daily")
+    sketches.write.partitionBy("day").parquet(path)
+    back = spark.read.parquet(path)
+
+    one_day = events.select(F.to_date("ts").alias("day")).first().day
+    pruned = back.filter(F.col("day") == F.lit(one_day))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "day" in pf[0], plan
+    # and the pruned read still answers correctly (exact lane)
+    got = sketch_rollup(pruned, ["day"]).first()
+    want = events.filter(F.to_date("ts") == F.lit(one_day)).count()
+    assert got.n_rows == want
+
+
+def test_sketch_ingest_stream_equals_batch(spark, tmp_path):
+    """Streaming sketch-table maintenance: micro-batches land append-only
+    per-epoch sketch partitions; rolling up the read-back must give the
+    SAME estimates (and exact counts) as one batch sketch of all the
+    events — the HLL union law makes stream == batch an equality, not an
+    approximation."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from stupidb_spark.operators.sketches import (
+        sketch_ingest_stream,
+        sketch_rollup,
+        sketch_table,
+    )
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.streaming import stream_events
+    from tests.conftest import SF_DIR
+
+    # stage events as THREE files -> three micro-batches / epochs
+    src = tmp_path / "ingest"
+    src.mkdir()
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(
+            t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+            src / f"part-{i:03d}.parquet",
+        )
+
+    table_path = str(tmp_path / "sk_stream")
+    buckets = [F.to_date("ts").alias("day"), "event_type"]
+    sketch_ingest_stream(
+        stream_events(spark, str(src), max_files_per_trigger=1),
+        buckets,
+        "user_id",
+        table_path,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    back = spark.read.parquet(table_path)
+    assert back.select("batch_id").distinct().count() == 3
+
+    events = load_table(spark, SF_DIR, "events")
+    batch = sketch_table(events, buckets, "user_id")
+    for keep in (["event_type"], ["day"], []):
+        got = sorted(map(tuple, sketch_rollup(back, keep).collect()))
+        want = sorted(map(tuple, sketch_rollup(batch, keep).collect()))
+        assert got == want, keep
