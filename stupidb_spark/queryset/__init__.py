@@ -52,28 +52,89 @@ from stupidb_spark.queryset import streamgate  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # --- gate slots 1-50 (ROUND-10 rotation; ledger in CHANGELOG.md) ---
-    # Composition: flagship tpch_q1; the 2 new streaming end-to-end gates
-    # and the 6 round-9 additions (never driver-gated); dedup_components /
-    # dedup_canonical (pair source df-capped this round -> re-gate); the
-    # 27 r7-stale rows owed since round 7; the 3 exact-mode flagship
-    # gates; 9 of the oldest r8 rows. After this round every oracled
-    # query's freshest driver row is r8-r10.
+    # --- gate slots 1-50 (ROUND-11 rotation; ledger in CHANGELOG.md) ---
+    # Composition: flagship tpch_q1; the 2 streaming end-to-end gates plus
+    # the 2 NEW round-11 gates (stream_knn_label_join — the corpus-scale
+    # labeling route — and sketch_events_daily — the sketch table's exact
+    # lane through its own partitioned storage); agg_sketch_rollup (the
+    # round-10 post-sweep debt, rows-only but driver-visible); ALL 37
+    # r8-stale oracled queries owed since round 8 (the TPC-H mid-pack, the
+    # LM family, the ROWS-frame windows, and the r8 text/sampling/packing
+    # rows); and the exact-mode flagship gates. After this round every
+    # oracled query's freshest driver row is r9-r11.
     "tpch_q1",
     "stream_quality_gate",
     "stream_knn_label",
+    "stream_knn_label_join",
+    "sketch_events_daily",
+    "agg_sketch_rollup",
+    "asof_join_orders",
+    "batch_shaping",
+    "contamination_ngram",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_jaccard_capped",
+    "dedup_ngram_jaccard",
+    "join_fact_fact",
+    "pack_sequences",
+    "pipeline_prep",
+    "project_datetime",
+    "sample_group_topk",
+    "sample_stratified",
+    "text_dup_spans",
+    "text_entropy",
+    "text_lm_backoff",
+    "text_lm_perplexity",
+    "text_rarity_score",
+    "text_strip_dup_spans",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "win_multiple",
+    "win_rows_bounded",
+    "win_stat_frames",
+    "ann_knn_join_exact",
+    "emb_knn_classify_exact",
+    "dedup_semantic_exact",
+    "ann_topk_bruteforce",
+    "pipeline_training_mix",
+    "emb_kmeans_refine",
+    "dedup_components",
+    # --- 51+ ---
+    # Rotation ledger: after the round-11 gate stamps, the oldest driver
+    # rows are the 44 r9-stale oracled queries — round 12 owes them:
+    # agg_computed_key, agg_distinct_sets, agg_global_all12,
+    # agg_grouped_stats, agg_salted_skew, agg_udaf_salted, agg_udaf_sum_sq,
+    # dedup_exact, dedup_keep_best, events_session, events_tumbling,
+    # filter_compound, join_anti_not_exists, join_cross, join_full_outer,
+    # join_inner_star, join_left_nullpad, join_outer_trio, join_right,
+    # join_semi_exists, join_theta, mutate_derived, pii_redact,
+    # project_scalar, range_join_buckets, setop_six, shuffle_deterministic,
+    # sort_limit_offset, sort_nulls_first, sort_nulls_offset, sort_topk,
+    # terms_topk, text_metrics, text_nb_lang, tpch_q9/q10/q13/q15,
+    # win_moving_median, win_range_numeric, win_range_temporal, win_rank,
+    # win_running_distinct, win_running_sum. 44 < 50: fill the 6 free
+    # round-12 slots from the r10 cohort (oldest-first).
     "text_gopher_rules",
     "sample_split_leakproof",
-    "emb_kmeans_refine",
     "dedup_cross_source_matrix",
     "emb_cov_matrix",
-    "pipeline_training_mix",
-    "dedup_components",
     "dedup_canonical",
     "agg_pivot_priority",
     "agg_pivot_unpivot",
     "agg_unpivot_measures",
-    "ann_topk_bruteforce",
     "asof_join_forward",
     "chunk_documents",
     "emb_label_centroids",
@@ -97,9 +158,6 @@ PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "tpch_q17",
     "tpch_q18",
-    "ann_knn_join_exact",
-    "emb_knn_classify_exact",
-    "dedup_semantic_exact",
     "win_navigation",
     "win_dynamic_frame",
     "win_whole_partition",
@@ -109,17 +167,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_median_disc",
     "distinct_rows",
     "events_sliding",
-    # --- 51+ ---
-    # Rotation ledger: after the round-10 gate stamps, the oldest driver
-    # rows are exactly these 37 r8-stale oracled queries — round 11 owes
-    # them (+13 fill from the flagship/exact set): asof_join_orders,
-    # batch_shaping, contamination_ngram, dedup_containment,
-    # dedup_embedding_cosine, dedup_jaccard_capped, dedup_ngram_jaccard,
-    # join_fact_fact, pack_sequences, pipeline_prep, project_datetime,
-    # sample_group_topk, sample_stratified, text_dup_spans, text_entropy,
-    # text_lm_backoff, text_lm_perplexity, text_rarity_score,
-    # text_strip_dup_spans, tpch_q2-q8 (6), tpch_q11/q12/q14/q16/q19-q22,
-    # win_multiple, win_rows_bounded, win_stat_frames.
     "text_nb_lang",
     "join_theta",
     "join_cross",
@@ -164,45 +211,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q13",
     "tpch_q15",
     "tpch_q10",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_capped",
-    "pipeline_prep",
-    "text_lm_perplexity",
-    "text_lm_backoff",
-    "text_dup_spans",
-    "text_entropy",
-    "text_strip_dup_spans",
-    "dedup_containment",
-    "asof_join_orders",
-    "contamination_ngram",
-    "dedup_embedding_cosine",
-    "pack_sequences",
-    "sample_stratified",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "batch_shaping",
-    "text_rarity_score",
-    "join_fact_fact",
-    "project_datetime",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "win_multiple",
-    "win_rows_bounded",
-    "win_stat_frames",
-    "sample_group_topk",
     "agg_approx_sketch",
-    "agg_sketch_rollup",
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "multimodal_decode",
