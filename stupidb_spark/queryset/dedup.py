@@ -55,15 +55,49 @@ _DUCK_SHINGLES = """
 # uncapped on purpose: they ARE the exact-score audit forms, and
 # dedup_jaccard_capped registers the capped scoring semantics.
 #
-# sf1-GATING CONSTRAINT: the cap is inert only while max shingle df < 128,
-# and df grows ~linearly with corpus size on the vocabulary-saturated
-# fixtures (25 at sf0.1 → ~250 at the generated sf1, where the cap
-# genuinely engages). Before oracle-gating these three queries at sf1,
-# either assert max shingle df < COMPONENTS_DF_CAP on that fixture (reuse
-# tests/test_dedup.py::test_components_df_cap_label_identical_on_fixture's
-# probe) or swap in a capped oracle form — the uncapped recursive-CTE
-# oracles would otherwise hash-mismatch by design.
+# sf1-GATING CONSTRAINT (resolved round 11): the cap is inert only while
+# max shingle df < 128, and df grows ~linearly with corpus size on the
+# vocabulary-saturated fixtures (25 at sf0.1 → ~250 at the generated sf1,
+# where the cap genuinely engages) — so the three oracles now express the
+# SAME capped semantics via _DUCK_CAPPED_PAIRS below: shingles over the df
+# cap are dropped from both the inverted index and the per-doc counts,
+# exactly mirroring jaccard_pairs(max_doc_freq=COMPONENTS_DF_CAP). At
+# fixture scale the capped oracle equals the old uncapped list-cross-join
+# form (cap inert); at sf1 both engines cap identically, so the queries
+# are oracle-gateable at ANY scale, and the inverted-index SQL shape keeps
+# DuckDB's candidate volume bounded the same way Spark's is (the O(n²)
+# list-cross-join oracle was intractable at 50k docs regardless).
 COMPONENTS_DF_CAP = 128
+
+# Shared oracle fragment: df-capped exact-Jaccard pairs as DuckDB SQL,
+# the semantic mirror of jaccard_pairs(max_doc_freq=COMPONENTS_DF_CAP).
+# Inverted-index formulation (per-shingle equi-join + count), NOT the
+# all-pairs list_intersect cross join: only docs sharing a sub-cap shingle
+# ever meet, so the oracle stays tractable at sf1 and beyond. Yields CTEs
+# ending in `pairs(id_a, id_b, jaccard)`; splice after WITH [RECURSIVE].
+_DUCK_CAPPED_PAIRS = f"""
+    sh AS ({_DUCK_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    kept AS (
+        SELECT doc_id, shingle FROM ex
+        QUALIFY count(*) OVER (PARTITION BY shingle) <= {COMPONENTS_DF_CAP}
+    ),
+    n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM kept a JOIN kept b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common)
+                   AS jaccard
+        FROM common
+        JOIN n na ON na.doc_id = id_a
+        JOIN n nb ON nb.doc_id = id_b
+    )
+"""
 
 
 @q(
@@ -189,16 +223,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_components",
     f"""
-    WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
-    pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-    ),
+    WITH RECURSIVE {_DUCK_CAPPED_PAIRS},
     edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION SELECT id_b, id_a FROM pairs
+        SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+        UNION SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5
     ),
     reach AS (
         SELECT doc_id AS node, doc_id AS r FROM documents
@@ -234,16 +262,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_canonical",
     f"""
-    WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
-    pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-    ),
+    WITH RECURSIVE {_DUCK_CAPPED_PAIRS},
     edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION SELECT id_b, id_a FROM pairs
+        SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+        UNION SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5
     ),
     reach AS (
         SELECT doc_id AS node, doc_id AS r FROM documents
@@ -670,14 +692,7 @@ def dedup_ingest_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- "drop source X, it's 80% a mirror of Y". Pair scores aggregate on
     -- the 1e-6 integer grid (exact long sums), so the per-cell mean is
     -- order-independent and engine-identical.
-    WITH sh AS ({_DUCK_SHINGLES}),
-    pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-                   AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    ),
+    WITH {_DUCK_CAPPED_PAIRS},
     hits AS (
         SELECT least(da.source, db.source)    AS src_a,
                greatest(da.source, db.source) AS src_b,
