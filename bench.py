@@ -117,6 +117,11 @@ HEADLINE = [
     # so their bench rows time the streaming source+sink machinery itself
     "stream_quality_gate",
     "stream_knn_label",
+    # round-11 additions: the corpus-scale stream labeling route (batch
+    # knn_join artifact + stream-static join) and the sketch table's exact
+    # lane through its own day-partitioned storage
+    "stream_knn_label_join",
+    "sketch_events_daily",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.

@@ -523,3 +523,91 @@ def test_label_stream_by_join_matches_batch(spark):
             votes.unpersist()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_finalizes_windows_and_drops_late_rows(spark):
+    """Event-time watermark semantics, end-to-end across real micro-batches:
+    an out-of-order row still inside the watermark is aggregated, a row
+    older than the watermark is DROPPED, and append mode emits a window
+    only once the watermark passes its end (open windows never reach the
+    sink). Batch composition is controlled exactly — one staged file per
+    micro-batch, mtimes ordered so the file source replays them in order.
+
+    Two subtleties pinned here because they are easy to get wrong (both
+    verified against the per-batch ``batchWatermarkMs`` in the checkpoint
+    offset log while writing this test):
+    - Spark keeps TWO watermarks per stateful operator (SPARK-24634): the
+      LATE-EVENT filter in batch N lags one batch behind the EVICTION/
+      emission watermark.
+    - For windowed aggregation, "late" means the row's whole WINDOW is
+      below the filter watermark (window.end <= wm), not its raw event
+      time: a row whose window is still in (or could re-enter) state is
+      accepted however old its timestamp, because append mode hasn't
+      emitted that window yet.
+
+    Timeline (1h tumbling windows, 1h watermark delay):
+      batch 0: 10:05, 10:15, 11:30      -> watermark after b0: 10:30
+      batch 1: 10:45 (out-of-order; window [10,11) still open -> KEPT),
+               13:30                    -> watermark after b1: 12:30
+      batch 2: 09:40 (window end 10:00 <= 10:30, the late-filter wm
+               -> DROPPED), 13:45
+               eviction wm is 12:30 -> [10,11) and [11,12) close and emit
+    Expected sink: exactly {[10:00) -> 3 events, [11:00) -> 1 event}. The
+    dropped 09:40 row is visible as the ABSENCE of a [09:00) window (it
+    would otherwise emit with count 1 the moment the eviction watermark
+    passed 10:00), and the open 13:xx window is never emitted."""
+    import datetime as dt
+    import os
+
+    from stupidb_spark.streaming.events import (
+        FIXTURE_SCHEMAS,
+        run_to_parquet_idempotent,
+    )
+
+    d = SCRATCH / f"stream-wm-{uuid.uuid4().hex[:8]}"
+    ingest = d / "ingest"
+    ingest.mkdir(parents=True)
+    try:
+
+        def stage(i: int, times: list[str]) -> None:
+            rows = [
+                (
+                    100 * i + j,
+                    dt.datetime(2026, 1, 15, int(t[:2]), int(t[3:])),
+                    7,
+                    "click",
+                    1.0,
+                    None,
+                )
+                for j, t in enumerate(times)
+            ]
+            df = spark.createDataFrame(rows, FIXTURE_SCHEMAS["events"])
+            tmp = d / f"_tmp{i}"
+            df.coalesce(1).write.parquet(str(tmp))
+            part = next(tmp.glob("part-*.parquet"))
+            dst = ingest / f"batch-{i}.parquet"
+            part.rename(dst)
+            shutil.rmtree(tmp)
+            # File source orders new files by modification time: pin it.
+            os.utime(dst, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+
+        stage(0, ["10:05", "10:15", "11:30"])
+        stage(1, ["10:45", "13:30"])
+        stage(2, ["09:40", "13:45"])
+
+        stream = tumbling_stream(
+            stream_events(spark, str(ingest), max_files_per_trigger=1)
+        )
+        out = d / "out"
+        run_to_parquet_idempotent(
+            stream, str(out), checkpoint_dir=str(d / "ck")
+        )
+        got = {
+            (r["window_start"].strftime("%H:%M"), r["n_events"])
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        # 10:45 kept (3, not 2); 09:40 dropped (no 09:00 row); open 13:xx
+        # window never emitted.
+        assert got == {("10:00", 3), ("11:00", 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
