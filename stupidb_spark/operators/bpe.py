@@ -252,6 +252,16 @@ def bpe_train(
     :func:`bpe_train_reference` — merge-sequence differentials hold at any
     (batch_size, adaptive) setting.
 
+    Default DECISION (round 11, measured): ``adaptive_batch`` stays
+    ``False`` because the library default ``batch_size=1`` is classic
+    sequential BPE, and adaptive growth would silently abandon that exact
+    semantics (the cap doubles away from 1). For deep tokenizer builds —
+    where batching is already chosen — set it: measured on the committed
+    probe harness (``scripts/bpe_scale_probe.py``, seeded Zipf corpora),
+    adaptive batch 32→256 learns 8192 merges in 80 rounds and 32768
+    merges in the low hundreds of rounds, versus ~n/30 rounds fixed — the
+    round-latency floor is the whole cost at those depths.
+
     ``stats`` (optional dict) is filled with round accounting:
     ``rounds`` / ``delta_rounds`` / ``recount_rounds`` / ``batch_sizes``.
     """

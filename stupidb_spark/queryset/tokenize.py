@@ -22,8 +22,11 @@ from stupidb_spark.sources import load_table
 
 # One tokenizer spec shared by both queries so the encode query scores
 # documents under exactly the merge table the merges query reports.
-# batch_size=8 → 48 merges in 6 rounds (6 vocabulary-sized aggregate jobs
-# after the single corpus pass).
+# batch_size=8 with adaptive growth (round 11: the measured deep-run
+# posture, scripts/bpe_scale_probe.py) → 48 merges in 3 rounds (caps
+# 8→16→32) vs 6 fixed; the merge table changes accordingly — both queries
+# are rows-only in the gate and the trainer↔mirror differentials pin the
+# adaptive sequence exactly (tests/test_bpe.py).
 _N_MERGES = 48
 _BATCH = 8
 
@@ -34,7 +37,7 @@ def _train(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     return docs, bpe_train(
         docs, id_col="doc_id", text_col="text",
-        n_merges=_N_MERGES, batch_size=_BATCH,
+        n_merges=_N_MERGES, batch_size=_BATCH, adaptive_batch=True,
     )
 
 
