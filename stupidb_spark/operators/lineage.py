@@ -81,7 +81,25 @@ def cut_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
     every partition (the one-action-per-round idiom); ``eager=True``
     materializes now (for relations consumed by multiple branches of the
     FIRST job that touches them).
+
+    Ancestor-truncation property (round 11, found the hard way): when a
+    round chains SEVERAL lazy cuts and the round's one action runs on a
+    DERIVED frame, ``RDD.doCheckpoint`` at job end stops descending at the
+    FIRST checkpointed ancestor it meets — the cuts *behind* it cache
+    their blocks but keep their dependency chains, so RDD lineage grows
+    linearly with rounds (measured: BPE training's plan serialization died
+    with a JVM ``StackOverflowError`` at ~100+ rounds; ``toDebugString``
+    grew ~8 lines/round). Spark's fix is the job-local property
+    ``spark.checkpoint.checkpointAllMarkedAncestors`` (see the constant of
+    that name in ``core/src/main/scala/org/apache/spark/rdd/RDD.scala``),
+    which makes job completion truncate EVERY marked ancestor; with it set
+    the same run holds flat at ~39 debug lines through any round count.
+    Set here — on the driver thread that will run the rounds' actions — so
+    every iterative operator composing ``cut_lineage`` inherits it.
     """
+    df.sparkSession.sparkContext.setLocalProperty(
+        "spark.checkpoint.checkpointAllMarkedAncestors", "true"
+    )
     ckdir = checkpoint_dir()
     if ckdir is None:
         return df.localCheckpoint(eager=eager)

@@ -238,3 +238,31 @@ def test_already_installed_compares_scheme_and_netloc():
     assert _already_installed(
         FakeSC("hdfs://nn/ck/uuid-1"), "hdfs://nn/ck/"
     )
+
+
+def test_cut_lineage_sets_ancestor_truncation_property(spark):
+    """Contract (round 11): cut_lineage must set the job-local
+    spark.checkpoint.checkpointAllMarkedAncestors property on the driver
+    thread. Without it, a round that chains several LAZY cuts and runs its
+    one action on a derived frame truncates only the first checkpointed
+    ancestor doCheckpoint meets; the inner cuts keep their dependency
+    chains and RDD lineage grows with rounds — measured on BPE training at
+    the 200k-word probe corpus as ~8 toDebugString lines/round, ending in
+    a JVM StackOverflowError during plan serialization at ~100+ rounds
+    (scripts/bpe_scale_probe.py deep32k reproduces; with the property the
+    same run holds flat). The growth needs corpus-scale plans, so the unit
+    test pins the mechanism, and the probe pins the behavior."""
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.operators.lineage import cut_lineage
+
+    sc = spark.sparkContext
+    key = "spark.checkpoint.checkpointAllMarkedAncestors"
+    sc.setLocalProperty(key, None)
+    assert sc.getLocalProperty(key) is None
+    d = cut_lineage(
+        spark.range(10).toDF("x").select((F.col("x") + 1).alias("x")),
+        eager=False,
+    )
+    assert sc.getLocalProperty(key) == "true"
+    assert d.count() == 10
