@@ -258,9 +258,11 @@ def bpe_train(
     semantics (the cap doubles away from 1). For deep tokenizer builds —
     where batching is already chosen — set it: measured on the committed
     probe harness (``scripts/bpe_scale_probe.py``, seeded Zipf corpora),
-    adaptive batch 32→256 learns 8192 merges in 80 rounds and 32768
-    merges in the low hundreds of rounds, versus ~n/30 rounds fixed — the
-    round-latency floor is the whole cost at those depths.
+    adaptive batch 32→256 learns 8192 merges in 80 rounds (vs ≥273
+    fixed-32) and a full 32768-merge train completes in 1062 rounds /
+    ~9 min wall — on the flatter 4× corpus a 32k vocabulary needs, the
+    deep tail is conflict-bound and adaptive degrades gracefully toward
+    fixed-batch behavior rather than below it (SCALE.md round 11).
 
     ``stats`` (optional dict) is filled with round accounting:
     ``rounds`` / ``delta_rounds`` / ``recount_rounds`` / ``batch_sizes``.
