@@ -37,6 +37,10 @@ QUERIES_TO_RUN = [
     "dedup_canonical",
     "stream_quality_gate",
     "stream_knn_label",
+    # round-11 paths: the stream-static labeling route and the sketch
+    # table's persist/prune/rollup cycle
+    "stream_knn_label_join",
+    "sketch_events_daily",
     "pipeline_training_mix",
     "ann_knn_join",
     "dedup_semantic",
