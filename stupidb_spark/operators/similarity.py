@@ -140,17 +140,23 @@ def _quant_sims(B: np.ndarray, Q: np.ndarray, qnorms: np.ndarray) -> np.ndarray:
     """(batch, nq) quantized cosine of every batch vector vs every query.
 
     The per-product floor needs the elementwise product tensor, so queries
-    are chunked to bound it at ~2M doubles — within a chunk this is one
-    fused numpy pass, the same flops as a matmul."""
+    are chunked to bound it at ~2M doubles — deliberately CACHE-sized, not
+    RAM-sized: a 16 MB tensor keeps every elementwise pass L3-resident,
+    and raising the budget to 32M doubles (256 MB tensors) measured 2.5×
+    SLOWER end-to-end on the sf1 stream-labeling gate (70–88 s vs 28 s)
+    because each of the ~5 full-tensor passes round-trips DRAM. The
+    floored per-products are integers with |value| ≤ 2^40 and 64-dim sums
+    ≤ 2^46 — exactly representable in float64 — so summing in float64 is
+    bit-identical to the int64 construction the SQL oracles mirror while
+    skipping two full-tensor dtype conversions (pinned in
+    tests/test_similarity.py)."""
     bnorms = np.sqrt(_qdot(B, B).astype(np.float64) / QUANT_SCALE)
     out = np.empty((len(B), len(Q)))
     chunk = max(1, int(2_000_000 / (len(B) * B.shape[1] + 1)) or 1)
     for s in range(0, len(Q), chunk):
         Qc = Q[s : s + chunk]  # (c, dim)
         prod = B[:, None, :] * Qc[None, :, :]  # (batch, c, dim)
-        d = (
-            np.floor(prod * QUANT_SCALE + 0.5).astype(np.int64).sum(axis=2)
-        ).astype(np.float64) / QUANT_SCALE
+        d = np.floor(prod * QUANT_SCALE + 0.5).sum(axis=2) / QUANT_SCALE
         out[:, s : s + chunk] = d / (bnorms[:, None] * qnorms[None, s : s + chunk])
     return out
 

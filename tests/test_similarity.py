@@ -810,3 +810,39 @@ def test_ivf_assignment_rejects_null_embedding(spark):
                 F.coalesce(factory(C)("embedding"), F.lit(0))
             ).collect()
         assert "null embedding" in str(ei.value)
+
+
+def test_quant_sims_float64_sum_bit_identical_to_int64():
+    """_quant_sims sums the floored per-products in float64 (round 11:
+    skips two full-tensor dtype conversions). The floored values are
+    integers |v| <= 2^40 and 64-dim sums <= 2^46 — exact in float64 — so
+    the result must be BIT-identical to the explicit int64-sum
+    construction the SQL oracles mirror, including adversarial values at
+    the grid boundary."""
+    import numpy as np
+
+    from stupidb_spark.operators.similarity import (
+        QUANT_SCALE,
+        _qdot,
+        _quant_sims,
+    )
+
+    rng = np.random.default_rng(7)
+    B = rng.normal(size=(200, 64))
+    B /= np.linalg.norm(B, axis=1, keepdims=True)
+    Q = rng.normal(size=(37, 64))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    # adversarial rows: exact grid-boundary and near-boundary values
+    B[0] = 0.5 ** np.arange(1, 65)
+    Q[0] = 0.5 ** np.arange(1, 65)
+    qnorms = np.sqrt(_qdot(Q, Q).astype(np.float64) / QUANT_SCALE)
+    got = _quant_sims(B, Q, qnorms)
+    bnorms = np.sqrt(_qdot(B, B).astype(np.float64) / QUANT_SCALE)
+    want = np.empty_like(got)
+    for j in range(len(Q)):
+        prod = B * Q[j][None, :]
+        d = (
+            np.floor(prod * QUANT_SCALE + 0.5).astype(np.int64).sum(axis=1)
+        ).astype(np.float64) / QUANT_SCALE
+        want[:, j] = d / (bnorms * qnorms[j])
+    assert got.tobytes() == want.tobytes()
