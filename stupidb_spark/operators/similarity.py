@@ -34,11 +34,17 @@ from pyspark.sql.window import Window
 
 from stupidb_spark.operators.dedup import spread_small_scan
 
-# 2^40 quantization grid for dot products. Envelope: int64 carries
-# dim · max|aᵢ·bᵢ| · 2^40 — for 64-dim unit-norm embeddings that is ~2e13,
-# 5 orders below overflow; headroom up to |aᵢ·bᵢ| ≈ 1e5. Dividing by a power
-# of two is exact in IEEE double, so requantized values are identical on
-# every engine.
+# 2^40 quantization grid for dot products. TWO envelopes apply:
+#   * int64 paths (_qdot, embedding_near_dup_pairs): carry
+#     dim · max|aᵢ·bᵢ| · 2^40 in int64 — for 64-dim unit-norm embeddings
+#     that is ~2e13, 5 orders below overflow; headroom up to |aᵢ·bᵢ| ≈ 1e5.
+#   * _quant_sims: sums the floored per-products in float64, exact only
+#     while every partial sum stays ≤ 2^53, i.e.
+#     dim · max|aᵢ·bᵢ| · 2^40 ≤ 2^53  ⇔  max|aᵢ·bᵢ| ≤ 8192/dim
+#     (≈128 at 64 dims) — much tighter than the int64 headroom. Unit-norm
+#     embeddings (|aᵢ·bᵢ| ≤ 1) are comfortably inside both.
+# Dividing by a power of two is exact in IEEE double, so requantized
+# values are identical on every engine.
 QUANT_SCALE = float(1 << 40)
 
 

@@ -116,6 +116,18 @@ def knn_label_stream(
     def classify(v: pd.Series) -> pd.DataFrame:
         M = np.stack(v.to_numpy()).astype(np.float64)
         mnorms = np.sqrt(_qdot(M, M).astype(np.float64) / QUANT_SCALE)
+        # Loud guard, matching the batch-side norm_guard contract: a
+        # zero-norm (or non-finite) streamed vector would give NaN
+        # similarities, an empty candidate set (NaN >= kth is False), and
+        # a silent pred=uniq_labels[0]/n_votes=0 row. Refuse instead.
+        bad = np.nonzero(~(np.isfinite(mnorms) & (mnorms > 0.0)))[0]
+        if bad.size:
+            raise ValueError(
+                f"knn_label_stream: streamed vector at batch position "
+                f"{int(bad[0])} has zero or non-finite norm "
+                f"(norm={mnorms[bad[0]]!r}); cosine is undefined. Filter "
+                f"zero-norm vectors upstream."
+            )
         sims = _quant_sims(R, M, mnorms)  # (n_ref, batch)
         n_batch = M.shape[0]
         # O(n_ref) selection instead of an O(n_ref log n_ref) full sort

@@ -471,6 +471,28 @@ def test_knn_label_stream_guards_corpus_sized_reference(spark):
     assert labeled.count() == queries.count()
 
 
+def test_knn_label_stream_rejects_zero_norm_query(spark):
+    """A zero-norm streamed vector has undefined cosine; the vectorized
+    vote must refuse loudly (matching batch-side norm_guard) instead of
+    silently emitting pred=uniq_labels[0] with n_votes=0."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from stupidb_spark.sources import load_table
+    from stupidb_spark.streaming import knn_label_stream
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    reference = emb.filter(F.col("vec_id") % 5 != 0).limit(200)
+    dim = len(emb.select("embedding").first()[0])
+    queries = spark.range(1).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(0.0)] * dim).alias("embedding"),
+    )
+    labeled = knn_label_stream(queries, reference)
+    with pytest.raises(PythonException, match="zero or non-finite norm"):
+        labeled.collect()
+
+
 def test_label_stream_by_join_matches_batch(spark):
     """Corpus-scale labeling route: the stream-static join of a staged
     vector stream against the persisted batch kNN vote must emit exactly
