@@ -122,6 +122,12 @@ HEADLINE = [
     # lane through its own day-partitioned storage
     "stream_knn_label_join",
     "sketch_events_daily",
+    # round-12 additions: the events family's end-to-end stream gate
+    # (3-batch tumbling aggregation through the complete-mode epoch sink)
+    # and the sketch rollup's estimate lane (agg_sketch_rollup itself is
+    # now the oracled exact lane of the same rollup)
+    "stream_events_tumbling",
+    "agg_sketch_estimates",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.
@@ -263,6 +269,70 @@ def resolve_record(
     return path, keep_existing, notes
 
 
+def run_with_steal_retries(
+    timed_attempt,
+    first_load: float | None,
+    *,
+    max_retries: int = 2,
+    load_thresh: float = 2.0,
+    steal_thresh: float = 3.0,
+    wait_fn=None,
+    load_fn=None,
+):
+    """Mid-run steal detection with bounded retries: three rounds running,
+    the driver-stamped artifact was a noisy single run deferring to the
+    kept quiet record. If the timed section itself got stolen from (>3% of
+    its CPU window) or started under foreign load, wait out the noise
+    (``wait_fn``, the bounded quiet wait — our executors are idle between
+    attempts, so loadavg decays e-fold per minute toward the foreign load)
+    and RE-RUN the whole timed section, up to ``max_retries`` extra
+    attempts, so the stamped record converges to the quiet measurement
+    instead of pointing at it.
+
+    ``timed_attempt()`` → (timings, per-query steal%). Returns
+    ``(timings, steal_pct, noisy, loadavg, attempt_log)``; every attempt is
+    logged, so a record with ``len(attempts) > 1`` shows the detector
+    fired, and a box that never went quiet ships noisy-flagged with the
+    per-attempt evidence (timings then take the per-query MIN across
+    attempts — for a deterministic workload the least-polluted estimate,
+    same logic as best-of-N passes — while steal reports the per-query MAX
+    so the pollution stays visible)."""
+    attempt_log: list[dict] = []
+    attempt_results: list[tuple[dict, dict]] = []
+    attempt_load = first_load
+    for attempt in range(max_retries + 1):
+        if attempt > 0:
+            retry_wait = wait_fn() if wait_fn is not None else None
+            attempt_load = load_fn() if load_fn is not None else None
+            if retry_wait is not None:
+                attempt_log[-1]["retry_quiet_wait"] = retry_wait
+        t, s_pct = timed_attempt()
+        a_steal = max(s_pct.values(), default=0.0)
+        a_noisy = (attempt_load or 0) > load_thresh or a_steal > steal_thresh
+        attempt_log.append(
+            {
+                "total": round(sum(t.values()), 3),
+                "steal_pct_max": a_steal,
+                "loadavg_start": round(attempt_load, 2)
+                if attempt_load is not None
+                else None,
+                "noisy": a_noisy,
+            }
+        )
+        attempt_results.append((t, s_pct))
+        if not a_noisy:
+            return t, s_pct, False, attempt_load, attempt_log
+    t = {
+        name: min(r[0][name] for r in attempt_results)
+        for name in attempt_results[0][0]
+    }
+    s_pct = {
+        name: max(r[1][name] for r in attempt_results)
+        for name in attempt_results[0][1]
+    }
+    return t, s_pct, True, attempt_load, attempt_log
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -305,9 +375,7 @@ def main() -> None:
     # CPU-steal percentage. A run taken on a loaded host flags itself
     # instead of reading as a code regression (the r3 driver bench was 3×
     # a quiet run of the same commit).
-    timings: dict[str, float] = {}
     exchanges: dict[str, int] = {}
-    steal_pct: dict[str, float] = {}
     # SPARK_GRAFT_BENCH_PASSES=N sweeps the whole headline N times and takes
     # the per-query min ACROSS passes (same tree by construction — this is
     # per-query best-of-N, not the round-6 stale-record hazard, which was a
@@ -316,44 +384,62 @@ def main() -> None:
     # multiple interleaved passes sample past it. Default 1 keeps the
     # driver's bench cost unchanged.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
-    for _pass in range(passes):
-        for name in HEADLINE:
-            samples = []
-            s0, t0 = _cpu_ticks()
-            for _ in range(2):
-                start = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - start)
-            s1, t1 = _cpu_ticks()
-            q_steal = 100.0 * (s1 - s0) / max(1, t1 - t0)
-            # host CPU-steal on this box swings identical plans up to ~2×;
-            # when the two samples disagree by >1.5×, or the hypervisor
-            # stole >3% of the window's CPU, the measurement is suspect —
-            # buy ONE more sample for that query only (bounded extra cost)
-            if max(samples) > 1.5 * min(samples) or q_steal > 3.0:
-                start = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - start)
-            best = round(min(samples), 3)
-            if name not in timings or best < timings[name]:
-                timings[name] = best
-            steal_pct[name] = max(steal_pct.get(name, 0.0), round(q_steal, 2))
+
+    def timed_attempt() -> tuple[dict[str, float], dict[str, float]]:
+        t: dict[str, float] = {}
+        s_pct: dict[str, float] = {}
+        for _pass in range(passes):
+            for name in HEADLINE:
+                samples = []
+                s0, t0 = _cpu_ticks()
+                for _ in range(2):
+                    start = time.perf_counter()
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - start)
+                s1, t1 = _cpu_ticks()
+                q_steal = 100.0 * (s1 - s0) / max(1, t1 - t0)
+                # host CPU-steal on this box swings identical plans up to
+                # ~2×; when the two samples disagree by >1.5×, or the
+                # hypervisor stole >3% of the window's CPU, the measurement
+                # is suspect — buy ONE more sample for that query only
+                # (bounded extra cost)
+                if max(samples) > 1.5 * min(samples) or q_steal > 3.0:
+                    start = time.perf_counter()
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - start)
+                best = round(min(samples), 3)
+                if name not in t or best < t[name]:
+                    t[name] = best
+                s_pct[name] = max(s_pct.get(name, 0.0), round(q_steal, 2))
+        return t, s_pct
+
+    max_retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
+    timings, steal_pct, run_noisy, run_load, attempt_log = run_with_steal_retries(
+        timed_attempt,
+        loadavg_start,
+        max_retries=max_retries,
+        wait_fn=(lambda: wait_for_quiet(max_wait)) if max_wait > 0 else None,
+        load_fn=lambda: (
+            os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+        ),
+    )
+
     for name in HEADLINE:
         exchanges[name] = exchange_count(QUERIES[name](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     noise = {
-        "loadavg_start": round(loadavg_start, 2)
-        if loadavg_start is not None
-        else None,
+        "loadavg_start": round(run_load, 2) if run_load is not None else None,
         "steal_pct_max": max(steal_pct.values()) if steal_pct else 0.0,
-        "noisy": (loadavg_start or 0) > 2.0
-        or max(steal_pct.values(), default=0.0) > 3.0,
+        "noisy": run_noisy,
         # Methodology provenance: per-query best-of across this many full
         # passes. A best-of-3 record must be distinguishable from a
         # single-pass one — resolve_record's identical-workload check and
         # every like-for-like round comparison depend on record provenance.
         "passes": passes,
+        # One entry per timed attempt (first + steal-triggered retries);
+        # len > 1 means the mid-run steal detector fired.
+        "attempts": attempt_log,
     }
     if quiet_wait is not None:
         noise["quiet_wait"] = quiet_wait

@@ -52,22 +52,116 @@ from stupidb_spark.queryset import streamgate  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # --- gate slots 1-50 (ROUND-11 rotation; ledger in CHANGELOG.md) ---
-    # Composition: flagship tpch_q1; the 2 streaming end-to-end gates plus
-    # the 2 NEW round-11 gates (stream_knn_label_join — the corpus-scale
-    # labeling route — and sketch_events_daily — the sketch table's exact
-    # lane through its own partitioned storage); agg_sketch_rollup (the
-    # round-10 post-sweep debt, rows-only but driver-visible); ALL 37
-    # r8-stale oracled queries owed since round 8 (the TPC-H mid-pack, the
-    # LM family, the ROWS-frame windows, and the r8 text/sampling/packing
-    # rows); and the exact-mode flagship gates. After this round every
-    # oracled query's freshest driver row is r9-r11.
+    # --- gate slots 1-50 (ROUND-12 rotation; ledger in CHANGELOG.md) ---
+    # Composition: flagship tpch_q1; the three streaming end-to-end gates
+    # plus the NEW round-12 stretch gate (stream_events_tumbling — the
+    # events family through a real 3-batch stream + sink + read-back under
+    # the batch twin's DuckDB oracle); agg_sketch_rollup, NOW ORACLED via
+    # its exact n_rows lane (round-11 verdict item 2 — zero no_oracle rows
+    # in this gate); and ALL 44 r9-stale oracled queries owed since round 9
+    # (the core verb surface: joins/sorts/setops/filters/projections, the
+    # r9 window rows, the UDAF rows, events_tumbling/events_session, and
+    # tpch_q9/q10/q13/q15). After this round every oracled query's freshest
+    # driver row is r10-r12.
     "tpch_q1",
     "stream_quality_gate",
     "stream_knn_label",
     "stream_knn_label_join",
-    "sketch_events_daily",
     "agg_sketch_rollup",
+    "stream_events_tumbling",
+    "agg_computed_key",
+    "agg_distinct_sets",
+    "agg_global_all12",
+    "agg_grouped_stats",
+    "agg_salted_skew",
+    "agg_udaf_salted",
+    "agg_udaf_sum_sq",
+    "dedup_exact",
+    "dedup_keep_best",
+    "events_session",
+    "events_tumbling",
+    "filter_compound",
+    "join_anti_not_exists",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_star",
+    "join_left_nullpad",
+    "join_outer_trio",
+    "join_right",
+    "join_semi_exists",
+    "join_theta",
+    "mutate_derived",
+    "pii_redact",
+    "project_scalar",
+    "range_join_buckets",
+    "setop_six",
+    "shuffle_deterministic",
+    "sort_limit_offset",
+    "sort_nulls_first",
+    "sort_nulls_offset",
+    "sort_topk",
+    "terms_topk",
+    "text_metrics",
+    "text_nb_lang",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q15",
+    "win_moving_median",
+    "win_range_numeric",
+    "win_range_temporal",
+    "win_rank",
+    "win_running_distinct",
+    "win_running_sum",
+    # --- 51+ ---
+    # Rotation ledger: after the round-12 gate stamps, the oldest driver
+    # rows are the r10 cohort below (oldest-first — round 13 pulls from
+    # the top of this list), then the r11-fresh cohort, then the
+    # rows-only tail. text_gopher_rules at 51 doubles as the graceful
+    # fallback: if stream_events_tumbling fails to register, _reorder
+    # skips it and 51 promotes into the gate.
+    "text_gopher_rules",
+    "sample_split_leakproof",
+    "dedup_cross_source_matrix",
+    "emb_cov_matrix",
+    "dedup_canonical",
+    "agg_pivot_priority",
+    "agg_pivot_unpivot",
+    "agg_unpivot_measures",
+    "asof_join_forward",
+    "chunk_documents",
+    "emb_label_centroids",
+    "events_attribution",
+    "events_props_json",
+    "events_props_running",
+    "events_sessionize_window",
+    "fuzzy_match_names",
+    "join_extras",
+    "join_null_safe",
+    "join_skew_replicate",
+    "mixture_epochs",
+    "prep_winsorize",
+    "sample_weighted",
+    "text_fingerprint_md5",
+    "text_fingerprint_rolling",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf_topterm",
+    "text_token_stats",
+    "tpch_q17",
+    "tpch_q18",
+    "win_navigation",
+    "win_dynamic_frame",
+    "win_whole_partition",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "agg_median_disc",
+    "distinct_rows",
+    "events_sliding",
+    # r11-fresh cohort (rotated out of the gate this round)
+    "sketch_events_daily",
     "asof_join_orders",
     "batch_shaping",
     "contamination_ngram",
@@ -112,105 +206,8 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_training_mix",
     "emb_kmeans_refine",
     "dedup_components",
-    # --- 51+ ---
-    # Rotation ledger: after the round-11 gate stamps, the oldest driver
-    # rows are the 44 r9-stale oracled queries — round 12 owes them:
-    # agg_computed_key, agg_distinct_sets, agg_global_all12,
-    # agg_grouped_stats, agg_salted_skew, agg_udaf_salted, agg_udaf_sum_sq,
-    # dedup_exact, dedup_keep_best, events_session, events_tumbling,
-    # filter_compound, join_anti_not_exists, join_cross, join_full_outer,
-    # join_inner_star, join_left_nullpad, join_outer_trio, join_right,
-    # join_semi_exists, join_theta, mutate_derived, pii_redact,
-    # project_scalar, range_join_buckets, setop_six, shuffle_deterministic,
-    # sort_limit_offset, sort_nulls_first, sort_nulls_offset, sort_topk,
-    # terms_topk, text_metrics, text_nb_lang, tpch_q9/q10/q13/q15,
-    # win_moving_median, win_range_numeric, win_range_temporal, win_rank,
-    # win_running_distinct, win_running_sum. 44 < 50: fill the 6 free
-    # round-12 slots from the r10 cohort (oldest-first).
-    "text_gopher_rules",
-    "sample_split_leakproof",
-    "dedup_cross_source_matrix",
-    "emb_cov_matrix",
-    "dedup_canonical",
-    "agg_pivot_priority",
-    "agg_pivot_unpivot",
-    "agg_unpivot_measures",
-    "asof_join_forward",
-    "chunk_documents",
-    "emb_label_centroids",
-    "events_attribution",
-    "events_props_json",
-    "events_props_running",
-    "events_sessionize_window",
-    "fuzzy_match_names",
-    "join_extras",
-    "join_null_safe",
-    "join_skew_replicate",
-    "mixture_epochs",
-    "prep_winsorize",
-    "sample_weighted",
-    "text_fingerprint_md5",
-    "text_fingerprint_rolling",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf_topterm",
-    "text_token_stats",
-    "tpch_q17",
-    "tpch_q18",
-    "win_navigation",
-    "win_dynamic_frame",
-    "win_whole_partition",
-    "agg_having",
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "agg_median_disc",
-    "distinct_rows",
-    "events_sliding",
-    "text_nb_lang",
-    "join_theta",
-    "join_cross",
-    "join_inner_star",
-    "join_outer_trio",
-    "join_full_outer",
-    "join_left_nullpad",
-    "join_right",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "sort_limit_offset",
-    "sort_nulls_first",
-    "sort_nulls_offset",
-    "sort_topk",
-    "filter_compound",
-    "project_scalar",
-    "mutate_derived",
-    "win_rank",
-    "win_running_sum",
-    "win_range_numeric",
-    "win_range_temporal",
-    "agg_computed_key",
-    "agg_distinct_sets",
-    "agg_salted_skew",
-    "pii_redact",
-    "range_join_buckets",
-    "shuffle_deterministic",
-    "terms_topk",
-    "text_metrics",
-    "agg_global_all12",
-    "agg_grouped_stats",
-    "agg_udaf_sum_sq",
-    "agg_udaf_salted",
-    "setop_six",
-    "win_moving_median",
-    "win_running_distinct",
-    "dedup_exact",
-    "dedup_keep_best",
-    "events_tumbling",
-    "events_session",
-    "tpch_q9",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q10",
+    # rows-only / approximate tail
+    "agg_sketch_estimates",
     "agg_approx_sketch",
     "ann_topk_pq",
     "ann_topk_ivfpq",

@@ -33,7 +33,10 @@ from stupidb_spark.queryset.sampling import _SA, _SC, _SM
 from stupidb_spark.queryset.similarity import _sql_emb_norm_cte, _sql_qcos_pair
 from stupidb_spark.queryset.text import _duck_score, _duck_words, _DUCK_WTOKS
 from stupidb_spark.sources import load_table
-from stupidb_spark.streaming.events import run_to_parquet_idempotent
+from stupidb_spark.streaming.events import (
+    run_complete_to_parquet_epochs,
+    run_to_parquet_idempotent,
+)
 
 _SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -53,10 +56,19 @@ def _run_staged_stream(
     staged: DataFrame,
     build,
     stream_reader,
+    *,
+    complete_final: bool = False,
 ) -> DataFrame:
     """Stage ``staged`` as parquet files, run ``build(stream)`` to the
     idempotent parquet sink, return the read-back (minus the sink's
-    ``batch_id`` partition column)."""
+    ``batch_id`` partition column).
+
+    ``complete_final=True`` is the stateful-aggregation route: the stream
+    runs in COMPLETE output mode, every micro-batch landing the full
+    current result as its own epoch, and the read-back keeps only the
+    final epoch — which, once ``availableNow`` drains the staged files,
+    is the aggregation over all of them and therefore hash-comparable to
+    the batch oracle (see ``run_complete_to_parquet_epochs``)."""
     spark = staged.sparkSession
     root = os.path.join(
         _SCRATCH, f"{name}-{os.path.basename(os.path.normpath(sf_dir))}"
@@ -66,6 +78,18 @@ def _run_staged_stream(
     staged.repartition(_N_INGEST_FILES).write.parquet(ingest)
     stream = stream_reader(spark, ingest, max_files_per_trigger=1)
     out = os.path.join(root, "out")
+    if complete_final:
+        run_complete_to_parquet_epochs(
+            build(stream), out, checkpoint_dir=os.path.join(root, "ck")
+        )
+        final = max(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out)
+            if d.startswith("batch_id=")
+        )
+        back = spark.read.parquet(out)
+        # Partition filter — only the final epoch's directory is scanned.
+        return back.filter(F.col("batch_id") == final).drop("batch_id")
     run_to_parquet_idempotent(
         build(stream), out, checkpoint_dir=os.path.join(root, "ck")
     )
@@ -233,4 +257,44 @@ def stream_knn_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         lambda s: label_stream_by_join(s, votes),
         stream_embeddings,
+    )
+
+
+@q(
+    "stream_events_tumbling",
+    f"""
+    -- Read-back of the 1h tumbling-window aggregation STREAM's final
+    -- COMPLETE-mode epoch: after availableNow drains the 3 staged files,
+    -- the final epoch is the aggregation over every event, so it must
+    -- equal the batch bucketing exactly (F.window aligns whole hours to
+    -- date_trunc('hour')). Same expression as the events_tumbling oracle.
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           {X.sql_dsum('value', 4)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events family end-to-end, completing stream==batch==oracle
+    alongside the quality-gate and kNN-label gates: events staged as 3
+    parquet files → file-source stream (one micro-batch each, window
+    state carried ACROSS batches) → 1h tumbling event-time aggregation
+    (``tumbling_stream``, the watermarked production operator — complete
+    mode retains rather than evicts its state) → per-epoch idempotent
+    parquet sink → read-back of the final epoch. Exact decimal sums
+    (X.dsum) make the hash comparison engine- and batching-independent;
+    append-mode eviction semantics for the same operator are pinned in
+    tests/test_streaming.py."""
+    from stupidb_spark.streaming.events import stream_events, tumbling_stream
+
+    events = load_table(spark, sf_dir, "events")
+    return _run_staged_stream(
+        "stream_events_tumbling",
+        sf_dir,
+        events,
+        lambda s: tumbling_stream(s),
+        stream_events,
+        complete_final=True,
     )

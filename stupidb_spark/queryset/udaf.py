@@ -143,21 +143,9 @@ def sketch_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_rollup(back, ["day"]).select("day", "n_rows")
 
 
-@q("agg_sketch_rollup")  # mergeable sketch blobs — no SQL oracle (DuckDB's
-# HLL internals differ by construction); the two laws that make the pattern
-# trustworthy (blob determinism under any partitioning; union-of-buckets ==
-# sketch-of-union EXACTLY; estimate error bound vs exact) are pinned in
-# tests/test_udaf.py
-def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pre-aggregated sketch-TABLE pattern (operators/sketches.py):
-    events roll up once into per-(event_type, day) HLL sketch blobs — the
-    kilobyte-rows relation a pipeline persists — and every distinct-user
-    question thereafter is a merge over blobs, never a rescan: here the
-    per-event_type rollup across all days plus the global row, in one
-    output. At 100 TB the raw scan happens once; "distinct users in any
-    bucket combination" becomes a metadata-scale aggregate, the
-    hypertable / continuous-aggregate rollup expressed as ordinary
-    DataFrames."""
+def _sketch_rollup_frames(spark: SparkSession, sf_dir: str):
+    """Shared construction for the two rollup lanes: events → per-(type,
+    day) HLL sketch blobs → per-event_type rollup + global row."""
     from stupidb_spark.operators.sketches import sketch_rollup, sketch_table
     from stupidb_spark.sources import load_table
 
@@ -174,3 +162,47 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("scope"), "n_rows", "distinct_est"
     )
     return per_type.unionByName(overall)
+
+
+@q(
+    "agg_sketch_rollup",
+    """
+    SELECT event_type AS scope, count(*) AS n_rows FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS scope, count(*) AS n_rows FROM events
+    """,
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregated sketch-TABLE pattern (operators/sketches.py):
+    events roll up once into per-(event_type, day) HLL sketch blobs — the
+    kilobyte-rows relation a pipeline persists — and every distinct-user
+    question thereafter is a merge over blobs, never a rescan: here the
+    per-event_type rollup across all days plus the global row, in one
+    output. At 100 TB the raw scan happens once; "distinct users in any
+    bucket combination" becomes a metadata-scale aggregate, the
+    hypertable / continuous-aggregate rollup expressed as ordinary
+    DataFrames.
+
+    This gate row is the rollup's EXACT lane: ``n_rows`` is a sum of
+    per-bucket counts carried through the sketch relation, so rolling the
+    sketch table up to (per-type, ALL) scopes must hash-match DuckDB
+    counting the raw events — hard cross-engine signal that the rollup
+    never drops or double-counts a bucket. The HLL ESTIMATE columns are
+    not DuckDB-expressible by construction and live in the rows-only
+    sibling ``agg_sketch_estimates``; the laws that make the estimates
+    trustworthy (state determinism under any partitioning,
+    union-of-buckets == sketch-of-union exactly, error bound vs exact)
+    are pinned in tests/test_udaf.py."""
+    return _sketch_rollup_frames(spark, sf_dir).select("scope", "n_rows")
+
+
+@q("agg_sketch_estimates")  # estimate lane — no SQL oracle (DuckDB's HLL
+# internals differ by construction); exactness of the same rollup's count
+# lane is gated by agg_sketch_rollup, and the estimate laws are pinned in
+# tests/test_udaf.py
+def agg_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sketch-table rollup with its HLL ``distinct_est`` column —
+    the approximate answer the pattern exists to serve; rows-only at the
+    driver gate (see :func:`agg_sketch_rollup` for the oracled exact
+    lane)."""
+    return _sketch_rollup_frames(spark, sf_dir)

@@ -24,6 +24,7 @@ from stupidb_spark.streaming.embeddings import (
 from stupidb_spark.streaming.events import (
     attribution_stream,
     deduped_stream,
+    run_complete_to_parquet_epochs,
     run_to_memory,
     sessionized_stream,
     sliding_stream,
@@ -41,6 +42,7 @@ __all__ = [
     "deduped_stream",
     "user_running_totals",
     "run_to_memory",
+    "run_complete_to_parquet_epochs",
     "stream_documents",
     "lm_scored_stream",
     "dup_flagged_stream",

@@ -389,3 +389,46 @@ def run_to_parquet_idempotent(
         .awaitTermination()
     )
 
+
+def run_complete_to_parquet_epochs(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    checkpoint_dir: str,
+) -> None:
+    """COMPLETE-mode variant of :func:`run_to_parquet_idempotent` for
+    streaming AGGREGATIONS: each micro-batch writes the FULL current
+    result table as its own ``batch_id=<n>`` epoch (same
+    dynamic-partition-overwrite idempotency under replays). Readers take
+    the max-epoch partition — after ``availableNow`` drains the staged
+    files, the final epoch is by definition the aggregation over
+    everything ingested, so it must equal the batch twin exactly,
+    including the trailing windows an append-mode watermark can never
+    finalize (a window containing the max event time always ends after
+    the final watermark).
+
+    The bounded-state contract is the caller's: complete mode retains
+    every group in the state store, so this route is for
+    bounded-cardinality rollups (window × type dashboards). Unbounded-key
+    streams use the watermarked append route (:func:`tumbling_stream`
+    through :func:`run_to_parquet_idempotent`), whose eviction semantics
+    are pinned in tests/test_streaming.py.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    (
+        stream_df.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
