@@ -266,6 +266,17 @@ def jaccard_pairs(
         max_doc_bytes=max_doc_bytes,
         uncapped_ok=uncapped_ok,
         what="jaccard_pairs",
+        # Exact size-ratio pruning (Arasu/Bayardo length filter):
+        # jaccard(A,B) ≥ t forces |A∩B| ≥ t/(1+t)·(|A|+|B|), and since
+        # |A∩B| ≤ min(|A|,|B|) that implies min ≥ t·max — so candidate
+        # rows failing the ratio check can never reach the threshold and
+        # are dropped INSIDE the self-join, before the pair aggregation
+        # ever sees them. Measured at sf1 (50k docs, saturated vocab):
+        # 114.6M → 86.2M aggregated pairs, candidate stage 25.5 s →
+        # 19.6 s. Unlike prefix filtering (measured 2.3× candidate cut
+        # but flat runtime here — SCALE.md), this costs two longs already
+        # riding the rows and zero extra passes.
+        size_ratio_floor=threshold,
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return joined.select(
@@ -330,12 +341,21 @@ def _pair_overlap_counts(
     max_doc_bytes: int | None,
     uncapped_ok: bool,
     what: str,
+    size_ratio_floor: float | None = None,
 ) -> DataFrame:
     """Shared candidate stage of :func:`jaccard_pairs` /
     :func:`containment_pairs`: exact per-pair shingle-overlap counts
     ``(id_a, id_b, n_common, n_a, n_b)`` for every i < j pair sharing at
     least one (sub-cap) shingle. All set-overlap scores (Jaccard,
-    containment, Dice, ...) are projections over these three counts."""
+    containment, Dice, ...) are projections over these three counts.
+
+    ``size_ratio_floor``: drop candidate rows whose set sizes satisfy
+    ``min(n_a, n_b) < floor · max(n_a, n_b)`` inside the self-join. Only
+    valid when the CALLER's downstream score filter provably rejects every
+    such pair (Jaccard ≥ t ⇒ min ≥ t·max — see :func:`jaccard_pairs`);
+    containment has no such bound (a tiny doc fully inside a huge one is
+    exactly the pair it must keep), so :func:`containment_pairs` passes
+    None."""
     from pyspark.sql.window import Window as W
 
     if max_doc_freq is None and not uncapped_ok:
@@ -388,12 +408,17 @@ def _pair_overlap_counts(
     exv = ex.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc")))
     a = exv.alias("a").hint(corpus_join_strategy())
     b = exv.alias("b").hint(corpus_join_strategy())
-    return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc") < F.col("b.doc")
+    )
+    if size_ratio_floor is not None:
+        cond = cond & (
+            F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            * F.lit(float(size_ratio_floor))
         )
+    return (
+        a.join(b, cond)
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common"),

@@ -562,3 +562,67 @@ def test_components_df_cap_label_identical_on_fixture(spark):
         return sorted(map(tuple, lab.collect()))
 
     assert labels(max_doc_freq=COMPONENTS_DF_CAP) == labels(uncapped_ok=True)
+
+
+def test_jaccard_size_ratio_prefilter_is_exact(spark):
+    """The in-join size-ratio prune (min ≥ t·max) must be invisible in the
+    output: differential vs the unfiltered candidate stage on the fixture,
+    plus a synthetic BOUNDARY pair where min == t·max exactly (jaccard
+    exactly at threshold) that the >= comparison must keep."""
+    from stupidb_spark.operators.dedup import _pair_overlap_counts
+
+    def unfiltered(df, threshold):
+        joined = _pair_overlap_counts(
+            df,
+            id_col="doc_id",
+            text_col="text",
+            k=3,
+            max_doc_freq=None,
+            max_doc_bytes=None,
+            uncapped_ok=True,
+            what="test",
+            size_ratio_floor=None,
+        )
+        jac = F.col("n_common") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_common")
+        )
+        return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for t in (0.3, 0.5, 0.8):
+        got = sorted(
+            map(
+                tuple,
+                jaccard_pairs(
+                    docs, id_col="doc_id", text_col="text", k=3, threshold=t,
+                    uncapped_ok=True,
+                ).collect(),
+            )
+        )
+        want = sorted(map(tuple, unfiltered(docs, t).collect()))
+        assert got == want, f"prefilter changed output at threshold {t}"
+
+    # boundary: A's 4 shingles ⊂ B's 8 → jaccard = 4/8 = 0.5 = t and
+    # min(4) == 0.5 · max(8) exactly; C(9 shingles ⊃ A) is 4/9 < t.
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda").split()
+    wz = " ".join(vocab[:6])   # 4 shingles
+    wb = " ".join(vocab[:10])  # 8 shingles
+    wc = " ".join(vocab[:11])  # 9 shingles
+    syn = spark.createDataFrame(
+        [(1, wz), (2, wb), (3, wc)], "doc_id long, text string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            jaccard_pairs(
+                syn, id_col="doc_id", text_col="text", k=3, threshold=0.5,
+                uncapped_ok=True,
+            ).select("id_a", "id_b").collect(),
+        )
+    )
+    # (1,2) at exactly 0.5 kept; (1,3) at 4/9 and (2,3) at 8/9 -> only
+    # (2,3) also qualifies (8/9 >= 0.5)
+    assert got == [(1, 2), (2, 3)], got
