@@ -41,6 +41,12 @@ QUERIES_TO_RUN = [
     # table's persist/prune/rollup cycle
     "stream_knn_label_join",
     "sketch_events_daily",
+    # round-12 paths: the events-family stream gate (complete-mode epoch
+    # sink) and a second lineage-fixed iterative path (sample-train +
+    # corpus Lloyd refine) alongside dedup_components/dedup_semantic —
+    # the r11 checkpoint-truncation fix must hold at 2000 partitions
+    "stream_events_tumbling",
+    "emb_kmeans_refine",
     "pipeline_training_mix",
     "ann_knn_join",
     "dedup_semantic",
