@@ -121,3 +121,78 @@ def replicate_join(
     )
     out = salted.join(replicated, on + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy-match pairs: ``(id_a, id_b, block, dist)`` for every
+    within-block pair with ``levenshtein ≤ max_dist`` (``id_a < id_b``).
+
+    Two scale fixes over the naive block self-join (which, at sf1's 25
+    brands × 8k parts, planned 1.6e9 comparisons across only 25 join keys
+    — a near-single-task straggler measured grinding one core):
+
+    - **Length banding as part of the equi-key.** ``lev(a,b) ≤ d`` forces
+      ``|len(a) − len(b)| ≤ d``, so the probe side replicates each row to
+      the 2d+1 length bands it can match and the join key becomes
+      (block, band) — block_cardinality × distinct_lengths keys instead
+      of block_cardinality, spreading the quadratic work across the
+      cluster, with the size-incompatible pairs pruned before the edit
+      distance ever evaluates. Each qualifying pair meets exactly once
+      (at band = len(b)).
+    - **Thresholded Levenshtein.** ``levenshtein(a, b, d)`` computes the
+      banded O(len·d) DP and early-exits past ``d`` (returns -1), instead
+      of the full O(len²) matrix.
+
+    Remaining envelope (documented, not hidden): work is inherently
+    Ω(Σ_block-band b²) — at pathological length concentration inside one
+    giant block, compose the block key with a salt
+    (:func:`~stupidb_spark.operators.similarity.salted_block_tasks`
+    pattern) or tighten the blocking key upstream.
+    """
+    from stupidb_spark.operators.dedup import spread_small_scan
+
+    base = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("s"),
+    ).withColumn("__len", F.length("s"))
+    # The pair work is quadratic in block-band size while the INPUT is
+    # tiny — a one-file scan arrives as one partition, and a broadcast
+    # build side means no shuffle ever spreads it (measured at sf1: the
+    # whole 1.4e9-comparison join ran as a single task). Re-spread the
+    # probe side so every core gets a probe slice.
+    probe = spread_small_scan(base).withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.col("__len") - F.lit(max_dist),
+                F.col("__len") + F.lit(max_dist),
+            )
+        ),
+    )
+    build = base.withColumn("__band", F.col("__len"))
+    a, b = probe.alias("a"), build.alias("b")
+    dist = F.levenshtein(F.col("a.s"), F.col("b.s"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("a.block").eqNullSafe(F.col("b.block")))
+            & (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.block").alias("block"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )

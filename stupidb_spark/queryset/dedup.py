@@ -396,40 +396,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "fuzzy_match_names",
     """
+    -- The abs(length-diff) predicate is IMPLIED by levenshtein <= 2; it
+    -- is spelled out so DuckDB prunes size-incompatible pairs with a
+    -- cheap length compare before the edit-distance DP (the engine does
+    -- the same by joining on (brand, length band) — levenshtein_pairs).
     SELECT a.p_brand,
            count(*)                              AS n_pairs,
            CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist,
            CAST(max(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS max_dist
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
     WHERE levenshtein(a.p_name, b.p_name) <= 2
     GROUP BY a.p_brand
     """,
 )
 def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Blocked fuzzy string matching: candidate pairs form only WITHIN a
-    # blocking key (p_brand) — the standard way to keep edit-distance
-    # matching from going corpus-quadratic; within a block, levenshtein is
-    # a codegen'd JVM expression. Both engines implement classic
-    # Levenshtein, so the distance (and the pair set it gates) is exact.
+    # Blocked fuzzy string matching via levenshtein_pairs
+    # (operators/skew.py): candidate pairs form only within a blocking key
+    # (p_brand) — the standard way to keep edit-distance matching from
+    # going corpus-quadratic — with the length band folded into the join
+    # key. That banding is what makes the query scale-safe: the naive
+    # brand-only self-join planned sf1's 1.6e9 comparisons across 25 join
+    # keys (a near-single-task straggler); (brand, band) keys spread the
+    # same exact pair set across the cluster and the thresholded
+    # levenshtein early-exits past distance 2. Both engines implement
+    # classic Levenshtein, so the distance (and the pair set it gates) is
+    # exact.
+    from stupidb_spark.operators.skew import levenshtein_pairs
+
     parts = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name"
     )
-    a, b = parts.alias("a"), parts.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .filter(dist <= 2)
-        .groupBy(F.col("a.p_brand").alias("p_brand"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.min(dist).cast("long").alias("min_dist"),
-            F.max(dist).cast("long").alias("max_dist"),
-        )
+    pairs = levenshtein_pairs(
+        parts,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_col="p_brand",
+        max_dist=2,
+    )
+    return pairs.groupBy(F.col("block").alias("p_brand")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("dist").alias("min_dist"),
+        F.max("dist").alias("max_dist"),
     )
 
 
