@@ -1592,6 +1592,7 @@ def agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS max_dist
              FROM part a JOIN part b
                ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+                  AND abs(length(a.p_name) - length(b.p_name)) <= 2
              WHERE levenshtein(a.p_name, b.p_name) <= 2
              GROUP BY a.p_brand)
     SELECT 'nullsafe' AS section, coalesce(type_key, '<null>') AS grp_key,
@@ -1629,21 +1630,24 @@ def join_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_type").alias("hi"),
         )
     )
+    # Same length-banded levenshtein_pairs engine as fuzzy_match_names —
+    # the naive brand-only self-join was the sf1 single-task straggler.
+    from stupidb_spark.operators.skew import levenshtein_pairs
+
     parts = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = parts.alias("a"), parts.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     fuzzy = (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        levenshtein_pairs(
+            parts,
+            id_col="p_partkey",
+            text_col="p_name",
+            block_col="p_brand",
+            max_dist=2,
         )
-        .filter(dist <= 2)
-        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .groupBy(F.col("block").alias("p_brand"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.min(dist).cast("long").alias("min_dist"),
-            F.max(dist).cast("long").alias("max_dist"),
+            F.min("dist").alias("min_dist"),
+            F.max("dist").alias("max_dist"),
         )
         .select(
             F.lit("fuzzy").alias("section"),
