@@ -79,8 +79,17 @@ def _run_staged_stream(
     stream = stream_reader(spark, ingest, max_files_per_trigger=1)
     out = os.path.join(root, "out")
     if complete_final:
+        # State partitioning sized to the rollup, not inherited from the
+        # session's batch tuning: one state store per shuffle partition
+        # per micro-batch means an inherited wide-cluster 2000 multiplies
+        # pure overhead on a dashboard-cardinality aggregate (22× on the
+        # fan-out proxy before this pin; see run_complete_to_parquet_epochs).
         run_complete_to_parquet_epochs(
-            build(stream), out, checkpoint_dir=os.path.join(root, "ck")
+            build(stream),
+            out,
+            checkpoint_dir=os.path.join(root, "ck"),
+            state_partitions=spark.sparkContext.defaultParallelism,
+            max_sink_files=8,
         )
         final = max(
             int(d.split("=", 1)[1])

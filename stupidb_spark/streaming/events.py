@@ -395,6 +395,8 @@ def run_complete_to_parquet_epochs(
     path: str,
     *,
     checkpoint_dir: str,
+    state_partitions: int | None = None,
+    max_sink_files: int = 32,
 ) -> None:
     """COMPLETE-mode variant of :func:`run_to_parquet_idempotent` for
     streaming AGGREGATIONS: each micro-batch writes the FULL current
@@ -413,22 +415,49 @@ def run_complete_to_parquet_epochs(
     streams use the watermarked append route (:func:`tumbling_stream`
     through :func:`run_to_parquet_idempotent`), whose eviction semantics
     are pinned in tests/test_streaming.py.
+
+    **Partitioning is a deliberate choice here, not an inherited one.**
+    A streaming aggregation creates one state-store instance per shuffle
+    partition per micro-batch, and AQE never coalesces stateful stream
+    shuffles — so letting a batch-tuned ``spark.sql.shuffle.partitions``
+    (say 2000, the wide-cluster proxy) leak into a dashboard-sized
+    rollup's state multiplies fixed state/commit overhead by partition
+    count with zero data to amortize it (measured on the sf1 gate:
+    140.2 s at an inherited 2000 vs 6.3 s at 32 — 2000 state stores ×
+    4 batches plus 1,660 sink files per epoch). ``state_partitions``
+    pins the aggregation's state partitioning for the duration of the
+    run (the value a production job sizes to its GROUP CARDINALITY and
+    then keeps forever — state partitioning is locked into the
+    checkpoint); the epoch writer additionally coalesces each complete
+    snapshot to ≤ ``max_sink_files`` files, since a bounded-cardinality
+    result never needs thousands of tiny parquet files.
     """
+    spark = stream_df.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
+            batch_df.coalesce(max_sink_files)
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(path)
         )
 
-    (
-        stream_df.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            # Read at query START (this runner owns the checkpoint for the
+            # whole run, so the pinned value is self-consistent); restored
+            # before returning so batch plans in the session are untouched.
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        (
+            stream_df.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
