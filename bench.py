@@ -128,6 +128,10 @@ HEADLINE = [
     # now the oracled exact lane of the same rollup)
     "stream_events_tumbling",
     "agg_sketch_estimates",
+    # sliding/session events stream gates (complete-mode epoch sink; the
+    # session row times the cross-batch session-merge state machine)
+    "stream_events_sliding",
+    "stream_events_session",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.

@@ -121,6 +121,9 @@ PRIORITY: tuple[str, ...] = (
     # fallback: if stream_events_tumbling fails to register, _reorder
     # skips it and 51 promotes into the gate.
     "text_gopher_rules",
+    # round-12 post-gate additions (oracled; first driver rotation r13)
+    "stream_events_sliding",
+    "stream_events_session",
     "sample_split_leakproof",
     "dedup_cross_source_matrix",
     "emb_cov_matrix",

@@ -307,3 +307,96 @@ def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events,
         complete_final=True,
     )
+
+
+@q(
+    "stream_events_sliding",
+    f"""
+    -- Read-back of the SLIDING-window aggregation stream's final
+    -- COMPLETE-mode epoch: identical bucketing to the events_sliding
+    -- oracle (each event belongs to exactly two 1h/30min windows).
+    SELECT time_bucket(INTERVAL 30 MINUTES, ts) - k.off * INTERVAL 30 MINUTES
+               AS window_start,
+           count(*)             AS n_events,
+           {X.sql_dsum('value', 4)} AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1)) k(off)
+    GROUP BY 1
+    """,
+)
+def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows end-to-end, same harness as the tumbling gate:
+    3 staged files → one micro-batch each (overlapping-window state
+    carried across batches) → complete-mode epoch sink → final-epoch
+    read-back under the batch twin's DuckDB oracle."""
+    from stupidb_spark.streaming.events import sliding_stream, stream_events
+
+    events = load_table(spark, sf_dir, "events")
+    return _run_staged_stream(
+        "stream_events_sliding",
+        sf_dir,
+        events,
+        lambda s: sliding_stream(s),
+        stream_events,
+        complete_final=True,
+    )
+
+
+@q(
+    "stream_events_session",
+    f"""
+    -- Read-back of the SESSION-window aggregation stream's final
+    -- COMPLETE-mode epoch: gap-merge state carries across micro-batches
+    -- (sessions split across staged files must merge), so the final
+    -- epoch must equal the batch gaps-and-islands sessionization —
+    -- identical SQL to the events_session oracle.
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL 30 MINUTES
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                         AS session_start,
+           max(ts) + INTERVAL 30 MINUTES   AS session_end,
+           count(*)                        AS n_events,
+           {X.sql_dsum('value', 4)} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows end-to-end — the strongest of the events-family
+    stream gates: unlike tumbling/sliding (fixed buckets), session
+    windows MERGE state across micro-batches (an open session in batch 1
+    must absorb batch 3's events within the gap), so the final complete
+    epoch hash-matching the batch gaps-and-islands oracle proves the
+    cross-batch merge, not just per-bucket accumulation.
+
+    Scale contract: session cardinality grows with data (unlike the
+    window×type rollups), so the complete-mode form is the GATE's
+    correctness harness; production sessionization at corpus scale is
+    the watermarked APPEND route (``sessionized_stream`` with its
+    default watermark), whose eviction semantics are pinned in
+    tests/test_streaming.py."""
+    from stupidb_spark.streaming.events import sessionized_stream, stream_events
+
+    events = load_table(spark, sf_dir, "events")
+    return _run_staged_stream(
+        "stream_events_session",
+        sf_dir,
+        events,
+        # watermark=None: complete mode retains all session state, and the
+        # session operator's late-row filter would otherwise drop events
+        # from out-of-time-order micro-batches (see sessionized_stream).
+        lambda s: sessionized_stream(s, watermark=None),
+        stream_events,
+        complete_final=True,
+    )
