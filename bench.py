@@ -154,6 +154,32 @@ def _cpu_ticks() -> tuple[int, int]:
         return 0, 0
 
 
+def cpu_calibration(mib: int = 1024) -> float:
+    """Deterministic single-core workload (SHA-256 over ``mib`` MiB of
+    fixed bytes, 64 KiB at a time), timed in seconds. ~1 s on this box
+    when quiet.
+
+    Why (round-12 verdict, "What's wrong" #1): two quiet-flagged records
+    of IDENTICAL code drifted a uniform ~11% apart at steal <2% — the
+    hypervisor can slow the whole box without stealing whole jiffies, so
+    steal%% alone can't see a "slow box band". This probe's wall time is
+    a pure CPU-speed thermometer: cross-round like-for-like comparisons
+    divide totals by the ratio of calibration times to normalize out box
+    state (documented in BASELINE.md). Single-threaded on purpose — it
+    measures per-core speed, not scheduler contention — and allocation-
+    free in the loop so the number is stable run-to-run on a quiet box.
+    """
+    import hashlib
+
+    buf = bytes(range(256)) * 256  # 64 KiB, content fixed by construction
+    start = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(mib * 16):  # mib MiB / 64 KiB
+        h.update(buf)
+    h.hexdigest()
+    return round(time.perf_counter() - start, 4)
+
+
 def _default_quiet_probe() -> tuple[float, float]:
     """(loadavg-1m, CPU-steal %% over a 1 s window) — the two noise signals
     the post-run noise block already records, measured BEFORE the run."""
@@ -389,7 +415,13 @@ def main() -> None:
     # driver's bench cost unchanged.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
 
+    # Per-attempt CPU-speed thermometer (see cpu_calibration). Timed at the
+    # START of each attempt, while the executors are idle, so it reads box
+    # state rather than our own saturation.
+    calibrations: list[float] = []
+
     def timed_attempt() -> tuple[dict[str, float], dict[str, float]]:
+        calibrations.append(cpu_calibration())
         t: dict[str, float] = {}
         s_pct: dict[str, float] = {}
         for _pass in range(passes):
@@ -433,9 +465,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     noise = {
-        "loadavg_start": round(run_load, 2) if run_load is not None else None,
+        # SESSION-start foreign load (pre-warmup, pre-retries) — the field
+        # every pre-round-12 record means by this name; each retry
+        # attempt's own pre-attempt load lives in noise.attempts.
+        "loadavg_start": round(loadavg_start, 2)
+        if loadavg_start is not None
+        else None,
+        "loadavg_final_attempt": round(run_load, 2)
+        if run_load is not None
+        else None,
         "steal_pct_max": max(steal_pct.values()) if steal_pct else 0.0,
         "noisy": run_noisy,
+        # CPU-speed thermometer, one reading per attempt (timed on an idle
+        # box slice before that attempt's queries). `best` is the
+        # normalization divisor for cross-round like-for-like comparisons:
+        # ratio = (total_a / cal_a_best) / (total_b / cal_b_best)
+        # cancels uniform box-speed drift that steal%% can't see.
+        "calibration": {
+            "workload": "sha256-1GiB-1thread",
+            "secs": calibrations,
+            "best": min(calibrations) if calibrations else None,
+        },
         # Methodology provenance: per-query best-of across this many full
         # passes. A best-of-3 record must be distinguishable from a
         # single-pass one — resolve_record's identical-workload check and

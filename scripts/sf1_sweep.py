@@ -64,7 +64,7 @@ def main() -> int:
 
     failures: list[str] = []
     skips: list[str] = []
-    for name in names:
+    for pos, name in enumerate(names):
         t0 = time.perf_counter()
         sdf = QUERIES[name](spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
@@ -72,10 +72,16 @@ def main() -> int:
         cols = sorted(sdf.columns)
 
         result: dict = {}
+        # Per-query cursor: DuckDB connections are not safe for concurrent
+        # use, so a watchdog-interrupted query must not share its handle
+        # with the next one. A cursor() is a cheap child connection over
+        # the same catalog (the views are visible); interrupting it leaves
+        # the parent untouched.
+        qcon = con.cursor()
 
         def run_oracle() -> None:
             try:
-                cur = con.execute(ORACLES[name])
+                cur = qcon.execute(ORACLES[name])
                 result["rows"] = cur.fetchall()
                 result["names"] = [d[0] for d in cur.description]
             except Exception as e:  # interrupt lands here too
@@ -86,8 +92,17 @@ def main() -> int:
         th.start()
         th.join(budget)
         if th.is_alive():
-            con.interrupt()
+            qcon.interrupt()
             th.join(30)
+            if th.is_alive():
+                # The worker is wedged past interrupt: abort rather than
+                # run anything else concurrently with it. Remaining
+                # queries are recorded as skips so the log stays complete.
+                rest = names[pos:]
+                skips.extend(rest)
+                for r in rest:
+                    print(f"{r:28s} SKIP(sweep-aborted: wedged oracle)")
+                break
             print(
                 f"{name:28s} SKIP(oracle-timeout>{budget:.0f}s) "
                 f"spark={t_spark:.1f}s spark_rows={len(srows)}"

@@ -155,6 +155,11 @@ def levenshtein_pairs(
     giant block, compose the block key with a salt
     (:func:`~stupidb_spark.operators.similarity.salted_block_tasks`
     pattern) or tighten the blocking key upstream.
+
+    NULL blocks never match (plain SQL ``=`` join semantics, matching the
+    DuckDB oracles and the naive self-join this replaced): a row whose
+    ``block_col`` is NULL participates in no pair. Callers who want NULLs
+    compared must coalesce the block key to a sentinel first.
     """
     from stupidb_spark.operators.dedup import spread_small_scan
 
@@ -183,7 +188,7 @@ def levenshtein_pairs(
     return (
         a.join(
             b,
-            (F.col("a.block").eqNullSafe(F.col("b.block")))
+            (F.col("a.block") == F.col("b.block"))
             & (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.id") < F.col("b.id")),
         )

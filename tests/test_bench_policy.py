@@ -224,3 +224,16 @@ def test_steal_retry_foreign_load_alone_triggers_retry():
     assert not noisy and len(log) == 2
     assert log[0]["noisy"] and log[0]["loadavg_start"] == 4.2
     assert log[1]["loadavg_start"] == 0.3
+
+
+def test_cpu_calibration_deterministic_workload_and_positive():
+    from bench import cpu_calibration
+
+    # Tiny workload (16 MiB) keeps the unit test fast; the probe must be
+    # positive and two back-to-back readings of the same fixed workload
+    # must sit within a sane band of each other (it's a thermometer, not
+    # a random number). Wide 5x tolerance: CI boxes are noisy.
+    a = cpu_calibration(mib=16)
+    b = cpu_calibration(mib=16)
+    assert a > 0 and b > 0
+    assert max(a, b) / min(a, b) < 5.0
