@@ -69,6 +69,33 @@ _DUCK_SHINGLES = """
 # list-cross-join oracle was intractable at 50k docs regardless).
 COMPONENTS_DF_CAP = 128
 
+# Shared oracle fragment for the UNCAPPED exact audit forms
+# (dedup_ngram_jaccard / dedup_containment): inverted-index pair counting
+# with shingles mapped to dense integer ids first. Three formulations were
+# measured at sf1 (50k docs, Σdf²/2 = 128M candidate incidences):
+# the original all-pairs list_intersect cross join (1.25e9 list folds,
+# >300 s — the round-12 sweep skips), hash(shingle) join keys (149 s, and
+# a 64-bit collision would silently merge shingles), and this dense-id
+# form (19-21 s, exact by construction — the dictionary join replaces the
+# wide string key with a BIGINT before the quadratic stage). Same result
+# set as the cross-join form: pairs sharing zero shingles score 0 and
+# can never pass the thresholds, so the inverted index's "only docs
+# sharing a shingle ever meet" is a pure plan change. Yields CTEs ending
+# in `common(id_a, id_b, n_common)` + per-doc `n(doc_id, n_sh)`.
+_DUCK_UNCAPPED_COMMON = f"""
+    sh AS ({_DUCK_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+             FROM (SELECT DISTINCT shingle FROM ex)),
+    exi AS (SELECT doc_id, sid FROM ex JOIN dict USING (shingle)),
+    n AS (SELECT doc_id, count(*) AS n_sh FROM exi GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM exi a JOIN exi b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+"""
+
 # Shared oracle fragment: df-capped exact-Jaccard pairs as DuckDB SQL,
 # the semantic mirror of jaccard_pairs(max_doc_freq=COMPONENTS_DF_CAP).
 # Inverted-index formulation (per-shingle equi-join + count), NOT the
@@ -120,13 +147,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS ({_DUCK_SHINGLES}),
+    WITH {_DUCK_UNCAPPED_COMMON},
     pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common)
                    AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        FROM common JOIN n na ON na.doc_id = id_a
+                    JOIN n nb ON nb.doc_id = id_b
     )
     SELECT id_a, id_b, {X.sql_dround('jaccard')} AS jaccard
     FROM pairs WHERE jaccard >= 0.5
@@ -191,13 +218,13 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_containment",
     f"""
-    WITH sh AS ({_DUCK_SHINGLES}),
+    WITH {_DUCK_UNCAPPED_COMMON},
     pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / least(len(a.s), len(b.s)) AS containment
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(a.s) > 0 AND len(b.s) > 0
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / least(na.n_sh, nb.n_sh)
+                   AS containment
+        FROM common JOIN n na ON na.doc_id = id_a
+                    JOIN n nb ON nb.doc_id = id_b
     )
     SELECT id_a, id_b, {X.sql_dround('containment')} AS containment
     FROM pairs WHERE containment >= 0.6
@@ -558,21 +585,35 @@ _SEM_CENTROIDS = [
     [((i * 7 + j * 13) % 9 - 4) * 0.25 for i in range(_SEM_DIM)]
     for j in range(4)
 ]
+# 64-cell literal grid for the sf1-tractable exact lane
+# (dedup_semantic_grid64). The k=4 formula repeats with period 9 in j
+# (13 ≡ 4 mod 9), so a second mixing term keeps all 64 rows distinct —
+# asserted in tests/test_dedup.py. Values stay multiples of 0.25:
+# exactly representable, so the Python floats and the SQL literals
+# denote identical doubles.
+_SEM_CENTROIDS64 = [
+    [((i * 7 + j * 13 + (i * j) % 11) % 9 - 4) * 0.25 for i in range(_SEM_DIM)]
+    for j in range(64)
+]
 _S = f"{QUANT_SCALE:.1f}"
 
 
-def _sem_exact_sql() -> str:
+def _sem_exact_sql(centroids: list[list[float]] = _SEM_CENTROIDS) -> str:
     cents = "\n        UNION ALL ".join(
         f"SELECT {j} AS cell, [{', '.join(repr(x) for x in row)}]::DOUBLE[] AS c"
-        for j, row in enumerate(_SEM_CENTROIDS)
+        for j, row in enumerate(centroids)
     )
     qcos = (
         f"(CAST({sql_qdot('q.v', 'b.v')} AS DOUBLE) / {_S})"
         f" / (q.nrm * b.nrm)"
     )
+    # AS MATERIALIZED on every CTE the recursion (transitively) references:
+    # DuckDB inlines plain CTEs, so without it each `reach` iteration
+    # re-evaluates `edges` — and with it the whole within-cell qdot pair
+    # join — once per closure step (measured at sf1: >300 s → 11 s).
     return f"""
-    WITH RECURSIVE cents AS ({cents}),
-    e AS (
+    WITH RECURSIVE cents AS MATERIALIZED ({cents}),
+    e AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(CAST({sql_qdot("embedding::DOUBLE[]",
                                    "embedding::DOUBLE[]")} AS DOUBLE)
@@ -598,17 +639,17 @@ def _sem_exact_sql() -> str:
             FROM sims
         ) WHERE rn = 1
     ),
-    av AS (
+    av AS MATERIALIZED (
         SELECT a.vec_id, a.cell, a.centroid_sim, e.v, e.nrm
         FROM assign a JOIN e USING (vec_id)
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT q.vec_id AS id_a, b.vec_id AS id_b
         FROM av q JOIN av b
           ON q.cell = b.cell AND q.vec_id < b.vec_id
         WHERE {qcos} >= 0.4
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION SELECT id_b, id_a FROM pairs
     ),
@@ -656,6 +697,41 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         max_block=1024,
         centroids=np.array(_SEM_CENTROIDS, dtype=np.float64),
+        assign="quantized",
+    )
+    return out.select(
+        "vec_id",
+        "cell",
+        "component",
+        X.dround(F.col("centroid_sim"), 9).alias("centroid_sim"),
+        "keep",
+    )
+
+
+@q("dedup_semantic_grid64", _sem_exact_sql(_SEM_CENTROIDS64))
+def dedup_semantic_grid64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup_semantic_exact's sf1-tractable twin (round-12 verdict item 2):
+    # same fully-oracled SemDeDup pipeline, but over a 64-cell literal
+    # grid, so cell occupancy — and with it the Σcell²/2 pair volume BOTH
+    # engines pay — stays bounded as the corpus grows (20k vectors / 64
+    # cells ≈ 312/cell → ~3.1M oracle pairs at sf1, vs the k=4 lane's
+    # ~50M, which blows the sweep's 300 s DuckDB watchdog). This is the
+    # same occupancy-constant discipline knn_join derives automatically;
+    # here the grid is literal so the oracle replays it value-for-value.
+    # The k=4 lane stays registered: it exercises the giant-cell/salting
+    # regime at fixture scale, this lane carries the 10× hash evidence.
+    import numpy as np
+
+    from stupidb_spark.operators.semantic import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.4,
+        max_block=1024,
+        centroids=np.array(_SEM_CENTROIDS64, dtype=np.float64),
         assign="quantized",
     )
     return out.select(

@@ -426,6 +426,54 @@ def emb_knn_classify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_classify_pipeline(spark, sf_dir, n_cells=4, n_probe=4)
 
 
+@q(
+    "ann_knn_join_sampled",
+    f"""
+    WITH {_sql_emb_norm_cte()},
+    scored AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_sql_qcos_pair()} AS cosine_sim
+        FROM (SELECT * FROM e WHERE vec_id % 20 = 0) q
+        JOIN (SELECT * FROM e WHERE vec_id % 20 != 0) b ON TRUE
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id)
+                   AS "rank"
+        FROM scored
+    )
+    SELECT query_id, "rank", neighbor_id,
+           {X.sql_dround('cosine_sim')} AS cosine_sim
+    FROM ranked WHERE "rank" <= 5
+    """,
+)
+def ann_knn_join_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ann_knn_join_exact's sf1-tractable twin (round-12 verdict item 2):
+    # the identical exact-mode distributed plan (n_probe = n_cells — every
+    # query scores every base row), but kNN OF A SAMPLED QUERY SUBSET
+    # (vec_id % 20) against the rest of the corpus, so the oracle's pair
+    # volume is n/20 × n instead of n² and stays DuckDB-tractable at any
+    # fixture scale (sf1: 1k × 19k = 1.9e7 pairs ≈ 45 s, vs the full
+    # lane's 4e8 which blows the sweep's 300 s watchdog). The full lane
+    # stays registered for the sf0.01 driver gate; this lane carries the
+    # 10× hash evidence. Disjoint query/base split mirrors
+    # emb_knn_classify_exact — no self-pair rule to re-encode in SQL.
+    from stupidb_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        id_col="vec_id", vec_col="embedding",
+        k_neighbors=5, n_cells=4, n_probe=4,
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id",
+        X.dround("cosine_sim").alias("cosine_sim"),
+    )
+
+
 # --- emb_kmeans_refine: corpus-scale Lloyd refinement, fully oracled -------
 # A LITERAL starting quantizer (multiples of 0.25 — exactly representable,
 # so the Python floats and the SQL text denote identical doubles), shared

@@ -626,3 +626,16 @@ def test_jaccard_size_ratio_prefilter_is_exact(spark):
     # (1,2) at exactly 0.5 kept; (1,3) at 4/9 and (2,3) at 8/9 -> only
     # (2,3) also qualifies (8/9 >= 0.5)
     assert got == [(1, 2), (2, 3)], got
+
+
+def test_sem_centroid_grids_distinct_and_exactly_representable():
+    """The literal quantizer grids must have pairwise-distinct rows (a
+    duplicate centroid would silently produce a dead cell via the
+    assignment tie-break) and every value a multiple of 0.25, so the
+    Python floats and the SQL literals denote identical doubles."""
+    from stupidb_spark.queryset.dedup import _SEM_CENTROIDS, _SEM_CENTROIDS64
+
+    for grid in (_SEM_CENTROIDS, _SEM_CENTROIDS64):
+        rows = [tuple(r) for r in grid]
+        assert len(set(rows)) == len(rows)
+        assert all(x * 4 == int(x * 4) for r in rows for x in r)
