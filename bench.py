@@ -132,6 +132,9 @@ HEADLINE = [
     # session row times the cross-batch session-merge state machine)
     "stream_events_sliding",
     "stream_events_session",
+    # round-13: the production sessionization route — watermarked APPEND
+    # mode over time-ordered batches (state evicted as sessions finalize)
+    "stream_events_session_append",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.

@@ -50,6 +50,45 @@ from pyspark.sql import functions as F
 
 from stupidb_spark.operators.lineage import cut_lineage
 
+# Driver fast-path bound for connected_components: a thresholded dedup
+# pair graph is usually FAR smaller than the corpus that produced it, and
+# below this many (symmetrized) edge rows the transitive closure is a
+# bounded model-state computation, not a distributed one — two longs per
+# row, ≤ ~64 MB at the bound, same boundedness class as the IVF centroid
+# stats or the BPE merge table. Above the bound the iterative engines run
+# unchanged (a boilerplate-heavy 100 TB crawl can emit billions of pairs).
+# Why it exists: each distributed label round costs 1-2 shuffle jobs of
+# FIXED latency, so a 20k-edge graph paid 8-11 s of pure round overhead at
+# sf1 (measured round 13) vs ~0.1 s of driver union-find.
+DRIVER_MAX_EDGE_ROWS = 4_000_000
+
+
+def _driver_components(u: list[int], v: list[int]) -> dict[int, int]:
+    """Union-find with union-by-min over an edge list: returns
+    node → min reachable id. Attaching the larger root under the smaller
+    keeps every root the minimum of its set, so ``find`` IS the
+    min-reachable-id label the distributed engines compute — equality
+    pinned by the engine differentials in tests/test_components.py."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        # path compression
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(u, v):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
 
 def connected_components(
     edges: DataFrame,
@@ -59,6 +98,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iterations: int = 25,
     propagation_rounds: int = 5,
+    driver_max_edge_rows: int | None = None,
 ) -> DataFrame:
     """Resolve ``edges`` (undirected, any orientation) into components.
 
@@ -67,13 +107,21 @@ def connected_components(
     occur in ``edges`` — pass ``nodes`` (a one-column DataFrame) to include
     isolated nodes, which keep their own id as the component.
 
-    Engine auto-selection: min-label propagation advances one hop per round,
-    so it wins on the common case (dense little dup clusters) but loses to a
-    long chain. If the label set is still changing after
-    ``propagation_rounds`` rounds, the call falls back to
-    :func:`connected_components_star` (O(log n) rounds regardless of
-    diameter) on the original edges — identical results either way, pinned
-    by the differential tests in ``tests/test_components.py``.
+    Engine auto-selection, smallest-cost first:
+
+    1. **Driver union-find** when the symmetrized edge set is within
+       ``driver_max_edge_rows`` (default :data:`DRIVER_MAX_EDGE_ROWS`;
+       0 disables) — a thresholded dup graph is bounded model state at
+       that size, and the distributed rounds' fixed job latency dominated
+       small graphs (measured 8-11 s for 20k edges at sf1 → ~0.3 s).
+    2. **Min-label propagation** otherwise — advances one hop per round,
+       wins on dense little dup clusters.
+    3. **Star contraction** (:func:`connected_components_star`, O(log n)
+       rounds regardless of diameter) if propagation hasn't converged
+       within ``propagation_rounds`` — adversarial long chains.
+
+    Identical results from all three, pinned by the differential tests in
+    ``tests/test_components.py``.
 
     >>> e = spark.createDataFrame([(2, 1), (2, 3), (9, 8)], "src long, dst long")
     >>> connected_components(e).orderBy("node").show()
@@ -99,6 +147,40 @@ def connected_components(
     # recompute sym before its partitions land) — only the per-round `labels`
     # checkpoint stays lazy, where the single count() action materializes it.
     sym = cut_lineage(sym)
+
+    # Bounded driver fast path (see DRIVER_MAX_EDGE_ROWS): sym is already
+    # materialized by the eager checkpoint above, so the count reads local
+    # partitions — the pair pipeline is never recomputed for the probe.
+    # None defers to the module constant at CALL time (0 disables), so
+    # tests can pin a specific engine by monkeypatching it.
+    if driver_max_edge_rows is None:
+        driver_max_edge_rows = DRIVER_MAX_EDGE_ROWS
+    if driver_max_edge_rows > 0 and sym.count() <= driver_max_edge_rows:
+        pdf = sym.toPandas()  # bounded: ≤ driver_max_edge_rows rows × 2 longs
+        comp = _driver_components(
+            pdf["u"].to_list(), pdf["v"].to_list()
+        )
+        spark = edges.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = sym.schema["u"].dataType  # caller's id type, verbatim
+        labels = spark.createDataFrame(
+            list(comp.items()),
+            StructType(
+                [
+                    StructField("node", id_type, False),
+                    StructField("component", id_type, False),
+                ]
+            ),
+        )
+        if nodes is not None:
+            all_nodes = nodes.select(
+                F.col(nodes.columns[0]).alias("node")
+            ).distinct()
+            labels = all_nodes.join(labels, "node", "left").select(
+                "node", F.coalesce("component", F.col("node")).alias("component")
+            )
+        return labels
 
     # Propagate over edge-participating nodes ONLY. In a dedup graph almost
     # every document is a singleton — iterating over all of them would put

@@ -52,18 +52,115 @@ from stupidb_spark.queryset import streamgate  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # --- gate slots 1-50 (ROUND-12 rotation; ledger in CHANGELOG.md) ---
-    # Composition: flagship tpch_q1; the three streaming end-to-end gates
-    # plus the NEW round-12 stretch gate (stream_events_tumbling — the
-    # events family through a real 3-batch stream + sink + read-back under
-    # the batch twin's DuckDB oracle); agg_sketch_rollup, NOW ORACLED via
-    # its exact n_rows lane (round-11 verdict item 2 — zero no_oracle rows
-    # in this gate); and ALL 44 r9-stale oracled queries owed since round 9
-    # (the core verb surface: joins/sorts/setops/filters/projections, the
-    # r9 window rows, the UDAF rows, events_tumbling/events_session, and
-    # tpch_q9/q10/q13/q15). After this round every oracled query's freshest
-    # driver row is r10-r12.
+    # --- gate slots 1-50 (ROUND-13 rotation; ledger in CHANGELOG.md) ---
+    # Composition: flagship tpch_q1; the 42 owed rows (all 40 r10-stale
+    # oracled queries + the two round-12 stream gates that had sweep/sf1
+    # oracle evidence but zero driver rows: stream_events_sliding/session);
+    # the three NEW round-13 oracled queries (the watermarked APPEND
+    # session route, the sampled exact-kNN lane, the 64-cell SemDeDup
+    # grid); the two audit-form pair queries whose oracles were rewritten
+    # this round (fresh stamps under the new inverted-index SQL); and the
+    # two oldest r11 rows as fill. After this round every oracled query's
+    # freshest driver row is r11-r13.
     "tpch_q1",
+    "stream_events_sliding",
+    "stream_events_session",
+    "stream_events_session_append",
+    "ann_knn_join_sampled",
+    "dedup_semantic_grid64",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "sketch_events_daily",
+    "asof_join_orders",
+    "text_gopher_rules",
+    "sample_split_leakproof",
+    "dedup_cross_source_matrix",
+    "emb_cov_matrix",
+    "dedup_canonical",
+    "agg_pivot_priority",
+    "agg_pivot_unpivot",
+    "agg_unpivot_measures",
+    "asof_join_forward",
+    "chunk_documents",
+    "emb_label_centroids",
+    "events_attribution",
+    "events_props_json",
+    "events_props_running",
+    "events_sessionize_window",
+    "fuzzy_match_names",
+    "join_extras",
+    "join_null_safe",
+    "join_skew_replicate",
+    "mixture_epochs",
+    "prep_winsorize",
+    "sample_weighted",
+    "text_fingerprint_md5",
+    "text_fingerprint_rolling",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf_topterm",
+    "text_token_stats",
+    "tpch_q17",
+    "tpch_q18",
+    "win_navigation",
+    "win_dynamic_frame",
+    "win_whole_partition",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "agg_median_disc",
+    "distinct_rows",
+    "events_sliding",
+    # --- 51+ ---
+    # Rotation ledger: after the round-13 gate stamps, the oldest driver
+    # rows are the r11 cohort below (oldest-first — round 14 pulls from
+    # the top of this list), then the r12 cohort, then the rows-only
+    # tail. batch_shaping at 51 doubles as the graceful fallback: if a
+    # new gate query fails to register, _reorder skips it and 51
+    # promotes into the gate.
+    "batch_shaping",
+    "contamination_ngram",
+    "dedup_embedding_cosine",
+    "dedup_jaccard_capped",
+    "join_fact_fact",
+    "pack_sequences",
+    "pipeline_prep",
+    "project_datetime",
+    "sample_group_topk",
+    "sample_stratified",
+    "text_dup_spans",
+    "text_entropy",
+    "text_lm_backoff",
+    "text_lm_perplexity",
+    "text_rarity_score",
+    "text_strip_dup_spans",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "win_multiple",
+    "win_rows_bounded",
+    "win_stat_frames",
+    "ann_knn_join_exact",
+    "emb_knn_classify_exact",
+    "dedup_semantic_exact",
+    "ann_topk_bruteforce",
+    "pipeline_training_mix",
+    "emb_kmeans_refine",
+    "dedup_components",
+    # r12-fresh cohort (rotated out of the gate this round)
     "stream_quality_gate",
     "stream_knn_label",
     "stream_knn_label_join",
@@ -113,102 +210,6 @@ PRIORITY: tuple[str, ...] = (
     "win_rank",
     "win_running_distinct",
     "win_running_sum",
-    # --- 51+ ---
-    # Rotation ledger: after the round-12 gate stamps, the oldest driver
-    # rows are the r10 cohort below (oldest-first — round 13 pulls from
-    # the top of this list), then the r11-fresh cohort, then the
-    # rows-only tail. text_gopher_rules at 51 doubles as the graceful
-    # fallback: if stream_events_tumbling fails to register, _reorder
-    # skips it and 51 promotes into the gate.
-    "text_gopher_rules",
-    # round-12 post-gate additions (oracled; first driver rotation r13)
-    "stream_events_sliding",
-    "stream_events_session",
-    "sample_split_leakproof",
-    "dedup_cross_source_matrix",
-    "emb_cov_matrix",
-    "dedup_canonical",
-    "agg_pivot_priority",
-    "agg_pivot_unpivot",
-    "agg_unpivot_measures",
-    "asof_join_forward",
-    "chunk_documents",
-    "emb_label_centroids",
-    "events_attribution",
-    "events_props_json",
-    "events_props_running",
-    "events_sessionize_window",
-    "fuzzy_match_names",
-    "join_extras",
-    "join_null_safe",
-    "join_skew_replicate",
-    "mixture_epochs",
-    "prep_winsorize",
-    "sample_weighted",
-    "text_fingerprint_md5",
-    "text_fingerprint_rolling",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf_topterm",
-    "text_token_stats",
-    "tpch_q17",
-    "tpch_q18",
-    "win_navigation",
-    "win_dynamic_frame",
-    "win_whole_partition",
-    "agg_having",
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "agg_median_disc",
-    "distinct_rows",
-    "events_sliding",
-    # r11-fresh cohort (rotated out of the gate this round)
-    "sketch_events_daily",
-    "asof_join_orders",
-    "batch_shaping",
-    "contamination_ngram",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_jaccard_capped",
-    "dedup_ngram_jaccard",
-    "join_fact_fact",
-    "pack_sequences",
-    "pipeline_prep",
-    "project_datetime",
-    "sample_group_topk",
-    "sample_stratified",
-    "text_dup_spans",
-    "text_entropy",
-    "text_lm_backoff",
-    "text_lm_perplexity",
-    "text_rarity_score",
-    "text_strip_dup_spans",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "win_multiple",
-    "win_rows_bounded",
-    "win_stat_frames",
-    "ann_knn_join_exact",
-    "emb_knn_classify_exact",
-    "dedup_semantic_exact",
-    "ann_topk_bruteforce",
-    "pipeline_training_mix",
-    "emb_kmeans_refine",
-    "dedup_components",
     # rows-only / approximate tail
     "agg_sketch_estimates",
     "agg_approx_sketch",

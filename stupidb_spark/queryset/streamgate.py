@@ -105,6 +105,66 @@ def _run_staged_stream(
     return spark.read.parquet(out).drop("batch_id")
 
 
+def _run_staged_stream_ordered(
+    name: str,
+    sf_dir: str,
+    staged: DataFrame,
+    build,
+    stream_reader,
+    *,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Append-mode variant of :func:`_run_staged_stream` with TIME-ORDERED
+    staging: rows are split into ``_N_INGEST_FILES`` contiguous ranges of
+    the total ``order_cols`` order, written as one file each with
+    ascending mtimes so the file source replays them in time order. With
+    ordered batches the late-row filter (which lags the eviction
+    watermark by one batch, SPARK-24634) can never drop a row, so the
+    append-mode emitted set is exactly the batch result restricted to
+    watermark-finalized windows — the production eviction semantics the
+    complete-mode gates deliberately bypass.
+
+    Harness cost note: the split uses a global row_number (one-task sort
+    of the fixture slice) — fine for a gate; production ingest is already
+    time-ordered by arrival and never pays this.
+    """
+    import glob
+
+    from pyspark.sql import Window
+
+    spark = staged.sparkSession
+    root = os.path.join(
+        _SCRATCH, f"{name}-{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ingest = os.path.join(root, "ingest")
+    os.makedirs(ingest)
+    n = staged.count()
+    ranked = staged.withColumn(
+        "__rn", F.row_number().over(Window.orderBy(*order_cols))
+    )
+    bounds = [
+        (i * n + _N_INGEST_FILES - 1) // _N_INGEST_FILES
+        for i in range(_N_INGEST_FILES + 1)
+    ]
+    for i in range(_N_INGEST_FILES):
+        part = ranked.filter(
+            (F.col("__rn") > bounds[i]) & (F.col("__rn") <= bounds[i + 1])
+        ).drop("__rn")
+        tmp = os.path.join(root, f"_tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(ingest, f"batch-{i}.parquet")
+        os.rename(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        # FileStreamSource orders new files by modification time; pin it.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = stream_reader(spark, ingest, max_files_per_trigger=1)
+    out = os.path.join(root, "out")
+    run_to_parquet_idempotent(
+        build(stream), out, checkpoint_dir=os.path.join(root, "ck")
+    )
+    return spark.read.parquet(out).drop("batch_id")
+
+
 @q(
     "stream_quality_gate",
     f"""
@@ -220,11 +280,17 @@ def stream_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     reference = emb.filter(F.col("vec_id") % 5 != 0)
     queries = emb.filter(F.col("vec_id") % 5 == 0).drop("label")
+    spark_parallelism = spark.sparkContext.defaultParallelism
     return _run_staged_stream(
         "stream_knn_label",
         sf_dir,
         queries,
-        lambda s: knn_label_stream(s, reference, k_neighbors=5),
+        # spread_partitions: each staged file arrives as ONE partition, so
+        # without it the whole quantized-scoring pass for a micro-batch
+        # runs on one core (measured at sf1: 10 s -> 2.1 s per batch).
+        lambda s: knn_label_stream(
+            s, reference, k_neighbors=5, spread_partitions=spark_parallelism
+        ),
         stream_embeddings,
     )
 
@@ -399,4 +465,74 @@ def stream_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: sessionized_stream(s, watermark=None),
         stream_events,
         complete_final=True,
+    )
+
+
+@q(
+    "stream_events_session_append",
+    f"""
+    -- Read-back of the PRODUCTION sessionization route: watermarked
+    -- APPEND mode over time-ordered micro-batches. Append emits a
+    -- session exactly once, when the event-time watermark passes its
+    -- end; after availableNow drains the staged files the final no-data
+    -- micro-batch advances the watermark to max(ts) - 1h (delay), so
+    -- the emitted set is the batch gaps-and-islands sessionization
+    -- restricted to FINALIZED sessions: session_end <= max(ts) - 1h.
+    -- The boundary is INCLUSIVE (a session whose end equals the final
+    -- watermark is emitted) — pinned end-to-end in
+    -- tests/test_streaming.py::test_session_append_emits_at_exact_watermark_boundary.
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL 30 MINUTES
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id,
+               min(ts)                         AS session_start,
+               max(ts) + INTERVAL 30 MINUTES   AS session_end,
+               count(*)                        AS n_events,
+               {X.sql_dsum('value', 4)} AS total_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    )
+    SELECT * FROM sessions
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def stream_events_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked APPEND sessionization route end-to-end — the
+    production path at corpus scale (state is EVICTED as the watermark
+    passes each session, so memory is O(open sessions), unlike the
+    complete-mode gate's retain-everything harness). Events staged as 3
+    time-ordered files → one micro-batch each (open sessions merge
+    across batch boundaries in state) → ``sessionized_stream`` with its
+    default 1h watermark, append mode → idempotent parquet sink →
+    read-back of every emitted epoch.
+
+    With time-ordered staging the late-row filter never fires, so the
+    emitted set is deterministic: exactly the sessions the final
+    watermark (max event time − 1h, advanced by the trailing no-data
+    micro-batch) finalized. The oracle replays the batch gaps-and-islands
+    sessionization under that same restriction; sessions still open at
+    the watermark are the ABSENCE the gate checks (they never reach the
+    sink). Emission semantics pinned in tests/test_streaming.py, end-to-
+    end here at fixture scale."""
+    from stupidb_spark.streaming.events import sessionized_stream, stream_events
+
+    events = load_table(spark, sf_dir, "events")
+    return _run_staged_stream_ordered(
+        "stream_events_session_append",
+        sf_dir,
+        events,
+        lambda s: sessionized_stream(s),
+        stream_events,
     )

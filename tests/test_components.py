@@ -67,9 +67,17 @@ def test_star_components_match_propagation_on_random_graphs(spark):
             for _ in range(rng.randint(1, 60))
         ]
         e = spark.createDataFrame(rows, "src long, dst long")
+        # three engines, one answer: driver union-find (the default at
+        # this size), min-label propagation (fast path disabled), star
         a = sorted(map(tuple, connected_components(e).collect()))
+        p = sorted(
+            map(
+                tuple,
+                connected_components(e, driver_max_edge_rows=0).collect(),
+            )
+        )
         b = sorted(map(tuple, connected_components_star(e).collect()))
-        assert a == b, rows
+        assert a == b == p, rows
 
 
 def test_star_components_collapse_long_chain(spark):
@@ -93,7 +101,9 @@ def test_default_entry_escalates_to_star_on_long_path(spark):
     e = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "src long, dst long"
     )
-    out = _labels(connected_components(e))
+    # driver_max_edge_rows=0: force the distributed engines so the test
+    # still exercises propagation -> star escalation
+    out = _labels(connected_components(e, driver_max_edge_rows=0))
     assert len(out) == 64
     assert set(out.values()) == {0}
 
@@ -104,7 +114,7 @@ def test_escalation_preserves_isolated_nodes(spark):
         [(i, i + 1) for i in range(30)], "src long, dst long"
     )
     nodes = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
-    out = _labels(connected_components(e, nodes=nodes))
+    out = _labels(connected_components(e, nodes=nodes, driver_max_edge_rows=0))
     assert len(out) == 40
     for i in range(31):
         assert out[i] == 0
@@ -115,7 +125,9 @@ def test_escalation_preserves_isolated_nodes(spark):
 def test_real_dedup_graph_never_escalates(spark, monkeypatch):
     # dup-cluster graphs (small, dense) must converge inside the 5-round
     # propagation budget — the star fallback exists for adversarial chains
-    # only, so the gate query's plan cost is unchanged by the auto-select
+    # only, so the gate query's plan cost is unchanged by the auto-select.
+    # DRIVER_MAX_EDGE_ROWS=0 pins the PROPAGATION engine (the fixture
+    # graph is far under the driver fast-path bound otherwise).
     import stupidb_spark.operators.components as C
     from stupidb_spark.queryset import QUERIES
     from tests.conftest import SF_DIR
@@ -124,6 +136,7 @@ def test_real_dedup_graph_never_escalates(spark, monkeypatch):
         raise AssertionError("star fallback fired on a dedup-shaped graph")
 
     monkeypatch.setattr(C, "connected_components_star", _boom)
+    monkeypatch.setattr(C, "DRIVER_MAX_EDGE_ROWS", 0)
     assert QUERIES["dedup_components"](spark, SF_DIR).count() > 0
 
 

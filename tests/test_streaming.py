@@ -633,3 +633,58 @@ def test_watermark_finalizes_windows_and_drops_late_rows(spark):
         assert got == {("10:00", 3), ("11:00", 1)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_session_append_emits_at_exact_watermark_boundary(spark):
+    """Pins the emission rule stream_events_session_append's oracle
+    encodes: in append mode a session is emitted when the final
+    event-time watermark passes its end INCLUSIVELY (end == watermark
+    emits), and the trailing no-data micro-batch advances the watermark
+    to max(ts) - delay even though no data batch follows.
+
+    Construction: user 7's lone 10:00 event makes a session ending
+    exactly 10:30; user 8's 11:30 event sets the final watermark to
+    exactly 10:30 (1h delay). The 10:30 == 10:30 session must emit; user
+    8's own open session must not."""
+    import datetime as dt
+    import glob
+    import os
+
+    from stupidb_spark.streaming.events import (
+        FIXTURE_SCHEMAS,
+        run_to_parquet_idempotent,
+    )
+
+    d = SCRATCH / f"stream-sessb-{uuid.uuid4().hex[:8]}"
+    ingest = d / "ingest"
+    ingest.mkdir(parents=True)
+    try:
+        rows = [
+            (1, dt.datetime(2026, 1, 15, 10, 0), 7, "click", 1.0, None),
+            (2, dt.datetime(2026, 1, 15, 11, 30), 8, "click", 1.0, None),
+        ]
+        df = spark.createDataFrame(rows, FIXTURE_SCHEMAS["events"])
+        tmp = d / "_tmp"
+        df.coalesce(1).write.parquet(str(tmp))
+        os.rename(
+            glob.glob(str(tmp / "part-*.parquet"))[0],
+            str(ingest / "batch-0.parquet"),
+        )
+        stream = stream_events(spark, str(ingest), max_files_per_trigger=1)
+        out = str(d / "out")
+        run_to_parquet_idempotent(
+            sessionized_stream(stream), out, checkpoint_dir=str(d / "ck")
+        )
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [
+            (
+                7,
+                dt.datetime(2026, 1, 15, 10, 0),
+                dt.datetime(2026, 1, 15, 10, 30),
+            )
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
