@@ -135,6 +135,9 @@ HEADLINE = [
     # round-13: the production sessionization route — watermarked APPEND
     # mode over time-ordered batches (state evicted as sessions finalize)
     "stream_events_session_append",
+    # round-13: the multimodal family's hash-comparable lane (full
+    # synthesize -> encode -> decode byte round-trip per modality)
+    "multimodal_features_exact",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.

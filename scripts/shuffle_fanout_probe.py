@@ -46,6 +46,14 @@ QUERIES_TO_RUN = [
     # corpus Lloyd refine) alongside dedup_components/dedup_semantic —
     # the r11 checkpoint-truncation fix must hold at 2000 partitions
     "stream_events_tumbling",
+    # round-13 paths: the sliding/session complete-mode gates at their
+    # production shapes (state_partitions pinned per the r12 22× fix) and
+    # the watermarked APPEND session route (state evicted as sessions
+    # finalize — the state store count must track open sessions, not the
+    # inherited shuffle width)
+    "stream_events_sliding",
+    "stream_events_session",
+    "stream_events_session_append",
     "emb_kmeans_refine",
     "pipeline_training_mix",
     "ann_knn_join",

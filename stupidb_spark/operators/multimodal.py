@@ -169,10 +169,15 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, float]:
         raise ValueError(
             f"unsupported WAV variant (fmt={audio_format}, ch={channels}, bits={bits})"
         )
+    import math
+
     n = len(data) // 2
     samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
-    # exact integer sum of squares → one float divide/sqrt: deterministic
-    rms = float((int((samples * samples).sum()) / n) ** 0.5) if n else 0.0
+    # exact integer sum of squares → one exact divide + math.sqrt, which
+    # IEEE 754 requires to be correctly rounded — unlike `** 0.5` (libm
+    # pow), which measured 1-ulp differences on 42 of 66k fixture inputs
+    # and would break cross-engine value comparison
+    rms = math.sqrt(int((samples * samples).sum()) / n) if n else 0.0
     return sample_rate, n, n * 1000 // sample_rate, rms
 
 
@@ -382,6 +387,54 @@ def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
 
     return media.filter(F.col("meta.modality") == "video").mapInPandas(
         sample, out_schema
+    )
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def video_stats(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Scalar per-video decode stats: real container parse
+    (:func:`decode_y4m`) → frame count plus the exact mean luma over every
+    ``every_k``-th frame's w·h bytes (exact int64 sum → one IEEE divide,
+    so the value is identical on any engine — the multimodal family's
+    hash-comparable lane)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode_y4m(bytes(payload))
+                kept = frames[::every_k]
+                total = sum(
+                    int(np.frombuffer(fr, dtype=np.uint8).astype(np.int64).sum())
+                    for fr in kept
+                )
+                mean = total / (len(kept) * w * h) if kept else 0.0
+                out.append((doc_id, w, h, len(frames), len(kept), mean))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "n_sampled",
+                    "mean_luma",
+                ],
+            )
+
+    return media.filter(F.col("meta.modality") == "video").mapInPandas(
+        stats, VIDEO_STATS_SCHEMA
     )
 
 

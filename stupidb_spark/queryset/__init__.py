@@ -58,10 +58,10 @@ PRIORITY: tuple[str, ...] = (
     # oracle evidence but zero driver rows: stream_events_sliding/session);
     # the three NEW round-13 oracled queries (the watermarked APPEND
     # session route, the sampled exact-kNN lane, the 64-cell SemDeDup
-    # grid); the two audit-form pair queries whose oracles were rewritten
-    # this round (fresh stamps under the new inverted-index SQL); and the
-    # two oldest r11 rows as fill. After this round every oracled query's
-    # freshest driver row is r11-r13.
+    # grid, the multimodal exact lane); the two audit-form pair queries
+    # whose oracles were rewritten this round (fresh stamps under the new
+    # inverted-index SQL); and the oldest r11 row as fill. After this
+    # round every oracled query's freshest driver row is r11-r13.
     "tpch_q1",
     "stream_events_sliding",
     "stream_events_session",
@@ -70,8 +70,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_semantic_grid64",
     "dedup_ngram_jaccard",
     "dedup_containment",
+    "multimodal_features_exact",
     "sketch_events_daily",
-    "asof_join_orders",
     "text_gopher_rules",
     "sample_split_leakproof",
     "dedup_cross_source_matrix",
@@ -119,6 +119,7 @@ PRIORITY: tuple[str, ...] = (
     # tail. batch_shaping at 51 doubles as the graceful fallback: if a
     # new gate query fails to register, _reorder skips it and 51
     # promotes into the gate.
+    "asof_join_orders",
     "batch_shaping",
     "contamination_ngram",
     "dedup_embedding_cosine",

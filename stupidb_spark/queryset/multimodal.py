@@ -99,3 +99,149 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("norm"), 6).alias("max_norm"),
         )
     )
+
+
+def _sql_digest_bytes(key_expr: str) -> str:
+    """DuckDB fragment: the 32 bytes of ``sha256(key_expr)`` as an int
+    list, parsed from the hex text two chars at a time (DuckDB exposes no
+    blob byte indexing). Mirrors ``operators.multimodal._rand_bytes``'s
+    seed; cyclic repetition is handled by the callers' modular sums."""
+    # lambda variable deliberately NOT `i`/`k`: the video branch nests this
+    # inside a frame-index lambda, and DuckDB scoping would let an inner
+    # `i` shadow the outer frame index inside key_expr (observed: every
+    # video signal silently wrong before the rename)
+    return (
+        "list_transform(range(1, 33), bi ->"
+        f" (strpos('0123456789abcdef', sha256({key_expr})[2*bi-1:2*bi-1]) - 1) * 16"
+        f" + (strpos('0123456789abcdef', sha256({key_expr})[2*bi:2*bi]) - 1))"
+    )
+
+
+_MM_EXACT_SQL = f"""
+    -- Independent re-derivation of every decoded multimodal scalar: the
+    -- synthetic payloads are pure functions of doc_id (sha256-seeded bytes
+    -- in closed form), so DuckDB recomputes the DECODED values without
+    -- parsing a single container byte, while the Spark side round-trips
+    -- real BMP/WAV/y4m bytes (synthesize -> encode -> decode). A hash
+    -- match therefore certifies the whole encode+decode byte path.
+    WITH img AS (
+        SELECT doc_id,
+               8 + doc_id % 9          AS w,
+               8 + (doc_id // 9) % 9   AS h,
+               {_sql_digest_bytes("'img:' || doc_id")} AS d
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    img_out AS (
+        SELECT doc_id, 'image' AS modality,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               CAST(w * h * 3 AS BIGINT) AS n_units,
+               CAST(NULL AS BIGINT) AS duration_ms,
+               -- mean over the first w*h*3 bytes of the cyclically
+               -- repeated 32-byte digest: exact int sum -> one divide
+               CAST((w * h * 3 // 32) * list_sum(d)
+                    + coalesce(list_sum(d[1:(w * h * 3) % 32]), 0)
+                    AS DOUBLE) / (w * h * 3) AS signal
+        FROM img
+    ),
+    aud AS (
+        SELECT doc_id,
+               160 + (doc_id % 7) * 40 AS n,
+               {_sql_digest_bytes("'aud:' || doc_id")} AS d
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    aud_sq AS (
+        -- the 16 int16 LE samples one 32-byte digest cycle holds, squared
+        SELECT doc_id, n,
+               list_transform(range(0, 16), k ->
+                   CAST(d[2*k+1] + 256 * d[2*k+2]
+                        - CASE WHEN d[2*k+2] >= 128 THEN 65536 ELSE 0 END
+                        AS BIGINT)
+                   * CAST(d[2*k+1] + 256 * d[2*k+2]
+                        - CASE WHEN d[2*k+2] >= 128 THEN 65536 ELSE 0 END
+                        AS BIGINT)) AS sq
+        FROM aud
+    ),
+    aud_out AS (
+        SELECT doc_id, 'audio' AS modality,
+               CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+               CAST(n AS BIGINT) AS n_units,
+               CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+               sqrt(CAST((n // 16) * list_sum(sq)
+                         + coalesce(list_sum(sq[1:n % 16]), 0)
+                         AS DOUBLE) / n) AS signal
+        FROM aud_sq
+    ),
+    vid AS (
+        SELECT doc_id, 4 + doc_id % 13 AS nf FROM documents WHERE doc_id % 3 = 2
+    ),
+    vid_out AS (
+        SELECT doc_id, 'video' AS modality,
+               CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               CAST((nf + 1) // 2 AS BIGINT) AS n_units,
+               CAST(nf * 40 AS BIGINT) AS duration_ms,
+               -- every 2nd frame is 64 bytes = the 32-byte digest twice
+               CAST(list_sum(list_transform(range(0, nf, 2), i ->
+                        2 * list_sum({_sql_digest_bytes(
+                            "'vid:' || doc_id || ':' || i")})))
+                    AS DOUBLE) / (((nf + 1) // 2) * 64) AS signal
+        FROM vid
+    )
+    SELECT doc_id, modality, width, height, n_units, duration_ms,
+           {{dround}} AS signal
+    FROM (SELECT * FROM img_out UNION ALL SELECT * FROM aud_out
+          UNION ALL SELECT * FROM vid_out)
+"""
+
+
+@q(
+    "multimodal_features_exact",
+    _MM_EXACT_SQL.format(dround=__import__(
+        "stupidb_spark.functions.exact", fromlist=["sql_dround"]
+    ).sql_dround("signal", 6)),
+)
+def multimodal_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family's hash-comparable lane (round-12 verdict
+    stretch): one row per document with its DECODED scalar features —
+    image (width, height, mean_pixel), audio (n_samples, duration, rms),
+    video (frames sampled every 2nd, duration, mean luma) — produced by
+    the real byte round-trip (synthesize -> BMP/WAV/y4m encode -> Arrow
+    mapInPandas decode), hash-compared against DuckDB's independent
+    sha256 closed-form re-derivation of the same values. Exact integer
+    sums and correctly-rounded sqrt keep every double engine-identical."""
+    from stupidb_spark.functions import exact as X
+    from stupidb_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        video_stats,
+    )
+
+    media = _media(spark, sf_dir)
+    img = decode_image(media).select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        "width",
+        "height",
+        (F.col("width") * F.col("height") * 3).cast("long").alias("n_units"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("mean_pixel").alias("signal"),
+    )
+    aud = decode_audio(media).select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_samples").cast("long").alias("n_units"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("rms").alias("signal"),
+    )
+    vid = video_stats(media, every_k=2).select(
+        "doc_id",
+        F.lit("video").alias("modality"),
+        "width",
+        "height",
+        F.col("n_sampled").cast("long").alias("n_units"),
+        (F.col("n_frames") * 40).cast("long").alias("duration_ms"),
+        F.col("mean_luma").alias("signal"),
+    )
+    out = img.unionByName(aud).unionByName(vid)
+    return out.withColumn("signal", X.dround(F.col("signal"), 6))

@@ -67,7 +67,11 @@ def test_wav_golden_roundtrip_and_chunk_walk():
     assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
     rate, n, dur_ms, rms = decode_wav(buf)
     assert (rate, n, dur_ms) == (8000, 8, 1)
-    expect = (sum(s * s for s in samples) / len(samples)) ** 0.5
+    import math
+
+    # math.sqrt, not ** 0.5: decode_wav uses the correctly-rounded sqrt
+    # (libm pow(x, 0.5) measured 1-ulp off on some inputs)
+    expect = math.sqrt(sum(s * s for s in samples) / len(samples))
     assert rms == expect
     # chunk walk must tolerate an extra chunk before data (real encoders
     # emit LIST/INFO chunks there)
