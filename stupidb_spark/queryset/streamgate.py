@@ -160,7 +160,14 @@ def _run_staged_stream_ordered(
     stream = stream_reader(spark, ingest, max_files_per_trigger=1)
     out = os.path.join(root, "out")
     run_to_parquet_idempotent(
-        build(stream), out, checkpoint_dir=os.path.join(root, "ck")
+        build(stream),
+        out,
+        checkpoint_dir=os.path.join(root, "ck"),
+        # This harness exists for STATEFUL append routes (the session
+        # gate) — pin state partitioning like the complete-mode gates do
+        # (the round-13 fan-out proxy measured 18.1× at an inherited
+        # 2000 before this; see run_to_parquet_idempotent).
+        state_partitions=spark.sparkContext.defaultParallelism,
     )
     return spark.read.parquet(out).drop("batch_id")
 

@@ -365,6 +365,7 @@ def run_to_parquet_idempotent(
     path: str,
     *,
     checkpoint_dir: str,
+    state_partitions: int | None = None,
 ) -> None:
     """Run the currently-staged files into a parquet tree, exactly-once
     under retries: each micro-batch OVERWRITES its own ``batch_id=<n>``
@@ -378,7 +379,21 @@ def run_to_parquet_idempotent(
     exactly-once, the same recipe a production job uses against any
     non-transactional store. Readers see the union of batch directories
     (``spark.read.parquet(path)``).
+
+    ``state_partitions``: pins ``spark.sql.shuffle.partitions`` for the
+    run (restored after), exactly like
+    :func:`run_complete_to_parquet_epochs` — REQUIRED for STATEFUL
+    append-mode queries (watermarked session/window aggregations): one
+    state-store instance per shuffle partition per micro-batch, AQE
+    never coalesces stateful stream shuffles, and state partitioning is
+    locked into the checkpoint, so an inherited batch-tuned 2000
+    multiplies pure commit overhead (measured on the round-13 fan-out
+    proxy: the append session gate ran 18.1× slower at 2000 than at 32
+    before this pin). Size it to open-state cardinality per watermark
+    horizon, then keep it forever. Stateless map-only streams (no
+    shuffle) can leave it None.
     """
+    spark = stream_df.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -389,13 +404,21 @@ def run_to_parquet_idempotent(
             .parquet(path)
         )
 
-    (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(state_partitions)
+            )
+        (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def run_complete_to_parquet_epochs(
