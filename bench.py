@@ -138,6 +138,9 @@ HEADLINE = [
     # round-13: the multimodal family's hash-comparable lane (full
     # synthesize -> encode -> decode byte round-trip per modality)
     "multimodal_features_exact",
+    # round-13: DSIR importance weights (hashed-bigram likelihood
+    # ratios — the data-selection scoring pass)
+    "text_dsir_weights",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.

@@ -119,6 +119,8 @@ PRIORITY: tuple[str, ...] = (
     # tail. batch_shaping at 51 doubles as the graceful fallback: if a
     # new gate query fails to register, _reorder skips it and 51
     # promotes into the gate.
+    "text_dsir_weights",  # NEW r13 (post-gate): oracled at 3 scales;
+    # first driver rotation owed r14
     "asof_join_orders",
     "batch_shaping",
     "contamination_ngram",

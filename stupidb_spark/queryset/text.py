@@ -1258,3 +1258,72 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_tokens"),
     )
+
+
+def _dsir_sql() -> str:
+    from stupidb_spark.operators.dsir import DSIR_SCALE, sql_bucket_hash
+
+    b = 4096
+    s = f"{DSIR_SCALE:.1f}"
+    return f"""
+    -- DSIR importance weights (Xie et al. 2023): distinct word-bigram
+    -- buckets, add-1-smoothed target(lang='en')/raw likelihood ratios,
+    -- per-bucket log-ratio QUANTIZED to the 2^-20 grid so the per-doc
+    -- score is an exact int sum (order- and engine-independent); the
+    -- final /2^20 is exact in IEEE double. Same arithmetic as
+    -- operators/dsir.py value-for-value.
+    WITH w AS (
+        SELECT doc_id, lang = 'en' AS t,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x != '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, t,
+               list_distinct([w[i] || ' ' || w[i+1]
+                              for i in range(1, len(w))]) AS s
+        FROM w
+    ),
+    ex AS (
+        SELECT doc_id, t,
+               {sql_bucket_hash('shingle', b)} AS bucket
+        FROM (SELECT doc_id, t, unnest(s) AS shingle FROM sh)
+    ),
+    dist AS (
+        SELECT bucket,
+               count(CASE WHEN t THEN 1 END) AS ct,
+               count(*) AS cr
+        FROM ex GROUP BY bucket
+    ),
+    tot AS (SELECT sum(ct) AS tc, sum(cr) AS rc FROM dist),
+    ratios AS (
+        SELECT bucket,
+               CAST(floor((ln((ct + 1.0) / (tc + {float(b):.1f}))
+                           - ln((cr + 1.0) / (rc + {float(b):.1f})))
+                          * {s} + 0.5) AS BIGINT) AS lr_q
+        FROM dist, tot
+    )
+    SELECT e.doc_id,
+           count(*) AS n_grams,
+           sum(r.lr_q) / {s} AS log_weight
+    FROM ex e JOIN ratios r USING (bucket)
+    GROUP BY e.doc_id
+    """
+
+
+@q("text_dsir_weights", _dsir_sql())
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection scores: every document scored by the
+    add-1-smoothed log likelihood ratio of its hashed word bigrams
+    between the target corpus (lang = 'en') and the whole raw corpus —
+    the importance-resampling weight that shifts a selected sample
+    toward the target distribution (compose with the sampling
+    operators for the resampling step). Fully oracled: the md5 bucket
+    hash, the smoothing arithmetic, and the 2^-20 grid quantization are
+    replayed value-for-value by DuckDB."""
+    from stupidb_spark.operators.dsir import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs, F.col("lang") == "en", k=2, buckets=4096, alpha=1.0
+    )

@@ -290,3 +290,28 @@ def test_nb_hostile_class_labels(spark):
         d: (remap[c], s, n) for d, (c, s, n) in want.items()
     }
     assert got[100][0] == "a`b" and got[101][0] == "doc" and got[102][0] == "w"
+
+
+def test_dsir_weights_shift_toward_target(spark):
+    """Semantic pin for the DSIR scores: averaged over the corpus, target
+    (lang='en') documents must score strictly higher than non-target ones
+    — the whole point of the likelihood-ratio weight. (Value-level
+    correctness is the DuckDB oracle's job; this pins the direction.)"""
+    from pyspark.sql import functions as F
+
+    from stupidb_spark.queryset import QUERIES
+    from stupidb_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    w = QUERIES["text_dsir_weights"](spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("t")
+    )
+    means = (
+        w.join(docs, "doc_id")
+        .groupBy("t")
+        .agg(F.avg(F.col("log_weight") / F.col("n_grams")).alias("m"))
+        .collect()
+    )
+    by = {r.t: r.m for r in means}
+    assert by[True] > by[False]
