@@ -98,17 +98,21 @@ def main() -> int:
                 # The worker is wedged past interrupt: abort rather than
                 # run anything else concurrently with it. Remaining
                 # queries are recorded as skips so the log stays complete.
+                # qcon deliberately NOT closed here — the wedged worker
+                # thread still owns the handle.
                 rest = names[pos:]
                 skips.extend(rest)
                 for r in rest:
                     print(f"{r:28s} SKIP(sweep-aborted: wedged oracle)")
                 break
+            qcon.close()  # worker joined: release the child connection
             print(
                 f"{name:28s} SKIP(oracle-timeout>{budget:.0f}s) "
                 f"spark={t_spark:.1f}s spark_rows={len(srows)}"
             , flush=True)
             skips.append(name)
             continue
+        qcon.close()  # worker joined: release the child connection
         t_duck = time.perf_counter() - t1
         if "err" in result:
             if "interrupt" in result["err"].lower():

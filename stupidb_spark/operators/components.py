@@ -53,41 +53,57 @@ from stupidb_spark.operators.lineage import cut_lineage
 # Driver fast-path bound for connected_components: a thresholded dedup
 # pair graph is usually FAR smaller than the corpus that produced it, and
 # below this many (symmetrized) edge rows the transitive closure is a
-# bounded model-state computation, not a distributed one — two longs per
-# row, ≤ ~64 MB at the bound, same boundedness class as the IVF centroid
-# stats or the BPE merge table. Above the bound the iterative engines run
-# unchanged (a boilerplate-heavy 100 TB crawl can emit billions of pairs).
+# bounded model-state computation, not a distributed one — flat int64
+# numpy arrays only, worst-case ~0.5 GB of transient driver heap at the
+# bound (edge index pair 64 MB + unique-id table ≤64 MB + 3 node-sized
+# label vectors ≤192 MB + 3 edge-sized gather buffers 96 MB), the same
+# boundedness class as the IVF centroid stats or the BPE merge table —
+# NO per-element Python objects (a dict/int-boxing implementation would
+# cost >1 GB here). Above the bound the iterative engines run unchanged
+# (a boilerplate-heavy 100 TB crawl can emit billions of pairs).
 # Why it exists: each distributed label round costs 1-2 shuffle jobs of
 # FIXED latency, so a 20k-edge graph paid 8-11 s of pure round overhead at
 # sf1 (measured round 13) vs ~0.1 s of driver union-find.
 DRIVER_MAX_EDGE_ROWS = 4_000_000
 
 
-def _driver_components(u: list[int], v: list[int]) -> dict[int, int]:
-    """Union-find with union-by-min over an edge list: returns
-    node → min reachable id. Attaching the larger root under the smaller
-    keeps every root the minimum of its set, so ``find`` IS the
-    min-reachable-id label the distributed engines compute — equality
-    pinned by the engine differentials in tests/test_components.py."""
-    parent: dict[int, int] = {}
+def _driver_components(u, v):
+    """Vectorized connected components over edge arrays: returns
+    ``(ids, comp)`` numpy arrays mapping each distinct node id to the
+    minimum id reachable from it.
 
-    def find(x: int) -> int:
-        r = parent.setdefault(x, x)
-        while r != parent[r]:
-            parent[r] = parent[parent[r]]
-            r = parent[r]
-        # path compression
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
+    Min-label hooking + full pointer-jumping compression per round
+    (Shiloach–Vishkin shape), entirely in numpy — no Python-object graph
+    state, so driver heap stays proportional to the flat arrays. Node ids
+    are remapped to dense indices via ``np.unique`` (sorted, so index
+    order == id order and min-by-index IS min-by-id). Each round labels
+    strictly decrease somewhere or the loop exits; with full compression
+    a path graph converges in one round and round count is O(log n)
+    worst-case. Equality with the distributed engines is pinned by the
+    differentials in tests/test_components.py."""
+    import numpy as np
 
-    for a, b in zip(u, v):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    return {x: find(x) for x in parent}
+    ids, idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+    e = len(u)
+    ui, vi = idx[:e].astype(np.int64), idx[e:].astype(np.int64)
+    label = np.arange(ids.shape[0], dtype=np.int64)
+    while True:
+        # hook: every edge endpoint takes the min of the two current labels
+        m = np.minimum(label[ui], label[vi])
+        new = label.copy()
+        np.minimum.at(new, ui, m)
+        np.minimum.at(new, vi, m)
+        # compress: new[i] <= i always, so iterating new∘new reaches the
+        # forest roots (label[root] == root) in O(log depth) passes
+        while True:
+            nxt = new[new]
+            if np.array_equal(nxt, new):
+                break
+            new = nxt
+        if np.array_equal(new, label):
+            break
+        label = new
+    return ids, ids[label]
 
 
 def connected_components(
@@ -156,16 +172,18 @@ def connected_components(
     if driver_max_edge_rows is None:
         driver_max_edge_rows = DRIVER_MAX_EDGE_ROWS
     if driver_max_edge_rows > 0 and sym.count() <= driver_max_edge_rows:
+        import pandas as pd
+
         pdf = sym.toPandas()  # bounded: ≤ driver_max_edge_rows rows × 2 longs
-        comp = _driver_components(
-            pdf["u"].to_list(), pdf["v"].to_list()
+        node_ids, comp_ids = _driver_components(
+            pdf["u"].to_numpy(), pdf["v"].to_numpy()
         )
         spark = edges.sparkSession
         from pyspark.sql.types import StructField, StructType
 
         id_type = sym.schema["u"].dataType  # caller's id type, verbatim
         labels = spark.createDataFrame(
-            list(comp.items()),
+            pd.DataFrame({"node": node_ids, "component": comp_ids}),
             StructType(
                 [
                     StructField("node", id_type, False),

@@ -388,10 +388,14 @@ def salted_block_tasks(
     counts = (counts_from if counts_from is not None else work).groupBy(
         "block"
     ).agg(F.count(F.lit(1)).alias("__n"))
-    # Null-safe join: groupBy keeps a NULL-block group, but an equi-join on
-    # `block` would silently drop those rows — the pre-salting
-    # groupBy(block).applyInPandas plan scored the NULL group, so callers
-    # passing a nullable block_col must not lose pairs here.
+    # Null-safe join — DELIBERATELY different from the fuzzy blocked join
+    # (operators/skew.py, plain `==`): there, a NULL block key means "no
+    # block ⇒ never a candidate" and NULL rows must NOT pair, matching the
+    # DuckDB oracles. Here NULL is a real scored group: groupBy keeps a
+    # NULL-block group, but an equi-join on `block` would silently drop
+    # those rows — the pre-salting groupBy(block).applyInPandas plan
+    # scored the NULL group, so callers passing a nullable block_col must
+    # not lose pairs here. eqNullSafe preserves that contract.
     counts = counts.withColumnRenamed("block", "__cblock")
     keyed = (
         work.join(

@@ -392,6 +392,17 @@ def run_to_parquet_idempotent(
     before this pin). Size it to open-state cardinality per watermark
     horizon, then keep it forever. Stateless map-only streams (no
     shuffle) can leave it None.
+
+    SCOPE CAVEAT: the pin sets ``spark.sql.shuffle.partitions`` on the
+    SHARED SparkSession for the duration of the run (restored in
+    ``finally``) — Spark exposes no per-query knob for the state-store
+    partition count, it is fixed at first checkpoint from the session
+    conf. Anything else executing on the same session while this stream
+    runs (a parallel sweep, another notebook cell) silently inherits the
+    pinned width, and an exception between set and restore is covered by
+    the ``finally`` but the window during the run is not. Run stateful
+    streams on a dedicated session (``spark.newSession()`` shares the
+    JVM but isolates the conf) when anything runs concurrently.
     """
     spark = stream_df.sparkSession
 
