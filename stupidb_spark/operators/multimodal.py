@@ -41,6 +41,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -139,12 +140,12 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(buf: bytes) -> tuple[int, int, int, float]:
-    """Parse 16-bit PCM WAV → (sample_rate, n_samples, duration_ms, rms).
+def _wav_samples(buf: bytes) -> tuple[int, np.ndarray]:
+    """Parse 16-bit PCM WAV → (sample_rate, int64 sample array).
 
     Generic RIFF chunk walk (tolerates extra chunks like LIST/INFO before
-    data, the layout real encoders emit), then an exact integer sum of
-    squares for the RMS so the value is identical on any engine.
+    data, the layout real encoders emit). Shared by :func:`decode_wav`
+    and :func:`audio_stats` so both read the identical byte path.
     """
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError(f"not a WAV payload (magic {buf[:4]!r})")
@@ -169,10 +170,20 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, float]:
         raise ValueError(
             f"unsupported WAV variant (fmt={audio_format}, ch={channels}, bits={bits})"
         )
+    n = len(data) // 2
+    return sample_rate, np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, int, float]:
+    """Parse 16-bit PCM WAV → (sample_rate, n_samples, duration_ms, rms).
+
+    Real byte parsing via :func:`_wav_samples`, then an exact integer sum
+    of squares for the RMS so the value is identical on any engine.
+    """
     import math
 
-    n = len(data) // 2
-    samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    sample_rate, samples = _wav_samples(buf)
+    n = len(samples)
     # exact integer sum of squares → one exact divide + math.sqrt, which
     # IEEE 754 requires to be correctly rounded — unlike `** 0.5` (libm
     # pow), which measured 1-ulp differences on 42 of 66k fixture inputs
@@ -358,6 +369,78 @@ def decode_audio(media: DataFrame) -> DataFrame:
 
     return media.filter(F.col("meta.modality") == "audio").mapInPandas(
         dec, AUDIO_SCHEMA
+    )
+
+
+AUDIO_EXACT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate_hz", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("sum_samples", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Exact-integer audio signals per clip: real RIFF parse
+    (:func:`_wav_samples`) → sample sum, sum of squares, and peak
+    |amplitude| as int64/int32 — every value an exact integer fold of the
+    decoded samples, so the whole WAV encode+decode byte path is
+    hash-comparable cross-engine with zero float risk (the multimodal
+    family's audio hash lane; rms = sqrt(sum_sq/n) derives from it)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = _wav_samples(bytes(payload))
+                n = len(samples)
+                out.append(
+                    (
+                        doc_id,
+                        rate,
+                        n,
+                        n * 1000 // rate,
+                        int(samples.sum()),
+                        int((samples * samples).sum()),
+                        int(np.abs(samples).max()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "sample_rate_hz",
+                    "n_samples",
+                    "duration_ms",
+                    "sum_samples",
+                    "sum_sq",
+                    "peak",
+                ],
+            )
+
+    return media.filter(F.col("meta.modality") == "audio").mapInPandas(
+        dec, AUDIO_EXACT_SCHEMA
+    )
+
+
+@pandas_udf(LongType())
+def byte_sum(col: pd.Series) -> pd.Series:
+    """Exact sum of a binary column's unsigned byte values (int64).
+
+    Arrow-batched scalar UDF — the numpy fold runs per value, but data
+    crosses the JVM↔Python boundary once per batch. Used by the exact
+    frame-sampling lane to turn raw frame bytes into a hash-comparable
+    integer signal that downstream JVM aggregates can fold.
+    """
+    return col.map(
+        lambda b: None
+        if b is None
+        else int(np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64).sum())
     )
 
 

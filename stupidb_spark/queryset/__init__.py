@@ -52,17 +52,123 @@ from stupidb_spark.queryset import streamgate  # noqa: E402,F401
 # non-oracle-able approximate/streaming queries follow. Names not present in
 # the registry are skipped; unlisted registered queries append at the end.
 PRIORITY: tuple[str, ...] = (
-    # --- gate slots 1-50 (ROUND-13 rotation; ledger in CHANGELOG.md) ---
-    # Composition: flagship tpch_q1; the 42 owed rows (all 40 r10-stale
-    # oracled queries + the two round-12 stream gates that had sweep/sf1
-    # oracle evidence but zero driver rows: stream_events_sliding/session);
-    # the three NEW round-13 oracled queries (the watermarked APPEND
-    # session route, the sampled exact-kNN lane, the 64-cell SemDeDup
-    # grid, the multimodal exact lane); the two audit-form pair queries
-    # whose oracles were rewritten this round (fresh stamps under the new
-    # inverted-index SQL); and the oldest r11 row as fill. After this
-    # round every oracled query's freshest driver row is r11-r13.
+    # --- gate slots 1-50 (ROUND-14 rotation; ledger in CHANGELOG.md) ---
+    # Composition (sums to 50): flagship tpch_q1 (1); text_dsir_weights (1)
+    # — the one oracled query with zero driver rows after r13 (registered
+    # post-gate, oracled at 3 scales in SF1_GATE_r13.log); the full
+    # r11-fresh cohort owed per the rotation ledger (42); the TWO new
+    # round-14 oracled queries — multimodal_audio_exact and
+    # multimodal_frames_exact, the sha256 closed-form hash lanes extending
+    # multimodal_features_exact to the sample-level decoders (2); and four
+    # r12-fresh rows as fill, chosen to re-stamp code touched this round
+    # (the adaptive stream spread + streamgate/sketch paths) (4). After
+    # this gate every oracled query's freshest driver row is r12-r14.
     "tpch_q1",
+    "text_dsir_weights",
+    # r11-fresh cohort owed this rotation (42)
+    "asof_join_orders",
+    "batch_shaping",
+    "contamination_ngram",
+    "dedup_embedding_cosine",
+    "dedup_jaccard_capped",
+    "join_fact_fact",
+    "pack_sequences",
+    "pipeline_prep",
+    "project_datetime",
+    "sample_group_topk",
+    "sample_stratified",
+    "text_dup_spans",
+    "text_entropy",
+    "text_lm_backoff",
+    "text_lm_perplexity",
+    "text_rarity_score",
+    "text_strip_dup_spans",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "win_multiple",
+    "win_rows_bounded",
+    "win_stat_frames",
+    "ann_knn_join_exact",
+    "emb_knn_classify_exact",
+    "dedup_semantic_exact",
+    "ann_topk_bruteforce",
+    "pipeline_training_mix",
+    "emb_kmeans_refine",
+    "dedup_components",
+    # NEW round-14 oracled queries (2)
+    "multimodal_audio_exact",
+    "multimodal_frames_exact",
+    # r12-fresh fill re-stamping round-14-touched paths (4)
+    "stream_knn_label",
+    "stream_knn_label_join",
+    "stream_quality_gate",
+    "agg_sketch_rollup",
+    # --- 51+ ---
+    # Rotation ledger, oldest-first: after the round-14 gate stamps, the
+    # oldest driver rows are the remaining r12-fresh cohort below (round
+    # 15 pulls from the top of this list), then the r13-fresh cohort,
+    # then the rows-only/approximate tail. stream_events_tumbling at 51
+    # doubles as the graceful fallback: if a new gate query fails to
+    # register, _reorder skips it and 51 promotes into the gate.
+    "stream_events_tumbling",
+    "agg_computed_key",
+    "agg_distinct_sets",
+    "agg_global_all12",
+    "agg_grouped_stats",
+    "agg_salted_skew",
+    "agg_udaf_salted",
+    "agg_udaf_sum_sq",
+    "dedup_exact",
+    "dedup_keep_best",
+    "events_session",
+    "events_tumbling",
+    "filter_compound",
+    "join_anti_not_exists",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_star",
+    "join_left_nullpad",
+    "join_outer_trio",
+    "join_right",
+    "join_semi_exists",
+    "join_theta",
+    "mutate_derived",
+    "pii_redact",
+    "project_scalar",
+    "range_join_buckets",
+    "setop_six",
+    "shuffle_deterministic",
+    "sort_limit_offset",
+    "sort_nulls_first",
+    "sort_nulls_offset",
+    "sort_topk",
+    "terms_topk",
+    "text_metrics",
+    "text_nb_lang",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q15",
+    "win_moving_median",
+    "win_range_numeric",
+    "win_range_temporal",
+    "win_rank",
+    "win_running_distinct",
+    "win_running_sum",
+    # r13-fresh cohort (rotated out of the gate this round)
     "stream_events_sliding",
     "stream_events_session",
     "stream_events_session_append",
@@ -112,107 +218,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_median_disc",
     "distinct_rows",
     "events_sliding",
-    # --- 51+ ---
-    # Rotation ledger: after the round-13 gate stamps, the oldest driver
-    # rows are the r11 cohort below (oldest-first — round 14 pulls from
-    # the top of this list), then the r12 cohort, then the rows-only
-    # tail. batch_shaping at 51 doubles as the graceful fallback: if a
-    # new gate query fails to register, _reorder skips it and 51
-    # promotes into the gate.
-    "text_dsir_weights",  # NEW r13 (post-gate): oracled at 3 scales;
-    # first driver rotation owed r14
-    "asof_join_orders",
-    "batch_shaping",
-    "contamination_ngram",
-    "dedup_embedding_cosine",
-    "dedup_jaccard_capped",
-    "join_fact_fact",
-    "pack_sequences",
-    "pipeline_prep",
-    "project_datetime",
-    "sample_group_topk",
-    "sample_stratified",
-    "text_dup_spans",
-    "text_entropy",
-    "text_lm_backoff",
-    "text_lm_perplexity",
-    "text_rarity_score",
-    "text_strip_dup_spans",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "win_multiple",
-    "win_rows_bounded",
-    "win_stat_frames",
-    "ann_knn_join_exact",
-    "emb_knn_classify_exact",
-    "dedup_semantic_exact",
-    "ann_topk_bruteforce",
-    "pipeline_training_mix",
-    "emb_kmeans_refine",
-    "dedup_components",
-    # r12-fresh cohort (rotated out of the gate this round)
-    "stream_quality_gate",
-    "stream_knn_label",
-    "stream_knn_label_join",
-    "agg_sketch_rollup",
-    "stream_events_tumbling",
-    "agg_computed_key",
-    "agg_distinct_sets",
-    "agg_global_all12",
-    "agg_grouped_stats",
-    "agg_salted_skew",
-    "agg_udaf_salted",
-    "agg_udaf_sum_sq",
-    "dedup_exact",
-    "dedup_keep_best",
-    "events_session",
-    "events_tumbling",
-    "filter_compound",
-    "join_anti_not_exists",
-    "join_cross",
-    "join_full_outer",
-    "join_inner_star",
-    "join_left_nullpad",
-    "join_outer_trio",
-    "join_right",
-    "join_semi_exists",
-    "join_theta",
-    "mutate_derived",
-    "pii_redact",
-    "project_scalar",
-    "range_join_buckets",
-    "setop_six",
-    "shuffle_deterministic",
-    "sort_limit_offset",
-    "sort_nulls_first",
-    "sort_nulls_offset",
-    "sort_topk",
-    "terms_topk",
-    "text_metrics",
-    "text_nb_lang",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q15",
-    "win_moving_median",
-    "win_range_numeric",
-    "win_range_temporal",
-    "win_rank",
-    "win_running_distinct",
-    "win_running_sum",
     # rows-only / approximate tail
     "agg_sketch_estimates",
     "agg_approx_sketch",

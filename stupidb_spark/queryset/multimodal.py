@@ -1,10 +1,22 @@
 """Multimodal pipeline queries over the ``documents`` table.
 
-No SQL oracles: binary payload synthesis/decoding is not SQL-expressible, so
-the driver records the weaker rows-only check; determinism and value-level
-behavior are pinned by tests/test_multimodal.py instead (every payload byte
-is a pure function of doc_id, so results are reproducible across runs and
-partitionings).
+The decode-family queries (``multimodal_decode``/``frames``/``audio``/
+``features``) carry no SQL oracles — binary payload synthesis/decoding is
+not SQL-expressible — so the driver records the weaker rows-only check
+there; determinism and value-level behavior are pinned by
+tests/test_multimodal.py instead (every payload byte is a pure function of
+doc_id, so results are reproducible across runs and partitionings).
+
+The ``*_exact`` lanes close that gap with hash signals: the synthetic
+payloads are sha256-seeded in closed form, so DuckDB re-derives every
+DECODED scalar without parsing a container byte while Spark round-trips
+the real BMP/WAV/y4m bytes — a hash match certifies the whole
+encode+decode path. ``multimodal_features_exact`` covers per-doc scalars
+across all three modalities; ``multimodal_audio_exact`` and
+``multimodal_frames_exact`` extend the pattern to the sample-level
+decoders (WAV sample folds, per-frame luma folds) with pure-integer
+signals — no float appears anywhere, so the comparison has zero
+rounding surface.
 """
 
 from __future__ import annotations
@@ -99,6 +111,67 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("norm"), 6).alias("max_norm"),
         )
     )
+
+
+_AUD_EXACT_SQL_TEMPLATE = """
+    -- Exact-integer re-derivation of the decoded WAV sample folds: one
+    -- 32-byte sha256 digest cycle holds 16 little-endian int16 samples;
+    -- the payload repeats it cyclically, so per-doc sums are
+    -- (full cycles) * (cycle fold) + (tail fold). All BIGINT arithmetic —
+    -- no float anywhere on either engine.
+    WITH aud AS (
+        SELECT doc_id,
+               160 + (doc_id % 7) * 40 AS n,
+               {digest} AS d
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    samp AS (
+        SELECT doc_id, n,
+               list_transform(range(0, 16), k ->
+                   CAST(d[2*k+1] + 256 * d[2*k+2]
+                        - CASE WHEN d[2*k+2] >= 128 THEN 65536 ELSE 0 END
+                        AS BIGINT)) AS s
+        FROM aud
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate_hz,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(n * 1000 // 8000 AS INTEGER) AS duration_ms,
+           CAST((n // 16) * list_sum(s)
+                + coalesce(list_sum(s[1:n % 16]), 0) AS BIGINT) AS sum_samples,
+           CAST((n // 16) * list_sum(list_transform(s, x -> x * x))
+                + coalesce(list_sum(list_transform(s[1:n % 16], x -> x * x)), 0)
+                AS BIGINT) AS sum_sq,
+           -- n >= 160 > 16: every cycle position occurs in a full cycle,
+           -- so the peak is the max |sample| over one cycle
+           CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak
+    FROM samp
+"""
+
+
+_FRAMES_EXACT_SQL_TEMPLATE = """
+    -- Exact-integer re-derivation of every-2nd-frame sampling: each y4m
+    -- frame is 64 luma bytes = one 32-byte sha256 digest twice, so a
+    -- sampled frame's byte sum is 2 * digest sum — recomputed per sampled
+    -- frame index in closed form, never touching a container byte.
+    WITH vid AS (
+        SELECT doc_id, 4 + doc_id % 13 AS nf
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    fl AS (
+        SELECT doc_id, nf,
+               list_transform(range(0, nf, 2), i ->
+                   2 * list_sum({digest})) AS fs
+        FROM vid
+    )
+    SELECT doc_id,
+           CAST(len(fs) AS BIGINT) AS n_sampled,
+           CAST(len(fs) * 64 AS BIGINT) AS sampled_bytes,
+           CAST(list_sum(fs) AS BIGINT) AS luma_sum,
+           CAST(list_max(fs) AS BIGINT) AS max_frame_luma,
+           CAST(2 * ((nf - 1) // 2) AS INTEGER) AS last_sampled_index
+    FROM fl
+"""
 
 
 def _sql_digest_bytes(key_expr: str) -> str:
@@ -245,3 +318,49 @@ def multimodal_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = img.unionByName(aud).unionByName(vid)
     return out.withColumn("signal", X.dround(F.col("signal"), 6))
+
+
+@q(
+    "multimodal_audio_exact",
+    _AUD_EXACT_SQL_TEMPLATE.format(
+        digest=_sql_digest_bytes("'aud:' || doc_id")
+    ),
+)
+def multimodal_audio_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio hash lane: per-clip exact integer folds of the DECODED
+    samples — sum, sum of squares, peak |amplitude| — from the real WAV
+    byte round-trip (synthesize → RIFF encode → Arrow mapInPandas RIFF
+    walk → int16 LE parse), hash-compared against DuckDB's sha256
+    closed-form cycle arithmetic. Pure-integer signals: unlike the rms
+    lane there is no sqrt or divide, so a mismatch can only mean a byte
+    was decoded differently."""
+    from stupidb_spark.operators.multimodal import audio_stats
+
+    return audio_stats(_media(spark, sf_dir))
+
+
+@q(
+    "multimodal_frames_exact",
+    _FRAMES_EXACT_SQL_TEMPLATE.format(
+        digest=_sql_digest_bytes("'vid:' || doc_id || ':' || i")
+    ),
+)
+def multimodal_frames_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling hash lane: every-2nd-frame flat-map
+    (:func:`frame_sample`, one output row per kept frame) → per-frame
+    luma byte sums via the Arrow ``byte_sum`` fold → JVM-side exact
+    integer aggregates per document. Certifies the y4m container walk,
+    the stride-sampling indices, AND the per-frame byte payloads against
+    DuckDB's closed-form digest sums — all BIGINT, zero rounding
+    surface."""
+    from stupidb_spark.operators.multimodal import byte_sum, frame_sample
+
+    frames = frame_sample(_media(spark, sf_dir), every_k=2)
+    per = frames.withColumn("fl", byte_sum("frame_bytes"))
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.length("frame_bytes")).alias("sampled_bytes"),
+        F.sum("fl").alias("luma_sum"),
+        F.max("fl").alias("max_frame_luma"),
+        F.max("frame_index").alias("last_sampled_index"),
+    )

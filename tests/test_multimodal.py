@@ -192,3 +192,46 @@ def test_codecs_fail_loudly_on_truncated_payloads():
     y4m = encode_y4m(8, 8, [bytes(64)])
     with pytest.raises(ValueError, match="truncated"):
         decode_y4m(y4m[:-10])
+
+
+def test_audio_stats_exact_integer_folds(spark, docs):
+    """audio_stats' integer folds agree with decode_wav's float lane:
+    rms == sqrt(sum_sq / n) exactly (same exact-int -> one-divide ->
+    correctly-rounded-sqrt recipe), and the closed-form sample synthesis
+    is reproduced byte-for-byte."""
+    import math
+
+    from stupidb_spark.operators.multimodal import audio_stats, decode_audio
+
+    media = synthesize_media(docs).cache()
+    stats = {
+        r["doc_id"]: r
+        for r in audio_stats(media).collect()
+    }
+    assert stats, "fixture slice contains no audio docs"
+    for r in decode_audio(media).collect():
+        s = stats[r["doc_id"]]
+        assert s["n_samples"] == r["n_samples"]
+        want = math.sqrt(s["sum_sq"] / s["n_samples"])
+        assert r["rms"].hex() == want.hex()  # bit-identical doubles
+        assert 0 <= s["peak"] <= 32768
+    # closed-form check against the synthesizer for one doc
+    row = audio_stats(media).orderBy("doc_id").first()
+    from stupidb_spark.operators.multimodal import _rand_bytes
+    n = row["n_samples"]
+    samples = struct.unpack(f"<{n}h", _rand_bytes(f"aud:{row['doc_id']}", n * 2))
+    assert row["sum_samples"] == sum(samples)
+    assert row["sum_sq"] == sum(x * x for x in samples)
+    assert row["peak"] == max(abs(x) for x in samples)
+    media.unpersist()
+
+
+def test_byte_sum_matches_python_fold(spark):
+    from stupidb_spark.operators.multimodal import byte_sum
+
+    payloads = [bytes([1, 2, 250]), b"", bytes(range(256)), None]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i long, b binary"
+    )
+    got = {r["i"]: r["s"] for r in df.select("i", byte_sum("b").alias("s")).collect()}
+    assert got == {0: 253, 1: 0, 2: sum(range(256)), 3: None}
