@@ -280,6 +280,7 @@ def stream_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic and (count DESC, label ASC) vote as emb_knn_classify_exact,
     now proven through the streaming source and sink too."""
     from stupidb_spark.streaming.embeddings import (
+        adaptive_spread,
         knn_label_stream,
         stream_embeddings,
     )
@@ -287,16 +288,23 @@ def stream_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     reference = emb.filter(F.col("vec_id") % 5 != 0)
     queries = emb.filter(F.col("vec_id") % 5 == 0).drop("label")
-    spark_parallelism = spark.sparkContext.defaultParallelism
+    # spread_partitions: each staged file arrives as ONE partition, so
+    # without it the whole quantized-scoring pass for a micro-batch runs
+    # on one core (measured at sf1: 10 s -> 2.1 s per batch) — but an
+    # UNCONDITIONAL spread cost 1.47x on sf0.1's 133-row batches (r13).
+    # adaptive_spread sizes it to the staged per-trigger volume: skip at
+    # fixture scale, full fan-out at sf1+ (the count is one parquet
+    # metadata job over the tiny staged slice).
+    spread = adaptive_spread(
+        queries.count() // _N_INGEST_FILES,
+        spark.sparkContext.defaultParallelism,
+    )
     return _run_staged_stream(
         "stream_knn_label",
         sf_dir,
         queries,
-        # spread_partitions: each staged file arrives as ONE partition, so
-        # without it the whole quantized-scoring pass for a micro-batch
-        # runs on one core (measured at sf1: 10 s -> 2.1 s per batch).
         lambda s: knn_label_stream(
-            s, reference, k_neighbors=5, spread_partitions=spark_parallelism
+            s, reference, k_neighbors=5, spread_partitions=spread
         ),
         stream_embeddings,
     )
