@@ -423,19 +423,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "fuzzy_match_names",
     """
-    -- The abs(length-diff) predicate is IMPLIED by levenshtein <= 2; it
-    -- is spelled out so DuckDB prunes size-incompatible pairs with a
-    -- cheap length compare before the edit-distance DP (the engine does
-    -- the same by joining on (brand, length band) — levenshtein_pairs).
-    SELECT a.p_brand,
-           count(*)                              AS n_pairs,
-           CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist,
-           CAST(max(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS max_dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-         AND abs(length(a.p_name) - length(b.p_name)) <= 2
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
-    GROUP BY a.p_brand
+    -- Dictionary-encoded rewrite (exactly the trick that made the sf1
+    -- Jaccard audit oracles tractable): levenshtein is a function of the
+    -- NAME PAIR only, and p_name draws from a small vocabulary, so the
+    -- edit-distance DP runs once per distinct close name pair — the
+    -- banded distinct-name self-join — and per-brand part-pair counts
+    -- expand by multiplicity (c_x * c_y for x < y; C(c,2) within one
+    -- name, distance 0). Bit-identical to the naive part-level
+    -- formulation at sf0.001/0.01/0.1 (verified), but the sf1 oracle
+    -- drops from >300 s (691M banded levenshteins) to 0.05 s.
+    -- The abs(length-diff) band is IMPLIED by levenshtein <= 2.
+    WITH nm AS (SELECT p_brand, p_name, count(*) AS c FROM part GROUP BY 1, 2),
+         nd AS (SELECT DISTINCT p_name FROM part),
+         np AS (
+            SELECT a.p_name AS x, b.p_name AS y,
+                   levenshtein(a.p_name, b.p_name) AS d
+            FROM nd a JOIN nd b
+              ON a.p_name < b.p_name
+                 AND abs(length(a.p_name) - length(b.p_name)) <= 2
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+         ),
+         cross_pairs AS (
+            SELECT ax.p_brand, np.d, ax.c * bx.c AS npairs
+            FROM np
+            JOIN nm ax ON ax.p_name = np.x
+            JOIN nm bx ON bx.p_name = np.y AND bx.p_brand = ax.p_brand
+         ),
+         same_pairs AS (
+            SELECT p_brand, 0 AS d, c * (c - 1) // 2 AS npairs
+            FROM nm WHERE c >= 2
+         ),
+         allp AS (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)
+    SELECT p_brand,
+           CAST(sum(npairs) AS BIGINT) AS n_pairs,
+           CAST(min(d) AS BIGINT) AS min_dist,
+           CAST(max(d) AS BIGINT) AS max_dist
+    FROM allp GROUP BY p_brand
     """,
 )
 def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
