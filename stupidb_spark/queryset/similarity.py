@@ -345,27 +345,92 @@ def _sql_qcos_pair() -> str:
     )
 
 
-@q(
-    "ann_knn_join_exact",
-    f"""
-    WITH {_sql_emb_norm_cte()},
-    scored AS (
+def _sql_knn_topk_branched(
+    query_pred: str | None,
+    base_pred: str | None,
+    *,
+    n_branches: int = 32,
+    dim: int = 64,
+) -> str:
+    """Brute-force exact-kNN oracle SQL that stays tractable at any
+    fixture scale — the round-14 rewrite that took the FULL n² lane's sf1
+    oracle from >900 s (watchdog kill) to ~50 s, closing the last
+    flagship sf1 skip. Three measured ingredients, each verified
+    bit-identical to the plain formulation:
+
+    1. UNROLLED arithmetic: the quantized dot is emitted as ``dim`` flat
+       ``floor(q.cI * b.cI * S + 0.5)`` scalar terms over per-row hoisted
+       component columns instead of a per-pair list-comprehension fold —
+       DuckDB evaluates flat scalar expressions vectorized, the list
+       lambda machinery interpreted (measured 1.7× on the per-pair cost
+       alone). Bit-identity holds because the fixture embeddings are
+       float32: each 24-bit × 24-bit product is exact in double, and the
+       ×2^40 scale shifts only the exponent.
+    2. BRANCHED parallelism: DuckDB 1.0 parallelizes a cross product
+       over ~122k-row morsels of the streamed side, and a 20k-row
+       embeddings table is ONE morsel — the naive oracle ground 4e8
+       pairs on a single core. Splitting the query side into
+       ``n_branches`` disjoint hash slices, each its own
+       cross-product + per-query window branch of one UNION ALL, gives
+       the scheduler independent pipelines (measured 3.8× at 4 branches,
+       ~11× at 32 — wall 50.4 s for the full sf1 n²). Any partition of
+       the query set is result-identical: each query's whole neighbor
+       set lives in exactly one branch, so the per-branch window ranks
+       are the global ranks.
+    3. Per-ROW hoisting (not per-pair): component extraction and the
+       norm sqrt run once per vector in the ``e`` CTE; the dimension
+       guard fails loudly via ``error()`` instead of silently yielding
+       NULL components if the fixture ever changes width.
+    """
+    from stupidb_spark.operators.similarity import QUANT_SCALE
+
+    s = f"{QUANT_SCALE:.1f}"
+    cols = ", ".join(f"v[{i}] AS c{i}" for i in range(1, dim + 1))
+    qdot_self = " + ".join(
+        f"CAST(floor(c{i} * c{i} * {s} + 0.5) AS BIGINT)"
+        for i in range(1, dim + 1)
+    )
+    qdot_pair = " + ".join(
+        f"CAST(floor(q.c{i} * b.c{i} * {s} + 0.5) AS BIGINT)"
+        for i in range(1, dim + 1)
+    )
+    qp = f" AND ({query_pred})" if query_pred else ""
+    bp = f"WHERE {base_pred}" if base_pred else ""
+    branches = " UNION ALL ".join(
+        f"""
+    SELECT query_id, neighbor_id, cosine_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id)
+               AS "rank"
+    FROM (
         SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-               {_sql_qcos_pair()} AS cosine_sim
-        FROM e q JOIN e b ON b.vec_id != q.vec_id
+               (CAST(({qdot_pair}) AS DOUBLE) / {s}) / (q.nrm * b.nrm)
+                   AS cosine_sim
+        FROM (SELECT * FROM e
+              WHERE hash(vec_id) % {n_branches} = {i}{qp}) q
+        JOIN (SELECT * FROM e {bp}) b ON b.vec_id != q.vec_id
+    ) QUALIFY "rank" <= 5"""
+        for i in range(n_branches)
+    )
+    return f"""
+    WITH raw AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    ranked AS (
-        SELECT query_id, neighbor_id, cosine_sim,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cosine_sim DESC, neighbor_id)
-                   AS "rank"
-        FROM scored
+    e AS (
+        SELECT vec_id, {cols},
+               CASE WHEN len(v) <> {dim}
+                    THEN CAST(error('embedding dim <> {dim}') AS DOUBLE)
+                    ELSE sqrt(CAST(({qdot_self}) AS DOUBLE) / {s})
+               END AS nrm
+        FROM raw
     )
     SELECT query_id, "rank", neighbor_id,
            {X.sql_dround('cosine_sim')} AS cosine_sim
-    FROM ranked WHERE "rank" <= 5
-    """,
-)
+    FROM ({branches})
+    """
+
+
+@q("ann_knn_join_exact", _sql_knn_topk_branched(None, None))
 def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The kNN join's EXACT configuration under the full DuckDB oracle:
     # n_probe = n_cells means every query scores every base row, so the
@@ -428,37 +493,18 @@ def emb_knn_classify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "ann_knn_join_sampled",
-    f"""
-    WITH {_sql_emb_norm_cte()},
-    scored AS (
-        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-               {_sql_qcos_pair()} AS cosine_sim
-        FROM (SELECT * FROM e WHERE vec_id % 20 = 0) q
-        JOIN (SELECT * FROM e WHERE vec_id % 20 != 0) b ON TRUE
-    ),
-    ranked AS (
-        SELECT query_id, neighbor_id, cosine_sim,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cosine_sim DESC, neighbor_id)
-                   AS "rank"
-        FROM scored
-    )
-    SELECT query_id, "rank", neighbor_id,
-           {X.sql_dround('cosine_sim')} AS cosine_sim
-    FROM ranked WHERE "rank" <= 5
-    """,
+    _sql_knn_topk_branched("vec_id % 20 = 0", "vec_id % 20 != 0"),
 )
 def ann_knn_join_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ann_knn_join_exact's sf1-tractable twin (round-12 verdict item 2):
-    # the identical exact-mode distributed plan (n_probe = n_cells — every
+    # ann_knn_join_exact's sampled twin (round-12 verdict item 2): the
+    # identical exact-mode distributed plan (n_probe = n_cells — every
     # query scores every base row), but kNN OF A SAMPLED QUERY SUBSET
-    # (vec_id % 20) against the rest of the corpus, so the oracle's pair
-    # volume is n/20 × n instead of n² and stays DuckDB-tractable at any
-    # fixture scale (sf1: 1k × 19k = 1.9e7 pairs ≈ 45 s, vs the full
-    # lane's 4e8 which blows the sweep's 300 s watchdog). The full lane
-    # stays registered for the sf0.01 driver gate; this lane carries the
-    # 10× hash evidence. Disjoint query/base split mirrors
-    # emb_knn_classify_exact — no self-pair rule to re-encode in SQL.
+    # (vec_id % 20) against the rest of the corpus. Historically this was
+    # the only sf1-tractable hash lane (the full lane's 4e8-pair oracle
+    # blew the 300 s watchdog); since the round-14 branched-unrolled
+    # oracle rewrite (_sql_knn_topk_branched) BOTH lanes are sf1-green —
+    # this one stays as the cheap claim-scoped twin and the disjoint
+    # query/base split mirrors emb_knn_classify_exact.
     from stupidb_spark.operators.knn import knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")
