@@ -195,7 +195,15 @@ def connected_components(
             all_nodes = nodes.select(
                 F.col(nodes.columns[0]).alias("node")
             ).distinct()
-            labels = all_nodes.join(labels, "node", "left").select(
+            # The labels side is bounded MODEL STATE on this path — it has
+            # ≤ 2·driver_max_edge_rows rows by the branch condition (it
+            # just fit on the driver), the same boundedness class as the
+            # IVF centroids or the collected kNN reference. Broadcast it
+            # EXPLICITLY (contract, not Catalyst estimate): the other side
+            # is the corpus-sized node relation, and shuffling billions of
+            # ids to meet a ≤128 MB label map would be the wrong plan at
+            # every scale the fast path can take.
+            labels = all_nodes.join(F.broadcast(labels), "node", "left").select(
                 "node", F.coalesce("component", F.col("node")).alias("component")
             )
         return labels

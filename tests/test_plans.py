@@ -592,16 +592,30 @@ def test_corpus_join_strategy_merge_override(spark, monkeypatch):
 def test_semantic_dedup_broadcasts_only_bounded_sides(spark):
     # dedup_semantic's corpus-sized id-keyed joins (labels↔scores,
     # labels↔group-survivors) are strategy-pinned like every other corpus
-    # join; the ONLY broadcasts allowed in the plan are the two
-    # bounded-by-construction model/metadata sides — the k×dim centroid
-    # table and salted_block_tasks' per-block count table (≤ k rows each,
-    # both explicitly F.broadcast by contract, never estimate-driven).
+    # join; the ONLY broadcasts allowed in the plan are bounded-by-
+    # construction model/metadata sides, each explicitly F.broadcast by
+    # contract, never estimate-driven:
+    #   - Inner cell-keyed: the k×dim centroid table / salted_block_tasks'
+    #     per-block count table (≤ k rows);
+    #   - LeftOuter: connected_components' driver-path label map
+    #     (≤ 2·DRIVER_MAX_EDGE_ROWS rows — it just fit on the driver),
+    #     joined under the corpus-sized distinct-node relation. The plan
+    #     repeats the labels subtree per consumer branch, so the count is
+    #     bounded per-kind, not globally.
     import re
 
     plan = formatted_plan(QUERIES["dedup_semantic"](spark, SF_DIR))
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
-    n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
-    assert n_bhj <= 2, plan
+    blocks = re.findall(
+        r"\(\d+\) BroadcastHashJoin[^\n]*\n(?:[^\n]*\n){0,4}", plan
+    )
+    for block in blocks:
+        assert "Join type: LeftOuter" in block or re.search(
+            r"Left keys \[1\]: \[cell#", block
+        ), block
+    n_leftouter = sum("LeftOuter" in b for b in blocks)
+    n_cell = len(blocks) - n_leftouter
+    assert n_cell <= 2 and n_leftouter <= 2, plan
 
 
 def test_dup_spans_never_broadcasts_corpus_sides(spark):
