@@ -138,6 +138,10 @@ HEADLINE = [
     # round-13: the multimodal family's hash-comparable lane (full
     # synthesize -> encode -> decode byte round-trip per modality)
     "multimodal_features_exact",
+    # round-14: the sample-level exact lanes — WAV integer folds and
+    # every-2nd-frame luma folds through the real container walks
+    "multimodal_audio_exact",
+    "multimodal_frames_exact",
     # round-13: DSIR importance weights (hashed-bigram likelihood
     # ratios — the data-selection scoring pass)
     "text_dsir_weights",
@@ -186,6 +190,45 @@ def cpu_calibration(mib: int = 1024) -> float:
     for _ in range(mib * 16):  # mib MiB / 64 KiB
         h.update(buf)
     h.hexdigest()
+    return round(time.perf_counter() - start, 4)
+
+
+def cpu_calibration_all_cores(
+    mib_per_thread: int = 128, n_threads: int | None = None
+) -> float:
+    """Deterministic ALL-CORES workload: ``n_threads`` Python threads
+    (default: os.cpu_count()) each SHA-256 ``mib_per_thread`` MiB of the
+    same fixed bytes concurrently; returns wall seconds.
+
+    Why (round-13 verdict, "What's wrong" #1): the 1-thread probe alone
+    could not explain a 1.14× work-per-unit-speed gap between two
+    identical-code records — it reads per-core speed but is blind to the
+    axes a 32-task Spark stage actually runs on: multi-core memory
+    bandwidth, SMT contention, and hypervisor co-scheduling. hashlib
+    releases the GIL for large updates, so the threads genuinely
+    saturate the cores and the wall time is an aggregate-throughput
+    thermometer. Cross-round normalization uses BOTH probes — see
+    BASELINE.md ("Two-axis calibration").
+    """
+    import hashlib
+    import threading
+
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    buf = bytes(range(256)) * 256  # 64 KiB, content fixed by construction
+
+    def work() -> None:
+        h = hashlib.sha256()
+        for _ in range(mib_per_thread * 16):
+            h.update(buf)
+        h.hexdigest()
+
+    threads = [threading.Thread(target=work) for _ in range(n_threads)]
+    start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     return round(time.perf_counter() - start, 4)
 
 
@@ -428,9 +471,11 @@ def main() -> None:
     # START of each attempt, while the executors are idle, so it reads box
     # state rather than our own saturation.
     calibrations: list[float] = []
+    calibrations_mt: list[float] = []
 
     def timed_attempt() -> tuple[dict[str, float], dict[str, float]]:
         calibrations.append(cpu_calibration())
+        calibrations_mt.append(cpu_calibration_all_cores())
         t: dict[str, float] = {}
         s_pct: dict[str, float] = {}
         for _pass in range(passes):
@@ -494,6 +539,14 @@ def main() -> None:
             "workload": "sha256-1GiB-1thread",
             "secs": calibrations,
             "best": min(calibrations) if calibrations else None,
+            # Second axis (round-13 verdict): aggregate multi-core
+            # throughput — catches memory-bandwidth/SMT/co-scheduling
+            # slowdowns the per-core probe cannot see.
+            "workload_allcores": f"sha256-128MiBx{os.cpu_count()}threads",
+            "secs_allcores": calibrations_mt,
+            "best_allcores": (
+                min(calibrations_mt) if calibrations_mt else None
+            ),
         },
         # Methodology provenance: per-query best-of across this many full
         # passes. A best-of-3 record must be distinguishable from a

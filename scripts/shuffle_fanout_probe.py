@@ -67,6 +67,16 @@ QUERIES_TO_RUN = [
     "text_nb_lang",
     "text_lm_backoff",
     "tpch_q9",
+    # round-14 paths: DSIR importance weighting (the heaviest new oracled
+    # query: distinct-shingle explode -> bounded bucket aggregate ->
+    # broadcast ratio table -> per-doc sum; 11 exchanges at sf0.1) and
+    # the multimodal exact lanes (map-only Arrow decode pipelines — the
+    # probe verifies the groupBy in frames_exact is the only exchange
+    # that widens)
+    "text_dsir_weights",
+    "multimodal_features_exact",
+    "multimodal_audio_exact",
+    "multimodal_frames_exact",
 ]
 
 
