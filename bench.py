@@ -145,6 +145,9 @@ HEADLINE = [
     # round-13: DSIR importance weights (hashed-bigram likelihood
     # ratios — the data-selection scoring pass)
     "text_dsir_weights",
+    # round-14: greedy k-center coreset (diversity-subset selection;
+    # k driver-sequenced TakeOrdered steps over a carried min-distance)
+    "emb_coreset_kcenter",
     # tok_bpe_encode is gate-only: a standalone run re-trains the same
     # merge table tok_bpe_merges already times, so the headline would
     # double-count the trainer; the encoder itself is a map-only UDF.

@@ -117,12 +117,15 @@ PRIORITY: tuple[str, ...] = (
     "stream_quality_gate",
     "agg_sketch_rollup",
     # --- 51+ ---
-    # Rotation ledger, oldest-first: after the round-14 gate stamps, the
-    # oldest driver rows are the remaining r12-fresh cohort below (round
-    # 15 pulls from the top of this list), then the r13-fresh cohort,
-    # then the rows-only/approximate tail. stream_events_tumbling at 51
+    # Rotation ledger, oldest-first: emb_coreset_kcenter registered AFTER
+    # the round-14 gate composition (fully oracled at 3 scales, zero
+    # driver rows — the r13 text_dsir_weights situation), so it heads the
+    # round-15 pull; then the remaining r12-fresh cohort, the r13-fresh
+    # cohort, and the rows-only/approximate tail. stream_events_tumbling
     # doubles as the graceful fallback: if a new gate query fails to
-    # register, _reorder skips it and 51 promotes into the gate.
+    # register, _reorder skips it and the next name promotes into the
+    # gate.
+    "emb_coreset_kcenter",
     "stream_events_tumbling",
     "agg_computed_key",
     "agg_distinct_sets",

@@ -681,3 +681,27 @@ def emb_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.dcovar_samp("x", "y", 6).alias("cov"),
         )
     )
+
+
+def _coreset_sql() -> str:
+    from stupidb_spark.operators.coreset import sql_kcenter_coreset
+
+    return sql_kcenter_coreset(16)
+
+
+@q("emb_coreset_kcenter", _coreset_sql())
+def emb_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (k=16) over the embeddings table — the
+    diversity-subset selection pass (farthest-point sampling; Sener &
+    Savarese's coreset construction) a curation pipeline runs when it
+    wants COVERAGE of embedding space rather than redundancy. Exact:
+    per-term-quantized squared L2 (2^-40 grid, BIGINT sums) makes every
+    greedy argmax engine- and partition-order-independent, and the DuckDB
+    oracle replays the identical chain as a generated non-recursive CTE
+    ladder. Scale shape: k corpus scans, each reduced by TakeOrdered(1),
+    centers riding the plan as a bounded literal array — no shuffle, no
+    iterative DataFrame state (operators/coreset.py docstring)."""
+    from stupidb_spark.operators.coreset import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, 16)

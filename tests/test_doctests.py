@@ -14,6 +14,7 @@ import stupidb_spark.functions.navigation as nav_mod
 import stupidb_spark.functions.ranking as rank_mod
 import stupidb_spark.operators.chunking as chunk_mod
 import stupidb_spark.operators.components as comp_mod
+import stupidb_spark.operators.coreset as coreset_mod
 import stupidb_spark.operators.dedup as dedup_mod
 import stupidb_spark.operators.ordering as order_mod
 import stupidb_spark.operators.packing as pack_mod
@@ -107,4 +108,5 @@ def test_operator_doctests(spark):
     _run(chunk_mod, {"spark": spark, "F": F}, 1)
     _run(order_mod, {"spark": spark, "F": F}, 1)
     _run(comp_mod, {"spark": spark, "F": F}, 1)
+    _run(coreset_mod, {"spark": spark, "F": F}, 1)
     _run(splits_mod, {"spark": spark, "F": F}, 1)
