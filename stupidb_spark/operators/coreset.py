@@ -90,7 +90,15 @@ def sql_qdist2(x: str, y: str) -> str:
 
 
 def _center_literal(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)).cast("double") for v in vec])
+    # ONE array Literal node, not F.array(*64 lits): a non-primitive
+    # Literal lands in the codegen `references` array, so the analyzed
+    # tree is ~130 nodes smaller per carried fold AND the generated code
+    # is identical across greedy steps (codegen cache hits instead of a
+    # fresh janino compile per step). Measured at sf0.1/k=16: the
+    # driver-side gap between step jobs — which profiling showed was
+    # ~3.4 s of the 4.6 s warm runtime — drops ~1.8 s; results are
+    # bit-identical (same doubles, same fold).
+    return F.lit([float(v) for v in vec]).cast("array<double>")
 
 
 def kcenter_coreset(
@@ -178,7 +186,15 @@ def kcenter_coreset(
             StructField("dist", LongType(), True),
         ]
     )
-    return spark.createDataFrame(out_rows, schema)
+    # Arrow local relation, not createDataFrame(list): the pickled-RDD
+    # path executes the k-row result as defaultParallelism Python-worker
+    # tasks (profiled: 32 tasks, 40 s of cold task time for 16 rows); the
+    # Arrow path is a driver-side conversion with no Python workers.
+    import pandas as pd
+
+    pdf = pd.DataFrame(out_rows, columns=["rank", id_col, "dist"])
+    pdf["dist"] = pdf["dist"].astype("Int64")  # NULL seed dist, exact longs
+    return spark.createDataFrame(pdf, schema)
 
 
 def sql_kcenter_coreset(k: int, *, table: str = "embeddings") -> str:
