@@ -34,8 +34,10 @@ from stupidb_spark.queryset.similarity import _sql_emb_norm_cte, _sql_qcos_pair
 from stupidb_spark.queryset.text import _duck_score, _duck_words, _DUCK_WTOKS
 from stupidb_spark.sources import load_table
 from stupidb_spark.streaming.events import (
+    dir_bytes,
     run_complete_to_parquet_epochs,
     run_to_parquet_idempotent,
+    size_state_partitions,
 )
 
 _SCRATCH = os.path.join(
@@ -79,16 +81,24 @@ def _run_staged_stream(
     stream = stream_reader(spark, ingest, max_files_per_trigger=1)
     out = os.path.join(root, "out")
     if complete_final:
-        # State partitioning sized to the rollup, not inherited from the
-        # session's batch tuning: one state store per shuffle partition
-        # per micro-batch means an inherited wide-cluster 2000 multiplies
-        # pure overhead on a dashboard-cardinality aggregate (22× on the
-        # fan-out proxy before this pin; see run_complete_to_parquet_epochs).
+        # State partitioning sized to the staged volume, not inherited
+        # from the session's batch tuning NOR pinned at the core count:
+        # one state store per shuffle partition per micro-batch means an
+        # inherited wide-cluster 2000 multiplies pure overhead on a
+        # dashboard-cardinality aggregate (22× on the fan-out proxy
+        # before the r13 pin), and even the core count over-shards a
+        # sub-MB micro-batch (r14: 32 → sized-8 took the tumbling gate
+        # 4.2 → 2.5 s with an identical read-back; see
+        # size_state_partitions for the measurement and the scale story).
         run_complete_to_parquet_epochs(
             build(stream),
             out,
             checkpoint_dir=os.path.join(root, "ck"),
-            state_partitions=spark.sparkContext.defaultParallelism,
+            state_partitions=size_state_partitions(
+                dir_bytes(ingest),
+                _N_INGEST_FILES,
+                spark.sparkContext.defaultParallelism,
+            ),
             max_sink_files=8,
         )
         final = max(
@@ -164,10 +174,16 @@ def _run_staged_stream_ordered(
         out,
         checkpoint_dir=os.path.join(root, "ck"),
         # This harness exists for STATEFUL append routes (the session
-        # gate) — pin state partitioning like the complete-mode gates do
-        # (the round-13 fan-out proxy measured 18.1× at an inherited
-        # 2000 before this; see run_to_parquet_idempotent).
-        state_partitions=spark.sparkContext.defaultParallelism,
+        # gate) — size state partitioning to the staged volume like the
+        # complete-mode gates (the round-13 fan-out proxy measured 18.1×
+        # at an inherited 2000; r14 measured 32 → sized-8 taking this
+        # gate 6.7 → 3.5 s with an identical read-back; see
+        # size_state_partitions).
+        state_partitions=size_state_partitions(
+            dir_bytes(ingest),
+            _N_INGEST_FILES,
+            spark.sparkContext.defaultParallelism,
+        ),
     )
     return spark.read.parquet(out).drop("batch_id")
 

@@ -59,6 +59,17 @@ def get_session(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)),
         )
+        # AQE coalescing stays PARALLELISM-FIRST (the Spark default).
+        # Size-first (parallelismFirst=false + a small advisory target)
+        # was measured this round as a candidate for killing fixed
+        # per-task overhead on tiny post-shuffle stages — and REJECTED:
+        # an interleaved A/B (scripts/ab_aqe.py, min-of-N across
+        # alternating sessions) showed ann_knn_join 1.43× SLOWER under
+        # size-first, because the quantized-scoring pandas stages are
+        # CPU-dense per byte: coalescing their kilobyte shuffles to one
+        # task serializes real compute. Bytes are the wrong cost proxy
+        # for this engine's Python stages; per-operator partition sizing
+        # (e.g. size_state_partitions for streams) is used instead.
     )
     return builder.getOrCreate()
 
