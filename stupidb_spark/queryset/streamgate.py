@@ -157,14 +157,31 @@ def _run_staged_stream_ordered(
         (i * n + _N_INGEST_FILES - 1) // _N_INGEST_FILES
         for i in range(_N_INGEST_FILES + 1)
     ]
+    # ONE write for all ranges, not one sort+write job per range: the
+    # row_number above is a single-task global sort, and the previous
+    # per-range loop re-ran it _N_INGEST_FILES times (4 jobs total with
+    # the count). Bucketing by the SAME exact bounds and hash-partitioning
+    # on the bucket id lands each range in exactly one task, so
+    # partitionBy writes exactly one file per range — identical batch
+    # membership, one sort. Within-file row order differs from the old
+    # per-range files, which is immaterial to the read-back: a file is
+    # one micro-batch, and watermark advance (max event time) and the
+    # windowed aggregation are both order-insensitive within a batch.
+    bounds_arr = F.array(*[F.lit(b) for b in bounds[1:-1]])
+    bucketed = ranked.withColumn(
+        # number of interior bounds strictly below __rn == range index
+        "__b",
+        F.size(F.filter(bounds_arr, lambda b: b < F.col("__rn"))),
+    ).drop("__rn")
+    tmp = os.path.join(root, "_tmp")
+    bucketed.repartition(_N_INGEST_FILES, "__b").write.partitionBy(
+        "__b"
+    ).parquet(tmp)
     for i in range(_N_INGEST_FILES):
-        part = ranked.filter(
-            (F.col("__rn") > bounds[i]) & (F.col("__rn") <= bounds[i + 1])
-        ).drop("__rn")
-        tmp = os.path.join(root, f"_tmp{i}")
-        part.coalesce(1).write.parquet(tmp)
+        files = glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))
+        assert len(files) == 1, f"range {i}: expected 1 file, got {files}"
         dst = os.path.join(ingest, f"batch-{i}.parquet")
-        os.rename(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        os.rename(files[0], dst)
         # FileStreamSource orders new files by modification time; pin it.
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     stream = stream_reader(spark, ingest, max_files_per_trigger=1)
