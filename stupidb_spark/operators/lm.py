@@ -226,16 +226,16 @@ def ngram_lm_apply(
         )
 
     if not streaming:
-        # Batch plan (the backoff_lm_apply shape): fold occurrences to
-        # (doc, gram, n_occ), score each DISTINCT gram once at gram scale,
-        # carry q back with ONE corpus-sized join. Σ q·n_occ equals the
-        # per-occurrence sum exactly (long arithmetic) — scores unchanged.
-        occ = doc_bg.groupBy("doc", "lang", "w1", "w2").agg(
-            F.count(F.lit(1)).alias("n_occ")
-        )
-        scored = score_frame(occ.select("lang", "w1", "w2").distinct())
-        j = pin(occ).join(pin(scored), ["lang", "w1", "w2"])
-        return rollup(j, F.sum("n_occ"), F.sum(F.col("q") * F.col("n_occ")))
+        # Batch plan (the backoff_lm_apply shape): score each DISTINCT
+        # gram once at gram scale, carry q back to the occurrence stream
+        # with ONE corpus-sized join, roll up per doc. (The former fold to
+        # (doc, gram, n_occ) before the carry-back join paid a full
+        # occurrence-scale shuffle on a nearly-unique key for almost no
+        # row reduction — see backoff_lm_apply.) Per-occurrence Σ q equals
+        # Σ q·n_occ exactly (long arithmetic) — scores unchanged.
+        scored = score_frame(doc_bg.select("lang", "w1", "w2").distinct())
+        j = pin(doc_bg).join(pin(scored), ["lang", "w1", "w2"])
+        return rollup(j, F.count(F.lit(1)), F.sum("q"))
 
     # Streaming plan: per-occurrence scoring (chained stateful
     # aggregations are not expressible in a stream), one rollup.
@@ -344,26 +344,60 @@ def backoff_lm_train(
     k0: float = 0.5,
     max_doc_bytes: int | None = DOC_BYTES_CAP,
 ) -> StupidBackoffLM:
-    """Raw per-order counts over the reference corpus — three map-only
-    extractions feeding three map-side-combine aggregations; token totals
-    derive from the unigram table (one extra vocabulary-sized rollup)."""
+    """All three per-order count tables from ONE corpus pass.
 
-    def counts(n: int, names: list[str]) -> DataFrame:
-        ng = doc_ngrams(
-            ref,
-            id_col=id_col,
-            text_col=text_col,
-            n=n,
-            lang_col=lang_col,
-            max_doc_bytes=max_doc_bytes,
-        )
-        return ng.groupBy("lang", *names).agg(F.count(F.lit(1)).alias(f"c{n}"))
+    Trigrams are extracted over the token array padded with two trailing
+    NULLs, so entry i is ``(w_i, w_{i+1}|NULL, w_{i+2}|NULL)`` for every
+    position i = 1..n — each token starts exactly one padded entry. One
+    occurrence-scale aggregation counts the padded trigrams; the per-order
+    tables then derive EXACTLY at gram scale:
 
-    unigram_c = counts(1, ["w1"])
+    - trigram counts: padded entries with ``w3`` non-NULL (positions
+      1..n−2) — the groups are already keyed (lang, w1, w2, w3);
+    - bigram counts: entries with ``w2`` non-NULL (positions 1..n−1),
+      summed over ``w3``;
+    - unigram counts: all entries, summed over ``(w2, w3)``.
+
+    ``words`` never emits NULL (or empty) tokens, so the pad cannot
+    collide with a real token. Versus one extraction + aggregation per
+    order, the corpus is tokenized/exploded/shuffled ONCE (the padded
+    stream is n rows versus 3n−3 across the three per-order streams) and
+    the derived rollups run at vocabulary scale.
+    """
+    keep = [
+        F.col(id_col).alias("doc"),
+        F.col(text_col),
+        F.col(lang_col).alias("lang"),
+    ]
+    base = spread_small_scan(ref.select(*keep))
+    base = _doc_bytes_guard(base, text_col, max_doc_bytes, "backoff_lm_train")
+    w = words(F.col(text_col))
+    sz = F.size(w)
+    pad = F.concat(
+        w, F.array(F.lit(None).cast("string"), F.lit(None).cast("string"))
+    )
+    zipped = F.arrays_zip(*[F.slice(pad, 1 + j, sz) for j in range(3)])
+    grams = F.when(sz >= 1, zipped).otherwise(F.array())
+    pg = base.select("lang", F.explode(grams).alias("__g")).select(
+        "lang",
+        F.col("__g")["0"].alias("w1"),
+        F.col("__g")["1"].alias("w2"),
+        F.col("__g")["2"].alias("w3"),
+    )
+    c3p = pg.groupBy("lang", "w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c"))
+    trigram_c = c3p.filter(F.col("w3").isNotNull()).select(
+        "lang", "w1", "w2", "w3", F.col("c").alias("c3")
+    )
+    bigram_c = (
+        c3p.filter(F.col("w2").isNotNull())
+        .groupBy("lang", "w1", "w2")
+        .agg(F.sum("c").alias("c2"))
+    )
+    unigram_c = c3p.groupBy("lang", "w1").agg(F.sum("c").alias("c1"))
     totals = unigram_c.groupBy("lang").agg(F.sum("c1").alias("n_tokens"))
     return StupidBackoffLM(
-        trigram_c=counts(3, ["w1", "w2", "w3"]),
-        bigram_c=counts(2, ["w1", "w2"]),
+        trigram_c=trigram_c,
+        bigram_c=bigram_c,
         unigram_c=unigram_c,
         totals=totals,
         alpha=alpha,
@@ -444,14 +478,13 @@ def backoff_lm_apply(
     Backoff never normalizes — its whole point); avg_logs is the mean ln S
     on the 1e-6 quantized grid (order-independent, engine-identical).
 
-    Batch plan: the occurrence stream folds to (doc, gram, n_occ), the
-    five count-table joins score each DISTINCT gram once (gram-scale
-    relations on both sides, all pinned), and ONE corpus-sized join
-    carries q back — Σ q·n_occ is exactly the per-occurrence sum, so
-    scores are unchanged while corpus-sized shuffle joins drop 5 → 1.
-    Only the one-row-per-language totals table broadcasts; unmodeled
-    languages drop out at the inner totals join. Docs with < 3 tokens
-    have no trigrams and are omitted.
+    Batch plan: the five count-table joins score each DISTINCT gram once
+    (gram-scale relations on both sides, all pinned), and ONE corpus-sized
+    join carries q back to the occurrence stream — corpus-sized shuffle
+    joins are 1, not 5, and the per-doc rollup's map-side combine is the
+    only other occurrence-scale reduction. Only the one-row-per-language
+    totals table broadcasts; unmodeled languages drop out at the inner
+    totals join. Docs with < 3 tokens have no trigrams and are omitted.
 
     Returns: ``doc, lang, n_trigrams, avg_logs``.
     """
@@ -469,27 +502,26 @@ def backoff_lm_apply(
         return df if streaming else df.hint(corpus_join_strategy())
 
     if not streaming:
-        # Batch plan: score each DISTINCT (doc, trigram) once instead of
-        # every occurrence. The occurrence stream folds to (doc, gram,
-        # n_occ) in one keyed aggregate, the five count-table joins then
-        # run against the distinct-gram relation (gram-scale, not
-        # occurrence-scale), and one join carries the quantized score back
-        # — corpus-sized shuffle joins drop 5 → 1. Σ q·n_occ is exactly
-        # Σ-per-occurrence q (long arithmetic), so scores are unchanged.
-        # The streaming path below keeps the per-occurrence shape: chained
-        # stateful aggregations are not expressible in a stream.
-        occ = tg.groupBy("doc", "lang", "w1", "w2", "w3").agg(
-            F.count(F.lit(1)).alias("n_occ")
-        )
-        grams = occ.select("lang", "w1", "w2", "w3").distinct()
+        # Batch plan: score each DISTINCT gram once (the five count-table
+        # joins run at gram scale), then ONE corpus-sized join carries q
+        # back to the occurrence stream and the per-doc rollup sums it.
+        # The former intermediate fold to (doc, gram, n_occ) cost a full
+        # occurrence-scale shuffle on a nearly-unique key (trigrams rarely
+        # repeat within a document, so map-side combine removed almost
+        # nothing) before the carry-back join reshuffled the same rows
+        # again by gram; joining occurrences directly shuffles the corpus
+        # ONCE, and the final (doc, lang) rollup is where map-side partial
+        # aggregation actually collapses rows. Σ-per-occurrence q equals
+        # Σ q·n_occ exactly (long arithmetic), so scores are unchanged.
+        grams = tg.select("lang", "w1", "w2", "w3").distinct()
         scored = _backoff_scored_grams(grams, model, pin=pin)
         return (
-            pin(occ)
+            pin(tg)
             .join(pin(scored), ["lang", "w1", "w2", "w3"])
             .groupBy("doc", "lang")
             .agg(
-                F.sum("n_occ").alias("n_trigrams"),
-                F.sum(F.col("q") * F.col("n_occ")).alias("__qsum"),
+                F.count(F.lit(1)).alias("n_trigrams"),
+                F.sum("q").alias("__qsum"),
             )
             .select(
                 "doc",
