@@ -50,6 +50,7 @@ from stupidb_spark.operators.dedup import (
     corpus_join_strategy,
     spread_small_scan,
 )
+from stupidb_spark.operators.lineage import cut_lineage
 
 
 def doc_bigrams(
@@ -136,8 +137,15 @@ def ngram_lm_train(
     # and third pass over the exploded reference: C(w1) = Σ_w2 C(w1,w2)
     # exactly, and distinct tokens over bigram TYPES equal distinct tokens
     # over occurrences. One heavy aggregation feeds everything; the rollups
-    # are vocabulary-sized follow-ups (and the repeated bigram_c subtrees
-    # dedupe to one ReusedExchange at runtime).
+    # are vocabulary-sized follow-ups. The repeated bigram_c references DO
+    # re-execute (per-consumer column pruning makes the exchanges
+    # non-identical, so runtime exchange reuse does not fire), but an A/B
+    # with an eager cut_lineage here measured SLOWER (1.61 → 1.97 s at
+    # sf0.1): bigram extraction is cheap relative to trigrams, the
+    # re-executions run as CONCURRENT broadcast-subquery jobs that overlap
+    # on idle cores, and materialization serializes them behind one
+    # synchronous write. Contrast backoff_lm_train, where the padded
+    # trigram aggregation is heavy enough that the cut wins.
     context_c = bigram_c.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
     # per-language vocabulary size — one row per language, the only
     # broadcast in the scoring plan
@@ -385,6 +393,14 @@ def backoff_lm_train(
         F.col("__g")["2"].alias("w3"),
     )
     c3p = pg.groupBy("lang", "w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c"))
+    # Materialize the one heavy aggregation (see ngram_lm_train): the five
+    # count-table references in the scoring plan would otherwise each
+    # re-execute the corpus tokenize+explode+aggregate (measured: 4
+    # executions, ~7-9 s task time apiece at sf0.1, per-consumer pruning
+    # defeats exchange reuse). After the cut the derived per-order rollups
+    # run at gram scale against the checkpointed blocks.
+    if not ref.isStreaming:
+        c3p = cut_lineage(c3p, eager=True)
     trigram_c = c3p.filter(F.col("w3").isNotNull()).select(
         "lang", "w1", "w2", "w3", F.col("c").alias("c3")
     )
