@@ -50,6 +50,7 @@ def main() -> None:
         .appName("profile")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{EVDIR}")
+        .config("spark.eventLog.compress", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -206,27 +206,31 @@ def semantic_dedup(
     labeled = comp.hint(corpus_join_strategy()).join(
         scored.hint(corpus_join_strategy()), "node"
     )
-    # Group survivor via min_by over the total order (centroid_sim, node):
-    # a two-phase hash aggregate with map-side partials — the
-    # text_tfidf_topterm shape — never a per-group sort window.
-    best = labeled.groupBy("component").agg(
-        F.min_by(
-            F.col("node"),
-            F.struct(
-                F.col("centroid_sim").alias("s"), F.col("node").alias("n")
-            ),
-        ).alias("__keep_id")
-    )
-    return (
-        labeled.hint(corpus_join_strategy())
-        .join(best.hint(corpus_join_strategy()), "component")
-        .select(
-            F.col("node").alias(id_col),
-            "cell",
-            "component",
-            "centroid_sim",
-            (F.col("node") == F.col("__keep_id")).alias("keep"),
-        )
+    # Group survivor via min_by over the total order (centroid_sim, node),
+    # evaluated as a whole-partition WINDOW over one component exchange.
+    # The previous groupBy + self-join form executed ``labeled`` — and the
+    # pair_cosine scoring pass inside ``scored`` — TWICE (once under the
+    # aggregate, once as the join probe; the checkpoint cut stops at
+    # ``indexed``, so each execution re-ran the scoring UDF and re-shuffled
+    # the corpus: r14 profile showed two ~10-15 s task-time scoring jobs
+    # per run at sf0.1). The window computes the identical ``keep`` bit
+    # with ONE execution of ``labeled`` and ONE exchange (guide §2.4: two
+    # operations keyed the same way share one exchange). Per-partition
+    # state is bounded: a partition holds whole components (dedup groups,
+    # bounded by cell size), and min_by keeps one accumulator, not the
+    # group's rows.
+    from pyspark.sql import Window
+
+    keep_id = F.min_by(
+        F.col("node"),
+        F.struct(F.col("centroid_sim").alias("s"), F.col("node").alias("n")),
+    ).over(Window.partitionBy("component"))
+    return labeled.select(
+        F.col("node").alias(id_col),
+        "cell",
+        "component",
+        "centroid_sim",
+        (F.col("node") == keep_id).alias("keep"),
     )
 
 
