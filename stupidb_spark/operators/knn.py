@@ -129,32 +129,6 @@ def knn_join(
         )
     C = _normalize(centroids.astype(np.float64))
 
-    indexed = ivf_index(base, centroids, id_col=id_col, vec_col=vec_col)
-    b = norm_guard(
-        indexed.select(
-            F.col("neighbor_id").alias("id"),
-            F.col("b_vec").cast("array<double>").alias("vec"),
-            "cell",
-        ),
-        "knn_join",
-    )
-    # n_cells rows — the bounded salt table (broadcast by construction)
-    cell_counts = b.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
-    cell_s = cell_counts.select(
-        "cell", F.ceil(F.col("__n") / F.lit(max_block)).cast("int").alias("__s")
-    )
-
-    qsrc = base if self_join else queries
-    qraw = spread_small_scan(
-        norm_guard(
-            qsrc.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).cast("array<double>").alias("vec"),
-            ),
-            "knn_join",
-        )
-    )
-
     @F.pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
         M = _normalize(np.stack(v.to_numpy()).astype(np.float64))
@@ -163,13 +137,76 @@ def knn_join(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([[int(c) for c in row] for row in top])
 
-    # Probed queries feed TWO subtrees (the chunk-factor counts and the
-    # task stream); the lazy localCheckpoint (components.py idiom — the
-    # counts job materializes it) keeps the probe matmul + explode to ONE
-    # pass instead of two full query-side recomputes (measured 2× end to
-    # end at the 100× fixture).
-    qprobed = cut_lineage(
-        qraw.withColumn("cell", F.explode(probe(F.col("vec")))), eager=False
+    if self_join:
+        # SELF-JOIN FAST PATH — one corpus Arrow pass instead of three.
+        # The probe UDF's leading cell IS the base assignment: both are
+        # the same normalized float64 matmul, and np.argmax's first-max
+        # tie rule equals stable argsort's first column, so
+        # ``__cells[0] == _assign_udf(vec)`` bit-identically. The previous
+        # form ran ivf_index's assignment UDF once under the cell-count
+        # aggregate and AGAIN under the task-stream union (its subtree was
+        # never lineage-cut), plus the probe UDF — three corpus passes at
+        # scale where one suffices (r14 profile: 12.1 + 8.7 + part of
+        # 10.7 s task time at sf0.1). The lazy localCheckpoint (the first
+        # consumer's job materializes it) serves all four downstream
+        # consumers from local blocks.
+        probed_all = cut_lineage(
+            spread_small_scan(
+                norm_guard(
+                    base.select(
+                        F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("vec"),
+                    ),
+                    "knn_join",
+                )
+            ).withColumn("__cells", probe(F.col("vec"))),
+            eager=False,
+        )
+        # coalesce-to-0 never fires (probe always yields n_probe cells) but
+        # marks `cell` non-nullable — the ivf_index trick that stops
+        # downstream joins inferring an isnotnull(cell) filter that would
+        # re-run the UDF per subtree.
+        b = probed_all.select(
+            "id",
+            "vec",
+            F.coalesce(F.element_at("__cells", 1), F.lit(0)).alias("cell"),
+        )
+        qprobed = probed_all.select(
+            "id", "vec", F.explode("__cells").alias("cell")
+        )
+    else:
+        indexed = ivf_index(base, centroids, id_col=id_col, vec_col=vec_col)
+        b = norm_guard(
+            indexed.select(
+                F.col("neighbor_id").alias("id"),
+                F.col("b_vec").cast("array<double>").alias("vec"),
+                "cell",
+            ),
+            "knn_join",
+        )
+        qraw = spread_small_scan(
+            norm_guard(
+                queries.select(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("vec"),
+                ),
+                "knn_join",
+            )
+        )
+        # Probed queries feed TWO subtrees (the chunk-factor counts and the
+        # task stream); the lazy localCheckpoint (components.py idiom — the
+        # counts job materializes it) keeps the probe matmul + explode to
+        # ONE pass instead of two full query-side recomputes (measured 2×
+        # end to end at the 100× fixture).
+        qprobed = cut_lineage(
+            qraw.withColumn("cell", F.explode(probe(F.col("vec")))),
+            eager=False,
+        )
+
+    # n_cells rows — the bounded salt table (broadcast by construction)
+    cell_counts = b.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    cell_s = cell_counts.select(
+        "cell", F.ceil(F.col("__n") / F.lit(max_block)).cast("int").alias("__s")
     )
 
     # The QUERY side of a task must be bounded too: a skewed query
