@@ -165,8 +165,17 @@ def doc_shingles(
     text_col: str,
     k: int = 3,
     max_doc_bytes: int | None = DOC_BYTES_CAP,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distinct k-word shingles as exploded ``(doc, shingle)`` rows.
+
+    ``carry_cols`` rides doc-level columns through the explode (e.g. a
+    target flag): a few bytes per gram row in the per-doc window shuffle,
+    where re-attaching them afterwards would cost a full gram-scale
+    corpus join (measured on text_dsir_weights, r14). The columns MUST be
+    functionally dependent on ``id_col`` — the final per-(doc, shingle)
+    distinct keeps an arbitrary row's values, which is only deterministic
+    when every duplicate carries the same value.
 
     Formulated with posexplode + a lead window + concat, NOT array
     higher-order functions: HOF lambdas evaluate in the interpreted
@@ -189,20 +198,22 @@ def doc_shingles(
     """
     from pyspark.sql.window import Window as W
 
+    carry = list(carry_cols)
     base = spread_small_scan(
-        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+        df.select(F.col(id_col).alias("doc"), F.col(text_col), *carry)
     )
     base = _doc_bytes_guard(base, text_col, max_doc_bytes, "doc_shingles")
     toks = base.select(
-        "doc", F.posexplode(words(F.col(text_col))).alias("pos", "w")
+        "doc", *carry, F.posexplode(words(F.col(text_col))).alias("pos", "w")
     )
     wspec = W.partitionBy("doc").orderBy("pos")
     lead_cols = [F.lead("w", i).over(wspec).alias(f"w{i}") for i in range(1, k)]
-    leads = toks.select("doc", "w", *lead_cols)
+    leads = toks.select("doc", *carry, "w", *lead_cols)
     return (
         leads.filter(F.col(f"w{k - 1}").isNotNull())
         .select(
             "doc",
+            *carry,
             F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, k)]).alias("shingle"),
         )
         .dropDuplicates(["doc", "shingle"])

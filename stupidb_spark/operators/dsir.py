@@ -97,44 +97,51 @@ def dsir_logweights(
     so the result is an exact integer sum rescaled once — identical on
     any engine and under any row order.
     """
+    from pyspark.sql import Window
+
     from stupidb_spark.operators.dedup import doc_shingles
+    from stupidb_spark.operators.lineage import cut_lineage
 
     flagged = docs.select(
         F.col(id_col).alias("doc"), F.col(text_col), target.alias("__t")
     )
-    ex = doc_shingles(
-        flagged, id_col="doc", text_col=text_col, k=k
-    ).withColumn("bucket", bucket_hash("shingle", buckets))
-    # re-attach the target flag (doc_shingles projects it away); the
-    # flag relation is (doc, bool) — corpus-keyed, so the join strategy
-    # is pinned like every other corpus join
-    from stupidb_spark.operators.dedup import corpus_join_strategy
-
-    flags = flagged.select("doc", "__t")
-    exf = ex.hint(corpus_join_strategy()).join(
-        flags.hint(corpus_join_strategy()), "doc"
+    # The target flag rides THROUGH the shingle explode (carry_cols —
+    # one boolean per gram row in the shuffle the explode already pays)
+    # instead of being re-attached with a gram-scale corpus join; and the
+    # exploded relation feeds TWO consumers (the bucket distributions and
+    # the scoring join), so the lazy localCheckpoint serves the second
+    # from local blocks. Before (r14 profile): every exchange in the
+    # query materialized twice — the shingle pipeline, the flag join AND
+    # the bucket aggregate each ran 2×.
+    ex = cut_lineage(
+        doc_shingles(
+            flagged, id_col="doc", text_col=text_col, k=k,
+            carry_cols=("__t",),
+        ).withColumn("bucket", bucket_hash("shingle", buckets)),
+        eager=False,
     )
-    dist = exf.groupBy("bucket").agg(
+    dist = ex.groupBy("bucket").agg(
         F.count(F.when(F.col("__t"), 1)).alias("ct"),
         F.count(F.lit(1)).alias("cr"),
     )
-    totals = dist.agg(
-        F.sum("ct").alias("tot_t"), F.sum("cr").alias("tot_r")
-    )
     a = float(alpha)
+    # Totals as whole-table window sums over the ≤ buckets-row dist —
+    # one pass, instead of a separate agg job + crossJoin that re-executed
+    # the dist subtree (identical doubles: same long sums, same lr
+    # expression, same quantization).
+    wall = Window.partitionBy()
+    tot_t = F.sum("ct").over(wall)
+    tot_r = F.sum("cr").over(wall)
     lr = F.log(
-        (F.col("ct") + F.lit(a)) / (F.col("tot_t") + F.lit(a * buckets))
+        (F.col("ct") + F.lit(a)) / (tot_t + F.lit(a * buckets))
     ) - F.log(
-        (F.col("cr") + F.lit(a)) / (F.col("tot_r") + F.lit(a * buckets))
+        (F.col("cr") + F.lit(a)) / (tot_r + F.lit(a * buckets))
     )
-    ratios = (
-        dist.crossJoin(F.broadcast(totals))  # totals is ONE row
-        .select(
-            "bucket",
-            F.floor(lr * F.lit(DSIR_SCALE) + F.lit(0.5))
-            .cast("bigint")
-            .alias("lr_q"),
-        )
+    ratios = dist.select(
+        "bucket",
+        F.floor(lr * F.lit(DSIR_SCALE) + F.lit(0.5))
+        .cast("bigint")
+        .alias("lr_q"),
     )
     scored = ex.join(F.broadcast(ratios), "bucket")  # ≤ buckets rows
     return (
