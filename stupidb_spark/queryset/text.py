@@ -786,13 +786,24 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join. At 100 TB you would shuffle xxhash64(ng) instead of the raw
     # 5-gram string to cut shuffle bytes ~6x; the oracled form keeps the
     # exact string so both engines compare the identical relation.
+    from stupidb_spark.operators.dedup import spread_small_scan
+    from stupidb_spark.operators.lineage import cut_lineage
+
     W = _SPAN_W
+    # spread before the tokenize+window-enumeration pass: the fixture scan
+    # arrives as 1-2 partitions, which serialized the whole regex+explode
+    # onto one core (r14 profile: two ~1 s single-task corpus passes); at
+    # 100 TB the scan already splits and this is a no-op.
     sized = (
-        _docs(spark, sf_dir)
+        spread_small_scan(_docs(spark, sf_dir).select("doc_id", "text"))
         .select("doc_id", T.words(F.col("text")).alias("t"))
         .withColumn("n_tokens", F.size("t"))
     )
-    spans = (
+    # spans feeds TWO consumers (the dup-df aggregate and the hit join
+    # probe); the lazy localCheckpoint keeps the tokenize+enumerate pass
+    # to ONE execution (the components.py idiom). Rows are (doc, pos, ng)
+    # — gram-scale but with the token arrays already projected away.
+    spans = cut_lineage(
         sized.where(F.col("n_tokens") >= W)
         .select(
             "doc_id",
@@ -803,7 +814,8 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.ng").alias("ng"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.ng").alias("ng")),
+        eager=False,
     )
     dup = (
         spans.groupBy("ng")
@@ -961,13 +973,19 @@ def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard upstream bounds that), and the surviving tokens are selected
     # array-side with a positional filter, so the doc-keyed join carries
     # one compact int set per doc instead of re-shuffled token rows.
+    from stupidb_spark.operators.dedup import spread_small_scan
+    from stupidb_spark.operators.lineage import cut_lineage
+
     W = _SPAN_W
+    # Same spread + single-execution spans as text_dup_spans (see there):
+    # the scan spread parallelizes the tokenize+enumerate pass and the
+    # lazy localCheckpoint stops its second execution under the hit join.
     sized = (
-        _docs(spark, sf_dir)
+        spread_small_scan(_docs(spark, sf_dir).select("doc_id", "text"))
         .select("doc_id", T.words(F.col("text")).alias("t"))
         .withColumn("n_tokens", F.size("t"))
     )
-    spans = (
+    spans = cut_lineage(
         sized.where(F.col("n_tokens") >= W)
         .select(
             "doc_id",
@@ -978,7 +996,8 @@ def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.ng").alias("ng"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.ng").alias("ng")),
+        eager=False,
     )
     dup = (
         spans.groupBy("ng")
