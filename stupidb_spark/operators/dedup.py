@@ -385,10 +385,18 @@ def _pair_overlap_counts(
             ScaleWarning,
             stacklevel=3,
         )
+    from stupidb_spark.operators.lineage import cut_lineage
+
     ex = doc_shingles(
         df, id_col=id_col, text_col=text_col, k=k, max_doc_bytes=max_doc_bytes
     )
     if max_doc_freq is not None:
+        # The shingle relation feeds BOTH the df-count aggregate and the
+        # cap join probe; without a cut the tokenize+explode pass ran once
+        # per consumer (and a third time per self-join side below — r14
+        # profile: three full corpus passes). The lazy localCheckpoint (the
+        # df-count job materializes it) serves the probe from local blocks.
+        ex = cut_lineage(ex, eager=False)
         # streaming aggregate + join back, NOT a count-over-shingle window:
         # WindowExec would buffer a hot shingle's entire partition in one
         # task before the filter drops it, while the groupBy map-side
@@ -416,6 +424,14 @@ def _pair_overlap_counts(
     # shuffle_hash-pinned: shuffled on the shingle key like SMJ (AQE skew
     # split still applies), but no sort of the inverted index and no
     # estimate-driven broadcast of either side.
+    #
+    # exv is deliberately NOT lineage-cut even though it is both sides of
+    # the self-join: the sides' exchanges materialize as CONCURRENT AQE
+    # jobs, so the duplicate window pass overlaps on idle cores, while a
+    # checkpoint serializes a materialization barrier before either side
+    # starts — measured r14 (uncapped dedup_ngram_jaccard, interleaved):
+    # 1.47 s stock vs 2.00 s with the cut. Same verdict as the LM bigram
+    # table (operators/lm.py): cuts pay only for expensive subtrees.
     exv = ex.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc")))
     a = exv.alias("a").hint(corpus_join_strategy())
     b = exv.alias("b").hint(corpus_join_strategy())
