@@ -47,7 +47,6 @@ from stupidb_spark.operators.dedup import corpus_join_strategy, spread_small_sca
 from stupidb_spark.operators.lineage import cut_lineage
 from stupidb_spark.operators.ivf import (
     _normalize,
-    ivf_index,
     ivf_refine,
     ivf_train,
 )
@@ -137,71 +136,55 @@ def knn_join(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([[int(c) for c in row] for row in top])
 
+    # ONE corpus Arrow pass for BOTH sides — the probe UDF's leading cell
+    # IS the base assignment: both are the same normalized float64 matmul,
+    # and np.argmax's first-max tie rule equals stable argsort's first
+    # column, so ``__cells[0] == ivf_index's _assign_udf(vec)``
+    # bit-identically. The previous form ran the assignment UDF once under
+    # the cell-count aggregate and AGAIN under the task-stream union (its
+    # subtree was never lineage-cut), plus the query probe UDF — three
+    # corpus passes at scale where one suffices (r14 profile: 12.1 + 8.7 +
+    # part of 10.7 s task time at sf0.1). The lazy localCheckpoint (the
+    # first consumer's job materializes it) serves all four downstream
+    # consumers from local blocks. In the self-join every row is both
+    # sides; otherwise a side tag rides the unioned relation and the sides
+    # are filters over the one checkpoint (union promotes the id type —
+    # the same promotion the task-stream union performed before).
     if self_join:
-        # SELF-JOIN FAST PATH — one corpus Arrow pass instead of three.
-        # The probe UDF's leading cell IS the base assignment: both are
-        # the same normalized float64 matmul, and np.argmax's first-max
-        # tie rule equals stable argsort's first column, so
-        # ``__cells[0] == _assign_udf(vec)`` bit-identically. The previous
-        # form ran ivf_index's assignment UDF once under the cell-count
-        # aggregate and AGAIN under the task-stream union (its subtree was
-        # never lineage-cut), plus the probe UDF — three corpus passes at
-        # scale where one suffices (r14 profile: 12.1 + 8.7 + part of
-        # 10.7 s task time at sf0.1). The lazy localCheckpoint (the first
-        # consumer's job materializes it) serves all four downstream
-        # consumers from local blocks.
-        probed_all = cut_lineage(
-            spread_small_scan(
-                norm_guard(
-                    base.select(
-                        F.col(id_col).alias("id"),
-                        F.col(vec_col).cast("array<double>").alias("vec"),
-                    ),
-                    "knn_join",
-                )
-            ).withColumn("__cells", probe(F.col("vec"))),
-            eager=False,
-        )
-        # coalesce-to-0 never fires (probe always yields n_probe cells) but
-        # marks `cell` non-nullable — the ivf_index trick that stops
-        # downstream joins inferring an isnotnull(cell) filter that would
-        # re-run the UDF per subtree.
-        b = probed_all.select(
-            "id",
-            "vec",
-            F.coalesce(F.element_at("__cells", 1), F.lit(0)).alias("cell"),
-        )
-        qprobed = probed_all.select(
-            "id", "vec", F.explode("__cells").alias("cell")
+        tagged = base.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
         )
     else:
-        indexed = ivf_index(base, centroids, id_col=id_col, vec_col=vec_col)
-        b = norm_guard(
-            indexed.select(
-                F.col("neighbor_id").alias("id"),
-                F.col("b_vec").cast("array<double>").alias("vec"),
-                "cell",
-            ),
-            "knn_join",
-        )
-        qraw = spread_small_scan(
-            norm_guard(
-                queries.select(
-                    F.col(id_col).alias("id"),
-                    F.col(vec_col).cast("array<double>").alias("vec"),
-                ),
-                "knn_join",
+        tagged = base.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            F.lit(True).alias("__is_b"),
+        ).unionByName(
+            queries.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+                F.lit(False).alias("__is_b"),
             )
         )
-        # Probed queries feed TWO subtrees (the chunk-factor counts and the
-        # task stream); the lazy localCheckpoint (components.py idiom — the
-        # counts job materializes it) keeps the probe matmul + explode to
-        # ONE pass instead of two full query-side recomputes (measured 2×
-        # end to end at the 100× fixture).
-        qprobed = cut_lineage(
-            qraw.withColumn("cell", F.explode(probe(F.col("vec")))),
-            eager=False,
-        )
+    probed_all = cut_lineage(
+        spread_small_scan(norm_guard(tagged, "knn_join")).withColumn(
+            "__cells", probe(F.col("vec"))
+        ),
+        eager=False,
+    )
+    bsrc = probed_all if self_join else probed_all.filter(F.col("__is_b"))
+    qsrc = probed_all if self_join else probed_all.filter(~F.col("__is_b"))
+    # coalesce-to-0 never fires (probe always yields n_probe cells) but
+    # marks `cell` non-nullable — the ivf_index trick that stops
+    # downstream joins inferring an isnotnull(cell) filter that would
+    # re-run the UDF per subtree.
+    b = bsrc.select(
+        "id",
+        "vec",
+        F.coalesce(F.element_at("__cells", 1), F.lit(0)).alias("cell"),
+    )
+    qprobed = qsrc.select("id", "vec", F.explode("__cells").alias("cell"))
 
     # n_cells rows — the bounded salt table (broadcast by construction)
     cell_counts = b.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
