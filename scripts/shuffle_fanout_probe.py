@@ -74,6 +74,10 @@ QUERIES_TO_RUN = [
     # probe verifies the groupBy in frames_exact is the only exchange
     # that widens)
     "text_dsir_weights",
+    # round-14 optimization paths: the side-tagged single-probe kNN
+    # pipeline (classify shape) — the checkpoint + filter split must not
+    # widen with the shuffle count
+    "emb_knn_classify",
     "multimodal_features_exact",
     "multimodal_audio_exact",
     "multimodal_frames_exact",
