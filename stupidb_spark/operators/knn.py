@@ -186,26 +186,47 @@ def knn_join(
     )
     qprobed = qsrc.select("id", "vec", F.explode("__cells").alias("cell"))
 
-    # n_cells rows — the bounded salt table (broadcast by construction)
-    cell_counts = b.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
-    cell_s = cell_counts.select(
-        "cell", F.ceil(F.col("__n") / F.lit(max_block)).cast("int").alias("__s")
-    )
-
+    # n_cells rows — the bounded salt table (broadcast by construction).
     # The QUERY side of a task must be bounded too: a skewed query
     # distribution (every query probing one hot cell) would otherwise pile
     # the whole query set into that cell's tasks. Per-cell probed-query
-    # counts (n_cells rows) set a chunk factor, giving symmetric 2D
-    # blocking: task (cell, sub, qc) holds ≤ max_block base rows AND
-    # ≤ max_block query rows by construction; each (query, base) pair
-    # lands in exactly one task — (cell, sub(base), qc(query)).
-    qcnt = qprobed.groupBy("cell").agg(F.count(F.lit(1)).alias("__qn"))
-    cell_tasks = cell_s.join(qcnt, "cell", "left").select(
-        "cell",
-        "__s",
-        F.coalesce(
-            F.ceil(F.col("__qn") / F.lit(max_block)).cast("int"), F.lit(1)
-        ).alias("__qc"),
+    # counts set a chunk factor, giving symmetric 2D blocking: task
+    # (cell, sub, qc) holds ≤ max_block base rows AND ≤ max_block query
+    # rows by construction; each (query, base) pair lands in exactly one
+    # task — (cell, sub(base), qc(query)).
+    #
+    # BOTH per-cell counts come from ONE aggregation over the probed
+    # checkpoint: a base row's cell is __cells[0] (count it at pos 0 only)
+    # and a query row probes every __cells entry — posexplode carries only
+    # (pos, cell[, __is_b]) ints, never the vectors. The previous separate
+    # cell_counts/qcnt aggregates scanned the corpus-sized checkpoint twice
+    # as two serialized broadcast-build jobs (r14 profile: 2 × ~440 ms wall
+    # at sf0.1, one redundant corpus pass at scale).
+    if self_join:
+        cexp = probed_all.select(F.posexplode("__cells").alias("pos", "cell"))
+        is_b_row, is_q_row = F.col("pos") == 0, F.lit(True)
+    else:
+        cexp = probed_all.select(
+            "__is_b", F.posexplode("__cells").alias("pos", "cell")
+        )
+        is_b_row = F.col("__is_b") & (F.col("pos") == 0)
+        is_q_row = ~F.col("__is_b")
+    cell_tasks = (
+        cexp.groupBy("cell")
+        .agg(
+            F.count(F.when(is_b_row, 1)).alias("__n"),
+            F.count(F.when(is_q_row, 1)).alias("__qn"),
+        )
+        # cells with no base rows never had a cell_counts row before: a
+        # probed-empty cell still contributes nothing (q joins inner below)
+        .filter(F.col("__n") > 0)
+        .select(
+            "cell",
+            F.ceil(F.col("__n") / F.lit(max_block)).cast("int").alias("__s"),
+            F.greatest(
+                F.ceil(F.col("__qn") / F.lit(max_block)).cast("int"), F.lit(1)
+            ).alias("__qc"),
+        )
     )
 
     b = b.join(F.broadcast(cell_tasks), "cell").select(
