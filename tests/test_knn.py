@@ -90,6 +90,28 @@ def test_two_table_mode_exact(emb, ground):
         assert n == int(qid) and s == pytest.approx(1.0, abs=1e-9)
 
 
+def test_two_table_mode_chunked_blocking_exact(emb, ground):
+    # tiny max_block forces BOTH 2D-blocking axes (__s base sub-splits and
+    # __qc query chunks) through the single-aggregation count derivation
+    # (base count at pos 0 only, query count per probed cell) in the
+    # two-table form — the side-tagged branch. Blocking may only bound
+    # task sizes, never alter candidates, ranks, or sims.
+    ids, V = ground
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    qrows = queries.orderBy("vec_id").collect()
+    q_ids = np.array([r.vec_id for r in qrows])
+    Q = np.stack([np.array(r.embedding) for r in qrows])
+    got = _tuples(
+        knn_join(
+            emb, queries, k_neighbors=3, n_cells=8, n_probe=8, max_block=20
+        )
+    )
+    want = knn_join_reference(
+        ids, V, q_ids, Q, k_neighbors=3, self_join=False
+    )
+    assert got == want
+
+
 def test_registered_query_shape(spark):
     from stupidb_spark.queryset import QUERIES
 
