@@ -291,10 +291,11 @@ def resolve_record(
     *,
     repo: str = _REPO,
     env: dict | None = None,
+    cpus: int | None = None,
 ) -> tuple[str, bool, dict]:
     """Decide where the run's record goes and whether to keep the old one.
 
-    Returns ``(path, keep_existing, notes)``. Two protections, both earned
+    Returns ``(path, keep_existing, notes)``. Three protections, all earned
     by shipped mistakes:
 
     - **Scale-factor guard** (round-7 lesson: an sf0.01 gate-rehearsal run
@@ -304,6 +305,14 @@ def resolve_record(
       not a remeasurement — it never overwrites the default file; it is
       redirected to an sf-suffixed sibling. An explicit
       ``SPARK_GRAFT_BENCH_OUT`` always goes exactly where the caller said.
+    - **Core-count guard** (round-14 lesson: the driver's 8-core scaling
+      run — 75.0 s, faster in wall clock because the sf0.1 bench is
+      latency-bound — overwrote the round's quiet 32-core record, leaving
+      the repo reference incomparable to every other record). Same rule as
+      sf: a run at a different ``cpus`` than the existing default record
+      is a different experiment and redirects to ``BENCH_LOCAL_c<n>.json``.
+      Records written before round 15 lack the ``cpus`` field; an unknown
+      previous core count falls back to the old behavior.
     - **Noisy-run guard** (round-6 lesson): a run that self-flags noisy
       never replaces a FASTER record of the identical workload — for a
       deterministic workload the lower total IS the better measurement,
@@ -321,9 +330,10 @@ def resolve_record(
     if not explicit_out:
         try:
             with open(path) as f:
-                prev_sf = json.load(f).get("sf")
+                prev0 = json.load(f)
+            prev_sf, prev_cpus = prev0.get("sf"), prev0.get("cpus")
         except (OSError, ValueError):
-            prev_sf = None
+            prev_sf, prev_cpus = None, None
         if prev_sf is not None and prev_sf != sf:
             out_name = f"BENCH_LOCAL_sf{sf}.json"
             path = os.path.join(repo, out_name)
@@ -332,6 +342,19 @@ def resolve_record(
                 "note": f"existing BENCH_LOCAL.json records sf={prev_sf}; "
                 "a different-sf run never overwrites the default record",
             }
+        elif (
+            prev_cpus is not None
+            and cpus is not None
+            and prev_cpus != cpus
+        ):
+            out_name = f"BENCH_LOCAL_c{cpus}.json"
+            path = os.path.join(repo, out_name)
+            notes["record_redirect"] = {
+                "file": out_name,
+                "note": f"existing BENCH_LOCAL.json records cpus={prev_cpus}; "
+                "a different-core-count run never overwrites the default "
+                "record",
+            }
     keep_existing = False
     if noisy:
         try:
@@ -339,6 +362,7 @@ def resolve_record(
                 prev = json.load(f)
             if (
                 prev.get("sf") == sf
+                and prev.get("cpus") in (None, cpus)
                 and sorted(prev.get("queries", {})) == sorted(timings)
                 and prev.get("value", float("inf")) <= total
             ):
@@ -476,6 +500,16 @@ def main() -> None:
     calibrations: list[float] = []
     calibrations_mt: list[float] = []
 
+    # Every timed sample must COMPUTE from the parquet inputs: the ANN
+    # index/codebook memoization (operators/ivf.py::_INDEX_CACHE and
+    # friends) is deployment semantics — train once, probe per batch — but
+    # min-of-N over cold-then-warm samples is not a cold measurement
+    # (round-14 verdict, "What's wrong" #1: attempts 2-3 of
+    # ann_topk_ivf/pq/ivfpq scored a warm, persisted index). Clearing
+    # before each sample makes every sample re-train; the old warm-min
+    # readings for those three queries live in the pre-round-15 records.
+    from stupidb_spark.operators import clear_ann_caches
+
     def timed_attempt() -> tuple[dict[str, float], dict[str, float]]:
         calibrations.append(cpu_calibration())
         calibrations_mt.append(cpu_calibration_all_cores())
@@ -486,6 +520,7 @@ def main() -> None:
                 samples = []
                 s0, t0 = _cpu_ticks()
                 for _ in range(2):
+                    clear_ann_caches()
                     start = time.perf_counter()
                     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                     samples.append(time.perf_counter() - start)
@@ -497,6 +532,7 @@ def main() -> None:
                 # is suspect — buy ONE more sample for that query only
                 # (bounded extra cost)
                 if max(samples) > 1.5 * min(samples) or q_steal > 3.0:
+                    clear_ann_caches()
                     start = time.perf_counter()
                     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                     samples.append(time.perf_counter() - start)
@@ -571,6 +607,10 @@ def main() -> None:
         "steal_pct": steal_pct,
         "noise": noise,
         "sf": sf,
+        # Core count of this run (local[N]) — resolve_record's core-count
+        # guard keys on it so a low-core scaling run can never clobber the
+        # default record (the round-14 8-core lesson).
+        "cpus": spark.sparkContext.defaultParallelism,
     }
     # Durable copy first: BENCH_r02's stdout line was truncated by the
     # driver's tail capture, losing the round's headline number. The file is
@@ -582,7 +622,7 @@ def main() -> None:
     # the same workload — the file keeps the quiet number, stdout stays the
     # raw current run, and the noise block points at the retained record.
     local_path, keep_existing, record_notes = resolve_record(
-        sf, total, timings, noise["noisy"]
+        sf, total, timings, noise["noisy"], cpus=payload["cpus"]
     )
     noise.update(record_notes)
     if not keep_existing:
@@ -606,6 +646,14 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
+    # The LAST line must carry the per-query map (round-14 verdict,
+    # "What's wrong" #2: the driver's bounded tail capture truncated the
+    # full line, and the old noise-only summary left PERF's per_query
+    # comparison empty two rounds running). Budget: ~2.4 KB at 95 queries
+    # and 3-decimal seconds vs a ~3 KB capture window — so the summary
+    # keeps queries and drops the bulky noise block (attempts/calibration
+    # live in the full line above and in the record file); only the two
+    # one-glance noise scalars ride along.
     summary = json.dumps(
         {
             "metric": payload["metric"],
@@ -613,7 +661,9 @@ def main() -> None:
             "unit": payload["unit"],
             "n": len(timings),
             "sf": sf,
-            "noise": noise,
+            "noisy": noise["noisy"],
+            "steal_pct_max": noise["steal_pct_max"],
+            "queries": timings,
         },
         separators=(",", ":"),
     )

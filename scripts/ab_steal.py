@@ -57,16 +57,24 @@ def session(overrides: dict[str, str]):
 
 
 def main() -> None:
-    names = sys.argv[1].split(",")
-    overrides = dict(kv.split("=", 1) for kv in sys.argv[2].split(";") if kv)
-    cycles, runs, max_steal = 3, 2, 1.0
-    for i, a in enumerate(sys.argv):
-        if a == "--cycles":
-            cycles = int(sys.argv[i + 1])
-        if a == "--runs":
-            runs = int(sys.argv[i + 1])
-        if a == "--max-steal":
-            max_steal = float(sys.argv[i + 1])
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Steal-aware interleaved A/B of conf overrides vs stock."
+    )
+    p.add_argument("queries", help="comma-separated headline query names")
+    p.add_argument(
+        "overrides", help='conf overrides as "key=val;key2=val2" ("" = none)'
+    )
+    p.add_argument("--cycles", type=int, default=3)
+    p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--max-steal", type=float, default=1.0, dest="max_steal")
+    args = p.parse_args()
+    names = args.queries.split(",")
+    overrides = dict(
+        kv.split("=", 1) for kv in args.overrides.split(";") if kv
+    )
+    cycles, runs, max_steal = args.cycles, args.runs, args.max_steal
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from stupidb_spark.queryset import QUERIES

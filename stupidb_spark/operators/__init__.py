@@ -60,8 +60,39 @@ from stupidb_spark.operators.similarity import (
 )
 from stupidb_spark.operators.skew import replicate_join, salted_aggregate, with_salt
 
+
+def clear_ann_caches() -> None:
+    """Drop every memoized ANN artifact (IVF index, PQ codebooks/code table,
+    IVF-PQ table) and unpersist their Spark relations.
+
+    The caches model deployment semantics — train once, probe per batch —
+    but a BENCHMARK that takes min-of-N samples per query must not let
+    samples 2..N score against an already-trained, persisted index: that
+    reports a warm-index number as if it were the query's cost (round-14
+    verdict, "What's wrong" #1). ``bench.py`` calls this before every timed
+    sample so each one re-trains from the parquet inputs. Unpersist errors
+    are swallowed: a cache entry whose session died is still safely
+    droppable.
+    """
+    from stupidb_spark.operators import ivf as _ivf
+    from stupidb_spark.operators import pq as _pq
+
+    for cache, unpersist in (
+        (_ivf._INDEX_CACHE, lambda v: v.indexed.unpersist()),
+        (_pq._PQ_CACHE, lambda v: v[1].unpersist()),
+        (_pq._IVFPQ_CACHE, lambda v: v[2].unpersist()),
+    ):
+        for v in cache.values():
+            try:
+                unpersist(v)
+            except Exception:
+                pass
+        cache.clear()
+
+
 __all__ = [
     "asof_join",
+    "clear_ann_caches",
     "range_join",
     "connected_components",
     "ivf_topk",

@@ -175,14 +175,22 @@ def knn_join(
     )
     bsrc = probed_all if self_join else probed_all.filter(F.col("__is_b"))
     qsrc = probed_all if self_join else probed_all.filter(~F.col("__is_b"))
-    # coalesce-to-0 never fires (probe always yields n_probe cells) but
-    # marks `cell` non-nullable — the ivf_index trick that stops
-    # downstream joins inferring an isnotnull(cell) filter that would
-    # re-run the UDF per subtree.
+    # One shared never-fires fallback for the base side (probe always
+    # yields n_probe >= 1 cells): an empty/null __cells array falls back to
+    # cell 0 in BOTH the row assignment and the count derivation below, so
+    # the two can never diverge (the r14 form counted from a plain
+    # posexplode — an empty array would have assigned the row cell 0 here
+    # yet contributed no count, silently dropping it at the task join).
+    # The coalesce-to-0 additionally marks `cell` non-nullable — the
+    # ivf_index trick that stops downstream joins inferring an
+    # isnotnull(cell) filter that would re-run the UDF per subtree.
+    cells_nz = F.when(F.size("__cells") > 0, F.col("__cells")).otherwise(
+        F.array(F.lit(0))
+    )
     b = bsrc.select(
         "id",
         "vec",
-        F.coalesce(F.element_at("__cells", 1), F.lit(0)).alias("cell"),
+        F.coalesce(F.element_at(cells_nz, 1), F.lit(0)).alias("cell"),
     )
     qprobed = qsrc.select("id", "vec", F.explode("__cells").alias("cell"))
 
@@ -202,15 +210,23 @@ def knn_join(
     # cell_counts/qcnt aggregates scanned the corpus-sized checkpoint twice
     # as two serialized broadcast-build jobs (r14 profile: 2 × ~440 ms wall
     # at sf0.1, one redundant corpus pass at scale).
+    # posexplode over the SAME fallback expression as `b` (cells_nz): a
+    # base row's cell is its entry at pos 0, so the count and the
+    # assignment agree by construction even in the never-fires empty case.
+    # The query side stays on the raw __cells — qprobed explodes the raw
+    # array too, so an empty-cells query row consistently contributes
+    # neither probes nor counts.
     if self_join:
-        cexp = probed_all.select(F.posexplode("__cells").alias("pos", "cell"))
-        is_b_row, is_q_row = F.col("pos") == 0, F.lit(True)
+        cexp = probed_all.select(
+            "__cells", F.posexplode(cells_nz).alias("pos", "cell")
+        )
+        is_b_row, is_q_row = F.col("pos") == 0, F.size("__cells") > 0
     else:
         cexp = probed_all.select(
-            "__is_b", F.posexplode("__cells").alias("pos", "cell")
+            "__is_b", "__cells", F.posexplode(cells_nz).alias("pos", "cell")
         )
         is_b_row = F.col("__is_b") & (F.col("pos") == 0)
-        is_q_row = ~F.col("__is_b")
+        is_q_row = ~F.col("__is_b") & (F.size("__cells") > 0)
     cell_tasks = (
         cexp.groupBy("cell")
         .agg(

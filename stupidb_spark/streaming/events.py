@@ -449,7 +449,9 @@ def run_to_parquet_idempotent(
     pinned width, and an exception between set and restore is covered by
     the ``finally`` but the window during the run is not. Run stateful
     streams on a dedicated session (``spark.newSession()`` shares the
-    JVM but isolates the conf) when anything runs concurrently.
+    JVM but isolates the conf) when anything runs concurrently — the
+    stream gates (``queryset/streamgate.py``) build their stateful
+    streams on exactly such a twin session, so their pins can never leak.
     """
     spark = stream_df.sparkSession
 

