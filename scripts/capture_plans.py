@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline queries into plans/r14/.
+"""Capture .explain("formatted") for headline queries into plans/r15/.
 
 Usage: python scripts/capture_plans.py <suffix> [name,...]
 
-Writes plans/r14/<query>_<suffix>.txt for each requested headline query
+Writes plans/r15/<query>_<suffix>.txt for each requested headline query
 (default: all). The streaming gate queries RUN their staged stream when the
 callable is invoked and return a read-back scan, so their formatted plan is
 the read-back only — their evidence lives in bench timings + code; they are
@@ -45,7 +45,7 @@ def main() -> None:
     from bench import HEADLINE
 
     names = only or [n for n in HEADLINE if n not in STREAM_GATES]
-    out_dir = os.path.join(_REPO, "plans", "r14")
+    out_dir = os.path.join(_REPO, "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("stupidb-spark-plans")
     spark.sparkContext.setLogLevel("ERROR")

@@ -82,6 +82,7 @@ def knn_join(
     max_block: int = 2048,
     target_occupancy: int = 250,
     refine_iters: int = 0,
+    base_carry: str | None = None,
 ) -> DataFrame:
     """For each query row, its ``k_neighbors`` nearest base rows by
     quantized cosine. ``queries=None`` is the self-join (each vector's
@@ -91,6 +92,19 @@ def knn_join(
     1-based by (similarity DESC, neighbor_id ASC). Queries whose probed
     cells hold no base rows are omitted (no candidates — raise ``n_probe``
     for total coverage; ``n_probe = n_cells`` is exact brute force).
+
+    ``base_carry``: name of ONE base column to ride the pipeline and come
+    back on each output row (``..., cosine_sim, <base_carry>``) — the
+    classifier's label attach without a corpus-sized join-back: the old
+    ``knn → join(base, neighbor_id)`` re-shuffled the k×queries candidate
+    relation AND the base table (2 exchanges + a shuffled hash join per
+    r15 profile) to fetch a value every scoring task already held. The
+    carried value adds a few bytes per base row to the one existing task
+    shuffle and a third struct field to the top-k merge; the merge order
+    is untouched because (−sim, neighbor) is already a total order per
+    query (each (query, base) pair scores in exactly one task, so
+    neighbor ids are unique per query). Default None keeps the
+    four-column output and plan byte-identical to round 14.
 
     Sizing (100 TB): within-cell comparison volume is
     Θ(N²·n_probe/n_cells), so a FIXED cell count is quadratic by
@@ -150,21 +164,33 @@ def knn_join(
     # sides; otherwise a side tag rides the unioned relation and the sides
     # are filters over the one checkpoint (union promotes the id type —
     # the same promotion the task-stream union performed before).
+    carry_type = dict(base.dtypes)[base_carry] if base_carry else None
+    carry_b = (
+        [F.col(base_carry).alias("__carry")] if base_carry else []
+    )
+    carry_q = (
+        # query rows never supply the carried value; a typed NULL keeps the
+        # union schema aligned
+        [F.lit(None).cast(carry_type).alias("__carry")] if base_carry else []
+    )
     if self_join:
         tagged = base.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("vec"),
+            *carry_b,
         )
     else:
         tagged = base.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("vec"),
             F.lit(True).alias("__is_b"),
+            *carry_b,
         ).unionByName(
             queries.select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).cast("array<double>").alias("vec"),
                 F.lit(False).alias("__is_b"),
+                *carry_q,
             )
         )
     probed_all = cut_lineage(
@@ -187,12 +213,16 @@ def knn_join(
     cells_nz = F.when(F.size("__cells") > 0, F.col("__cells")).otherwise(
         F.array(F.lit(0))
     )
+    carry_ref = ["__carry"] if base_carry else []
     b = bsrc.select(
         "id",
         "vec",
         F.coalesce(F.element_at(cells_nz, 1), F.lit(0)).alias("cell"),
+        *carry_ref,
     )
-    qprobed = qsrc.select("id", "vec", F.explode("__cells").alias("cell"))
+    qprobed = qsrc.select(
+        "id", "vec", F.explode("__cells").alias("cell"), *carry_ref
+    )
 
     # n_cells rows — the bounded salt table (broadcast by construction).
     # The QUERY side of a task must be bounded too: a skewed query
@@ -252,6 +282,7 @@ def knn_join(
         "id",
         "vec",
         F.lit(True).alias("is_base"),
+        *carry_ref,
     )
 
     q = (
@@ -265,6 +296,7 @@ def knn_join(
             "id",
             "vec",
             F.lit(False).alias("is_base"),
+            *carry_ref,
         )
     )
 
@@ -276,22 +308,30 @@ def knn_join(
     tasks_input = b.unionByName(q)
     id_type = dict(tasks_input.dtypes)["id"]
     cand_schema = f"query {id_type}, neighbor {id_type}, sim double"
+    if base_carry:
+        cand_schema += f", carry {carry_type}"
     k = k_neighbors
+    with_carry = bool(base_carry)
+
+    def empty_cand() -> pd.DataFrame:
+        cols = {"query": [], "neighbor": [], "sim": []}
+        if with_carry:
+            cols["carry"] = []
+        return pd.DataFrame(cols).astype({"sim": "float64"})
 
     def task(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         Bp = pdf[pdf["is_base"]]
         Qp = pdf[~pdf["is_base"]]
         if len(Bp) == 0 or len(Qp) == 0:
-            return pd.DataFrame({"query": [], "neighbor": [], "sim": []}).astype(
-                {"sim": "float64"}
-            )
+            return empty_cand()
         Bm = np.stack(Bp["vec"].to_numpy()).astype(np.float64)
         Qm = np.stack(Qp["vec"].to_numpy()).astype(np.float64)
         b_ids = Bp["id"].to_numpy()
         q_ids = Qp["id"].to_numpy()
+        b_carry = Bp["__carry"].to_numpy() if with_carry else None
         qnorms = np.sqrt(_qdot(Qm, Qm).astype(np.float64) / QUANT_SCALE)
         sims = _quant_sims(Bm, Qm, qnorms)  # (nB, nQ)
-        out_q, out_n, out_s = [], [], []
+        out_q, out_n, out_s, out_c = [], [], [], []
         for j in range(len(q_ids)):
             col = sims[:, j]
             mask = b_ids != q_ids[j] if self_join else np.ones(len(b_ids), bool)
@@ -305,51 +345,59 @@ def knn_join(
             out_q.append(np.repeat(q_ids[j], len(order)))
             out_n.append(ids_j[order])
             out_s.append(col_j[order])
+            if with_carry:
+                out_c.append(b_carry[mask][order])
         if not out_q:
-            return pd.DataFrame({"query": [], "neighbor": [], "sim": []}).astype(
-                {"sim": "float64"}
-            )
-        return pd.DataFrame(
-            {
-                "query": np.concatenate(out_q),
-                "neighbor": np.concatenate(out_n),
-                "sim": np.concatenate(out_s),
-            }
-        )
+            return empty_cand()
+        cols = {
+            "query": np.concatenate(out_q),
+            "neighbor": np.concatenate(out_n),
+            "sim": np.concatenate(out_s),
+        }
+        if with_carry:
+            cols["carry"] = np.concatenate(out_c)
+        return pd.DataFrame(cols)
 
     cand = tasks_input.groupBy("cell", "sub", "qc").applyInPandas(
         task, cand_schema
     )
 
     # Per-query merge of the ≤ k-per-task candidates: sort_array over
-    # (-sim, neighbor) structs — negation is exact in IEEE doubles, so the
-    # recovered sim is bit-identical to the task's quantized value.
+    # (-sim, neighbor[, carry]) structs — negation is exact in IEEE
+    # doubles, so the recovered sim is bit-identical to the task's
+    # quantized value. The carried field rides as the LAST struct field:
+    # (s, n) is already a total order per query (neighbor ids unique — each
+    # (query, base) pair scores in exactly one task), so sort_array's
+    # lexicographic comparison never reaches it and the order is identical
+    # with or without it.
+    struct_fields = [
+        (-F.col("sim")).alias("s"),
+        F.col("neighbor").alias("n"),
+    ]
+    if base_carry:
+        struct_fields.append(F.col("carry").alias("c"))
     top = (
         cand.groupBy("query")
         .agg(
             F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("sim")).alias("s"),
-                            F.col("neighbor").alias("n"),
-                        )
-                    )
-                ),
+                F.sort_array(F.collect_list(F.struct(*struct_fields))),
                 1,
                 k,
             ).alias("top")
         )
     )
-    return top.select(
-        F.col("query").alias("query_id"),
-        F.posexplode("top").alias("__pos", "__t"),
-    ).select(
+    out_cols = [
         "query_id",
         (F.col("__pos") + 1).alias("rank"),
         F.col("__t.n").alias("neighbor_id"),
         (-F.col("__t.s")).alias("cosine_sim"),
-    )
+    ]
+    if base_carry:
+        out_cols.append(F.col("__t.c").alias(base_carry))
+    return top.select(
+        F.col("query").alias("query_id"),
+        F.posexplode("top").alias("__pos", "__t"),
+    ).select(*out_cols)
 
 
 def knn_join_reference(

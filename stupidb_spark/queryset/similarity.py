@@ -265,11 +265,14 @@ def _knn_classify_pipeline(
     # kNN classification — the knn_join composed into a label propagator:
     # unlabeled-slice vectors (vec_id % 5 == 0) take the majority label of
     # their k=5 nearest labeled vectors (ties: higher vote count first,
-    # then lexicographically first label). The label attach is one
-    # id-keyed join of the (k x queries)-sized candidate relation against
-    # the labeled base — corpus-join-pinned — and the vote is a hash
-    # aggregate + min_by argmax, never a per-query sort window.
-    from stupidb_spark.operators.dedup import corpus_join_strategy
+    # then lexicographically first label). The label rides the kNN
+    # pipeline itself (knn_join base_carry — every scoring task already
+    # holds the neighbor row): the former id-keyed join-back of the
+    # (k × queries) candidate relation against the labeled base cost two
+    # exchanges + a shuffled hash join (r15 profile) to fetch a value the
+    # task had in hand. The vote aggregates reuse the top-k merge's
+    # query_id hash partitioning (a subset of the (query_id, label)
+    # clustering), so no label-attach exchange remains at all.
     from stupidb_spark.operators.knn import knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -277,15 +280,9 @@ def _knn_classify_pipeline(
     queries = emb.filter(F.col("vec_id") % 5 == 0)
     knn = knn_join(
         base, queries, id_col="vec_id", vec_col="embedding",
-        k_neighbors=5, **knn_kwargs,
+        k_neighbors=5, base_carry="label", **knn_kwargs,
     )
-    labeled = knn.hint(corpus_join_strategy()).join(
-        base.select(F.col("vec_id").alias("neighbor_id"), "label").hint(
-            corpus_join_strategy()
-        ),
-        "neighbor_id",
-    )
-    votes = labeled.groupBy("query_id", "label").agg(
+    votes = knn.groupBy("query_id", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
     best = votes.groupBy("query_id").agg(
