@@ -554,18 +554,31 @@ def minhash_lsh_pairs(
     # NOT checkpointed: AQE exchange reuse already shares this aggregation
     # between both band self-join sides (measured: an eager localCheckpoint
     # here costs ~2× the warm query).
+    #
+    # n_sh rides the SAME aggregation for free: ex rows are distinct
+    # (doc, shingle) by doc_shingles' contract, so count(*) per doc IS the
+    # per-doc shingle count the verification denominator needs. The r14
+    # form recomputed it as a whole-partition window over the gram-scale
+    # exploded rows — a full extra columnar pass plus 8 wider bytes on
+    # every gram row through both verification join sides (r15 profile:
+    # the windowed relation exchanged 5.8 MB vs the 3.4 MB raw rows).
+    # Carrying the count on the doc-scale band rows instead costs 8 bytes
+    # per (doc, band) row.
     sig = ex.groupBy("doc").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(n_hashes)
-        ]
+        ],
+        F.count(F.lit(1)).alias("n_sh"),
     )
 
-    # Bands carry ONLY (doc, band-bucket) longs — the shingle arrays would
-    # otherwise be duplicated ×n_bands through the shuffle and dominate the
-    # join payload; verification joins them back for candidates only.
+    # Bands carry ONLY (doc, band-bucket, n_sh) longs — the shingle arrays
+    # would otherwise be duplicated ×n_bands through the shuffle and
+    # dominate the join payload; verification joins them back for
+    # candidates only.
     bands = sig.select(
         "doc",
+        "n_sh",
         F.explode(
             F.array(
                 *[
@@ -592,7 +605,15 @@ def minhash_lsh_pairs(
             b,
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            # per-doc sizes ride the candidate pair from the band rows —
+            # functionally dependent on the ids, so the pair dedup keeps
+            # identical values whichever duplicate row survives
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         # candidates are OUTPUT-sized (quadratic in bucket occupancy on a
         # homogeneous corpus) — forbid broadcasting this side of the
@@ -613,26 +634,18 @@ def minhash_lsh_pairs(
     # sf0.1–30× masked it because the broadcast genuinely fit).
     # shuffle_hash pins the scale-safe strategy: shuffled on the join key
     # like SMJ, but builds a per-partition hash table instead of sorting
-    # 26M+ rows. The per-doc size rides each exploded row as a
-    # whole-partition window count (no orderBy ⇒ no sort) and flows through
-    # the pair groupBy as min() — no separate n_sh relation, no join-back,
-    # so forbidding the broadcasts costs ZERO extra joins.
-    from pyspark.sql.window import Window as W
-
-    exv = ex.withColumn(
-        "n_sh", F.count(F.lit(1)).over(W.partitionBy("doc"))
-    ).hint(corpus_join_strategy())
+    # 26M+ rows. The per-doc sizes arrive ON the candidate pair (from the
+    # band rows, see above) and flow through the pair groupBy as min() —
+    # no separate n_sh relation, no join-back, and since r15 no gram-scale
+    # window pass either: the join sides are the raw exploded rows.
+    exv = ex.hint(corpus_join_strategy())
     joined = (
         candidates.join(
-            exv.select(
-                F.col("doc").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
-            ),
+            exv.select(F.col("doc").alias("id_a"), "shingle"),
             "id_a",
         )
         .join(
-            exv.select(
-                F.col("doc").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
-            ),
+            exv.select(F.col("doc").alias("id_b"), "shingle"),
             ["id_b", "shingle"],
         )
         .groupBy("id_a", "id_b")
