@@ -980,10 +980,11 @@ def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same spread + single-execution spans as text_dup_spans (see there):
     # the scan spread parallelizes the tokenize+enumerate pass and the
     # lazy localCheckpoint stops its second execution under the hit join.
-    sized = (
+    sized = cut_lineage(
         spread_small_scan(_docs(spark, sf_dir).select("doc_id", "text"))
         .select("doc_id", T.words(F.col("text")).alias("t"))
-        .withColumn("n_tokens", F.size("t"))
+        .withColumn("n_tokens", F.size("t")),
+        eager=False,
     )
     spans = cut_lineage(
         sized.where(F.col("n_tokens") >= W)
