@@ -455,7 +455,12 @@ def _pair_overlap_counts(
     )
 
 
-def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def spread_small_scan(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    *,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
     """Re-spread a small scan across the cluster before compute-heavy
     per-row work.
 
@@ -468,6 +473,20 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
     no job) — the previous ``df.rdd.getNumPartitions()`` probe forced a
     DataFrame→RDD conversion per call, gratuitous analyzer work in a hot
     service path. Non-file sources (in-memory test frames) count as small.
+
+    ``bytes_per_task`` makes the spread WIDTH volume-derived instead of
+    core-count-pinned: ``clamp(total_bytes / bytes_per_task, 2, cores)``
+    — the ``size_state_partitions``/``adaptive_spread`` pattern (guide §2:
+    derive partitioning from input size). Right for passes whose per-byte
+    compute is LIGHT (a vectorized matmul over the scan): every 32-wide
+    read stage costs ~0.5-0.8 s of pure task/scheduling overhead on tiny
+    partitions (r15 measurement: a trivial 32-task shuffle-read job is
+    0.6-0.8 s wall while the probe UDF's numpy is ~40 ms), so kilobyte
+    partitions at core-count width are pure fixed cost. Leave None for
+    regex/shingle passes whose per-byte CPU is heavy — bytes are the
+    wrong cost proxy there (the round-14 size-first-AQE rejection), and
+    their 32-wide stages do ~300 ms of REAL work per task at sf0.1.
+    Non-file sources fall back to the full target (size unknown).
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
@@ -490,6 +509,8 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     if total < target * split:
+        if bytes_per_task is not None and files:
+            target = max(2, min(target, -(-total // bytes_per_task)))
         return df.repartition(target)
     return df
 

@@ -193,10 +193,17 @@ def knn_join(
                 *carry_q,
             )
         )
+    # Volume-derived spread width (guide §2): the probe pass is a trivial
+    # vectorized matmul per row, so spreading a kilobyte-scale scan to the
+    # full core count just multiplies fixed task overhead (r15: the 32-wide
+    # probe stage cost ~0.86 s wall for ~40 ms of numpy at sf0.1). 256 KiB
+    # per task keeps the stage narrow at fixture scale and widens toward
+    # the core cap as the corpus grows; at 100 TB the scan is already wide
+    # and the spread is a no-op either way.
     probed_all = cut_lineage(
-        spread_small_scan(norm_guard(tagged, "knn_join")).withColumn(
-            "__cells", probe(F.col("vec"))
-        ),
+        spread_small_scan(
+            norm_guard(tagged, "knn_join"), bytes_per_task=256 * 1024
+        ).withColumn("__cells", probe(F.col("vec"))),
         eager=False,
     )
     bsrc = probed_all if self_join else probed_all.filter(F.col("__is_b"))
