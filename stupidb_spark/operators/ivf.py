@@ -269,10 +269,17 @@ def ivf_index(
     # isnotnull(cell) filter — which would push below the scan spread and
     # make Catalyst evaluate the assignment UDF TWICE per subtree (see
     # simhash_fingerprints for the observed plan shape).
+    #
+    # Volume-derived spread width (guide §2, the knn_join probe rule): the
+    # assignment is a vectorized matmul — light per byte — so core-count
+    # width on a kilobyte-scale scan multiplies fixed task overhead for
+    # ~1 ms of numpy per task (r15: three 32-task checkpoint consumers at
+    # ~430 ms/task of overhead in the dedup_semantic profile).
     return spread_small_scan(
         base.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec")
-        )
+        ),
+        bytes_per_task=256 * 1024,
     ).withColumn(
         "cell", F.coalesce(_assign_udf(centroids)("b_vec"), F.lit(0))
     )

@@ -156,12 +156,15 @@ def semantic_dedup(
     # (operators/lineage.py) to make this cut a reliable checkpoint.
     if assign == "quantized":
         # engine-portable assignment (see _quant_assign_udf) — same relation
-        # shape as ivf_index, same single map-only pass
+        # shape as ivf_index, same single map-only pass, same
+        # volume-derived spread width (the assignment is light per byte;
+        # see ivf_index)
         raw = spread_small_scan(
             df.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("b_vec"),
-            )
+            ),
+            bytes_per_task=256 * 1024,
         )
         assigned = raw.withColumn(
             "cell", _quant_assign_udf(centroids)("b_vec")
