@@ -134,7 +134,8 @@ def pq_encode(
             )
 
     return spread_small_scan(
-        base.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        base.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        bytes_per_task=256 * 1024,
     ).mapInPandas(encode, f"neighbor_id {id_type}, code array<int>")
 
 
@@ -323,7 +324,8 @@ def ivfpq_encode(
             )
 
     return spread_small_scan(
-        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        bytes_per_task=256 * 1024,
     ).mapInPandas(enc, f"neighbor_id {id_type}, cell int, code array<int>")
 
 

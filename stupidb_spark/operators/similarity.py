@@ -225,7 +225,8 @@ def brute_force_topk(
     # spread: a small base file arrives as one partition and would put the
     # whole scoring loop on one core (at scale the scan is already wide)
     b = spread_small_scan(
-        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec")),
+        bytes_per_task=256 * 1024,
     )
     partials = b.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -331,7 +332,8 @@ def lsh_topk(
                 yield pd.concat(frames, ignore_index=True)
 
     b = spread_small_scan(
-        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec")),
+        bytes_per_task=256 * 1024,
     )
     partials = b.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -473,7 +475,10 @@ def embedding_near_dup_pairs(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ).withColumn("block", lsh_bucket(F.col("vec"), planes))
     raw = norm_guard(raw, "embedding_near_dup_pairs")
-    work = spread_small_scan(raw)
+    # volume-derived width (see ivf_index): this spread only feeds the
+    # task-key exchange's map side; the pair scoring parallelism comes
+    # from the salted (block, sub) exchange itself
+    work = spread_small_scan(raw, bytes_per_task=256 * 1024)
 
     id_type = dict(work.dtypes)["id"]
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
